@@ -1,0 +1,54 @@
+"""Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "<dir>"}
+
+Execution is forced with ``collect()`` (what the driver does); each query is
+timed end-to-end including planning. A JVM/session warm-up query runs first
+so JIT/codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cobalt_duckdb_spark.session import get_spark
+from cobalt_duckdb_spark.queries import queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("cobalt-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch the biggest table so codegen/IO caches are primed
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

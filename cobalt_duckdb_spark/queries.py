@@ -1,0 +1,94 @@
+"""Named query registry — the contract surface for the driver harness.
+
+Every implemented operator from SURVEY.md §2 registers here as
+  name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+and ``__spark_entry__.py`` re-exports the registry. Oracle SQL is ANSI-ish
+DuckDB SQL over the same parquet tables; output column names/types are
+aliased identically on both sides (the driver hashes values after sorting
+columns by name). Float outputs are rounded (typically 6 dp) on BOTH sides so
+cross-engine double arithmetic (±1 ulp) can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: cosine top-k KNN (reference's canonical query, SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_K = 10
+FLAGSHIP_QUERY_VEC_ID = 0
+
+
+@register(
+    "flagship_knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = {FLAGSHIP_QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT vec_id,
+               1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qvec FROM q)) AS _dist
+        FROM embeddings
+    ),
+    topk AS (
+        SELECT vec_id, _dist FROM scored
+        ORDER BY _dist ASC, vec_id ASC LIMIT {FLAGSHIP_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY t._dist ASC, t.vec_id ASC) AS BIGINT) AS rank,
+           d.doc_id AS doc_id,
+           d.text AS text,
+           ROUND(t._dist, 6) AS distance
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    ORDER BY rank
+    """,
+)
+def flagship_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference query verbatim in Spark terms
+    (``/root/reference/model/search/vector.py:173-188`` + ``app.py:12-14``):
+    cosine distance of every embedding to a query vector, top-10, joined back
+    to documents, ranked. Query vector = stored embedding of vec_id 0 (frozen
+    input — no model in the loop, SURVEY.md §5.2.2)."""
+    from cobalt_duckdb_spark.operators.knn import knn_topk, query_vector_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qvec = query_vector_of(emb, FLAGSHIP_QUERY_VEC_ID)
+    return knn_topk(
+        emb,
+        docs,
+        F.array(*[F.lit(float(x)) for x in qvec]),
+        k=FLAGSHIP_K,
+    )
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)
