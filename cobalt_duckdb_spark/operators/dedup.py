@@ -1,0 +1,324 @@
+"""Deduplication operators (north star: training-data pipeline dedup).
+
+Four families, all deterministic and (except SimHash pair-search) expressible
+in the DuckDB oracle for differential testing:
+
+- exact: md5 fingerprint group-by (one shuffle on the hash — at 100 TB this
+  is THE cheap first pass; hash keys distribute uniformly so no skew).
+- n-gram Jaccard: all-pairs exact similarity restricted by a length-bucket
+  blocking key (near-dups have near-equal length; each doc joins only its
+  own + adjacent bucket → candidate count drops ~quadratically vs naive).
+- MinHash + LSH: shingle → 32 permutation-min signature → 8 bands × 4 rows →
+  bucket join → exact-Jaccard verification of candidates. Hash family is
+  (a·x + b) mod p over a 32-bit token hash with hardcoded (a, b) so results
+  are reproducible anywhere (no Spark-internal murmur dependence).
+- SimHash: 32-bit sign-aggregated fingerprint + Hamming-distance pairs.
+
+Scale notes: every family is join/agg-only (no UDFs, no driver loops). LSH
+candidate generation shuffles on the band key — bounded by bands × docs rows.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.functions.text import fingerprint, shingles
+
+# --- shared deterministic 32-bit token hash ---------------------------------
+# First 8 hex chars of md5, parsed as unsigned int. Identical in DuckDB via
+#   ('0x' || substr(md5(s), 1, 8))::BIGINT
+# so every dedup operator is cross-engine reproducible.
+
+TOKEN_HASH_SQL_DUCKDB = "('0x' || substr(md5({col}), 1, 8))::BIGINT"
+
+
+def token_hash(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+# --- MinHash hash family (hardcoded, seed=42) -------------------------------
+
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+NUM_HASHES = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # NUM_HASHES = LSH_BANDS * LSH_ROWS
+
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 2**30), _rng.randrange(0, 2**30)) for _ in range(NUM_HASHES)
+]
+# a < 2^30 and x < p ≈ 2^32 keep a·x + b < 2^62 — no BIGINT overflow in
+# either engine.
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint: every row mapped to its
+    group keeper (min id) + group size. One hash-partitioned shuffle."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+    )
+    return fp.join(groups, "fp").select(id_col, "keeper_id", "group_size")
+
+
+def length_bucket(col: Column | str, width: int = 64) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (c / width).cast("bigint")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    bucket_width: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs ≥ threshold, candidate-pruned by
+    length buckets: a pair is only compared when the right side falls in the
+    left's bucket or the one above (symmetric pairs counted once via id<id).
+    Planted near-dups differ by a few chars, far below one bucket width."""
+    sh = docs.select(
+        F.col(id_col),
+        shingles(text_col, n).alias("s"),
+        length_bucket(len_col, bucket_width).alias("bkt"),
+    ).filter(F.size("s") > 0)
+    # right side registers under its own and its preceding bucket so that
+    # cross-bucket neighbors still meet in one equi-join
+    right = sh.select(
+        F.col(id_col).alias("b_id"),
+        F.col("s").alias("b_s"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+    )
+    pairs = (
+        sh.alias("a")
+        .join(right.alias("b"), on="bkt")
+        .filter(F.col(id_col) < F.col("b_id"))
+        .select(
+            F.col(id_col).alias("a_id"),
+            F.col("b_id"),
+            (
+                F.size(F.array_intersect("s", "b_s"))
+                / F.size(F.array_union("s", "b_s"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        # a pair in the same bucket meets twice (own + shifted) → dedupe
+        .distinct()
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round("jaccard", round_to).alias("jaccard")
+    ).orderBy("a_id", "b_id")
+
+
+def minhash_signature(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: explode shingles, one 32-bit token hash per
+    shingle, then 32 per-permutation MINs in a single hash aggregate."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    ).withColumn("x", token_hash("sh"))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"sig{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """LSH candidate pairs (same hash in ≥1 of 8 bands of 4 rows) verified
+    with exact shingle Jaccard ≥ threshold. Deterministic: candidates are a
+    pure function of the hardcoded hash family, so the DuckDB oracle can
+    reproduce the identical pair set."""
+    sig = minhash_signature(docs, id_col, text_col, n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"sig{band * LSH_ROWS + r}")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.select(
+                F.col(id_col).alias("b_id"), "band", "bkey"
+            ).alias("b"),
+            on=["band", "bkey"],
+        )
+        .filter(F.col(id_col) < F.col("b_id"))
+        .select(F.col(id_col).alias("a_id"), "b_id")
+        .distinct()
+    )
+
+    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("s")).filter(
+        F.size("s") > 0
+    )
+    return (
+        cand.join(sh.select(F.col(id_col).alias("a_id"), F.col("s").alias("a_s")), "a_id")
+        .join(sh.select(F.col(id_col).alias("b_id"), F.col("s").alias("b_s")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("a_s", "b_s"))
+                / F.size(F.array_union("a_s", "b_s"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", round_to).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def minhash_lsh_oracle_sql(threshold: float = 0.5, n: int = 3) -> str:
+    """DuckDB SQL replicating minhash_lsh_pairs exactly (same hash family,
+    same banding, same verification)."""
+    tok = TOKEN_HASH_SQL_DUCKDB.format(col="sh")
+    sig_exprs = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_PRIME}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bkey': md5(concat_ws('_', %s))}"
+        % (band, ", ".join(f"sig{band * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+        for band in range(LSH_BANDS)
+    )
+    shingle_expr = (
+        f"list_distinct(list_transform(range(1, len(string_split(text,' ')) - {n - 2}), "
+        + "i -> "
+        + " || ' ' || ".join(f"string_split(text,' ')[i+{j}]" for j in range(n))
+        + "))"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {shingle_expr} AS s FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    ex AS (
+        SELECT doc_id, {tok} AS x
+        FROM (SELECT doc_id, unnest(s) AS sh FROM shf)
+    ),
+    sig AS (SELECT doc_id, {sig_exprs} FROM ex GROUP BY doc_id),
+    buckets AS (
+        SELECT doc_id, b.band AS band, b.bkey AS bkey
+        FROM (SELECT doc_id, unnest([{band_structs}]) AS b FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id AS a_id, c.b_id AS b_id,
+           ROUND(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+    FROM cand c
+    JOIN shf sa ON sa.doc_id = c.a_id
+    JOIN shf sb ON sb.doc_id = c.b_id
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+          / len(list_distinct(sa.s || sb.s)) >= {threshold}
+    ORDER BY a_id, b_id
+    """
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over 3-gram shingle hashes, as two 32-bit halves (``hi``
+    from md5 hex chars 1-8, ``lo`` from 9-16 — two BIGINT columns instead of
+    one unsigned 64-bit value, which BIGINT can't hold).
+
+    Bit j of each half is the sign of sum(±1 over shingles, + when the
+    shingle-hash bit j is set). Near-identical docs differ in few bits →
+    Hamming-distance dedup. Shingles (not unigrams) carry word order, so
+    unrelated docs over a shared vocabulary don't collide — with unigram
+    hashing on this corpus 32 bits left ~250 random pairs under distance 3."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, 3)).alias("sh")
+    ).withColumn("xhi", token_hash("sh")).withColumn(
+        "xlo", F.conv(F.substring(F.md5("sh"), 9, 8), 16, 10).cast("bigint")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(half), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"bal_{half}_{j}")
+        for half in ("xhi", "xlo")
+        for j in range(32)
+    ]
+    balances = exploded.groupBy(id_col).agg(*bit_aggs)
+    out_cols = {}
+    for half, name in (("xhi", "sim_hi"), ("xlo", "sim_lo")):
+        fp = None
+        for j in range(32):
+            bit = F.when(F.col(f"bal_{half}_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            fp = bit if fp is None else (fp + bit)
+        out_cols[name] = fp.cast("bigint")
+    return balances.select(
+        F.col(id_col),
+        out_cols["sim_hi"].alias("sim_hi"),
+        out_cols["sim_lo"].alias("sim_lo"),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, length-bucket blocked the
+    same way as ngram_jaccard_pairs."""
+    sh = simhash(docs, id_col, text_col).join(
+        docs.select(id_col, length_bucket(len_col, bucket_width).alias("bkt")), id_col
+    )
+    right = sh.select(
+        F.col(id_col).alias("b_id"),
+        F.col("sim_hi").alias("b_hi"),
+        F.col("sim_lo").alias("b_lo"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+    )
+    hamming = (
+        F.bit_count(F.col("sim_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("sim_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("bigint")
+    return (
+        sh.join(right, "bkt")
+        .filter(F.col(id_col) < F.col("b_id"))
+        .select(F.col(id_col).alias("a_id"), "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )

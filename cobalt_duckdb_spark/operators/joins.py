@@ -1,0 +1,106 @@
+"""Join operators beyond plain equi-joins (SURVEY.md §2.3 J3-J4).
+
+The reference's only join is a positional gather
+(``/root/reference/model/search/vector.py:183``); these are the general
+forms a pipeline needs, each built so the physical plan scales:
+
+- ``band_join``: equi-key join + residual range predicate → hash join with
+  the band as a post-filter (never a nested-loop cross product).
+- ``asof_join``: merge_asof semantics via the union+window trick — ONE shuffle
+  by key, no row explosion. The naive alternative (range join then pick
+  max-time row) multiplies every left row by all earlier right rows before
+  discarding — quadratic in the worst case and a skew bomb at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Column,
+    band: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a residual band predicate. Catalyst plans the equi part
+    as a hash/sort-merge join and applies the band as a join filter."""
+    return left.join(right, equi & band, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_time <= left_time`` (backward; equal times match), per key ``on``.
+
+    Implementation: tag both sides, union by (key, time), then
+    ``last(value, ignorenulls=True)`` over a running window — the standard
+    distributed merge-asof. Cost: one shuffle on the key, one sort within
+    partitions; output rows = |left|. Right rows are deduplicated to the
+    latest per (key, time) with a deterministic tie-break so results are
+    stable (the reference's tie behavior is engine-accidental,
+    SURVEY.md §5.2.4).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+
+    # Deduplicate right to one row per (key, time): keep the row that sorts
+    # last by the value columns (deterministic).
+    wdedup = Window.partitionBy(on, right_time).orderBy(
+        *[F.desc(c) for c in right_values]
+    )
+    right_clean = (
+        right.select(on, right_time, *right_values)
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    left_cols = [c for c in left.columns]
+    r_side = right_clean.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),  # right sorts BEFORE left at equal time
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_lv_{c}") for c in left_cols],
+    )
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(right_clean.schema[c].dataType).alias(f"_rv_{c}")
+            for c in right_values
+        ],
+        *[F.col(c).alias(f"_lv_{c}") for c in left_cols],
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = r_side.unionByName(l_side)
+    filled = unioned.select(
+        "_k",
+        "_t",
+        "_side",
+        *[F.col(f"_lv_{c}") for c in left_cols],
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_match_{c}")
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lv_{c}").alias(c) for c in left_cols],
+        *[F.col(f"_match_{c}").alias(f"asof_{c}") for c in right_values],
+    )

@@ -86,6 +86,22 @@ def flagship_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _load_all_modules() -> None:
+    """Import every query module so its @register calls run."""
+    from cobalt_duckdb_spark.queries import (  # noqa: F401
+        relational,
+        windows,
+        joins,
+        events,
+        text,
+        dedup,
+        similarity,
+    )
+
+
+_load_all_modules()
+
+
 def queries() -> dict[str, SparkQuery]:
     return dict(QUERIES)
 

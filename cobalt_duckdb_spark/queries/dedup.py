@@ -1,0 +1,134 @@
+"""Dedup pack queries (north star): exact, n-gram Jaccard, MinHash-LSH,
+SimHash, embedding-cosine near-dup. See operators/dedup.py for the physical
+design of each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.functions.vector import cosine_similarity
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.operators import dedup as D
+from cobalt_duckdb_spark.queries import register
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT lang,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT f) AS BIGINT) AS n_exact_dups
+    FROM fp GROUP BY lang ORDER BY lang
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup audit per lang via normalized md5 fingerprints."""
+    d = load_table(spark, sf_dir, "documents")
+    from cobalt_duckdb_spark.functions.text import fingerprint
+
+    return (
+        d.select("lang", fingerprint("text").alias("f"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("f").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("f")).alias("n_exact_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS s,
+               CAST(n_chars // 64 AS BIGINT) AS bkt
+        FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    right_side AS (
+        SELECT doc_id AS b_id, s AS b_s, unnest([bkt, bkt - 1]) AS bkt FROM shf
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.b_id AS b_id,
+               len(list_intersect(a.s, b.b_s)) * 1.0
+                   / len(list_distinct(a.s || b.b_s)) AS j
+        FROM shf a JOIN right_side b ON a.bkt = b.bkt AND a.doc_id < b.b_id
+    )
+    SELECT a_id, b_id, ROUND(j, 6) AS jaccard
+    FROM pairs WHERE j >= 0.5 ORDER BY a_id, b_id
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥0.5), length-bucket blocked."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@register("dedup_minhash_lsh_pairs", oracle=D.minhash_lsh_oracle_sql(threshold=0.5))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8×4) candidates verified at Jaccard ≥ 0.5 — the
+    oracle replays the identical hash family in SQL, so this probabilistic
+    algorithm is still differentially tested."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.5)
+
+
+@register("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash Hamming-distance pairs (≤12 bits). Rows-only check: the
+    64 bitwise aggregates are replayable in SQL but past the practical
+    oracle-SQL size; correctness is pinned by unit tests asserting the pair
+    set agrees with the exact-Jaccard near-dups on the same corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=12)
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: same-label pairs with cosine similarity ≥ 0.4.
+    Label acts as the blocking key (at 100 TB: replace with LSH buckets)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "label"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_similarity("a_emb", "b_emb").alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+        .select("a_id", "b_id", F.round("sim", 6).alias("cos_sim"))
+        .orderBy("a_id", "b_id")
+    )

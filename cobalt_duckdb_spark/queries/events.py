@@ -1,0 +1,216 @@
+"""Events pack: JSON parsing (S10) + streaming operators' batch twins (§2.9).
+
+Every streaming operator ships as a batch query over ``events.parquet`` so
+the DuckDB oracle can check its semantics (SURVEY.md §2.9 note); the
+streaming variants themselves (readStream + watermark) live in
+``cobalt_duckdb_spark/streaming`` and are smoke-tested in pytest.
+
+Spark's time windows are epoch-aligned; DuckDB's ``time_bucket`` uses the
+same alignment, so tumbling twins agree exactly. Sliding windows are
+emulated in SQL as the union of ``window/slide`` phase-shifted buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.queries import register
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: JSON-in-string parsing with get_json_object + typed aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 batch twin: 1-hour tumbling windows per event_type. Streaming form:
+    readStream → withWatermark('ts','10 minutes') → same groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_sliding_window_avg",
+    oracle="""
+    WITH phased AS (
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - (o.off * INTERVAL '30 minutes') AS window_start,
+               value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ((SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100) // COUNT(*)) / 10000.0
+               AS avg_value
+    FROM phased GROUP BY 1 ORDER BY window_start
+    """,
+)
+def stream_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 batch twin (sliding): 1-hour windows sliding every 30 minutes —
+    each event contributes to exactly window/slide = 2 windows.
+
+    The average is exact integer arithmetic (values are 2-dp currency):
+    sum of cents → truncating integer division → one division by 10^4.
+    ROUND(avg, 4) is NOT cross-engine safe here — when the true mean lands on
+    a .xxxx5 boundary Spark rounds the shortest decimal repr (HALF_UP →
+    73.9138) while DuckDB rounds the raw binary double (→ 73.9137); observed
+    at sf0.01. Integer div + exact scale division is bit-identical."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.expr("(sum(cast(round(value * 100, 0) as bigint)) * 100) div count(*)")
+                / 10000.0
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    WHERE user_id < 20
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 batch twin: 30-minute-gap session windows per user. Spark's
+    ``session_window`` end = last event + gap; the oracle's gaps-and-islands
+    reproduces exactly that."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "stream_dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 batch twin: deterministic dedup — first event per (user, type).
+    (``dropDuplicates`` keeps an arbitrary row; we pin min(event_id) so the
+    result is stable. The streaming form is dropDuplicatesWithinWatermark.)"""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 batch twin: stream-static join — events enriched with the customer
+    dimension (broadcast: the dim is small relative to the stream)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )

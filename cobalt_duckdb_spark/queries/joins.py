@@ -1,0 +1,191 @@
+"""Join pack (SURVEY.md §2.3 J2-J4): every join type + theta/band + as-of.
+
+Physical-plan stance: dimension sides broadcast; fact-fact joins shuffle on
+their keys (bucketing co-locates them at scale); the band join is an equi
+hash join with a residual predicate (never a nested loop); the as-of join is
+the union+window form (one shuffle, no explosion — see operators/joins.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.operators.joins import asof_join, band_join
+from cobalt_duckdb_spark.queries import register
+
+
+@register(
+    "join_left_outer_yoy_revenue",
+    oracle="""
+    WITH y96 AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev96
+                 FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey),
+         y97 AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev97
+                 FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey)
+    SELECT COALESCE(y96.o_custkey, y97.o_custkey) AS custkey,
+           COALESCE(rev96, 0.0) AS rev96,
+           COALESCE(rev97, 0.0) AS rev97,
+           ROUND(COALESCE(rev97, 0.0) - COALESCE(rev96, 0.0), 2) AS delta
+    FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+    ORDER BY custkey
+    """,
+)
+def join_full_outer_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue per customer via FULL OUTER join (nulls on both
+    sides exercised, coalesced deterministically)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_rev(y0: str, y1: str, alias: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias(alias))
+        )
+
+    y96 = year_rev("1996-01-01", "1997-01-01", "rev96")
+    y97 = year_rev("1997-01-01", "1998-01-01", "rev97")
+    return (
+        y96.join(y97, "o_custkey", "full_outer")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce("rev96", F.lit(0.0)).alias("rev96"),
+            F.coalesce("rev97", F.lit(0.0)).alias("rev97"),
+            F.round(
+                F.coalesce("rev97", F.lit(0.0)) - F.coalesce("rev96", F.lit(0.0)), 2
+            ).alias("delta"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "join_semi_urgent_buyers",
+    oracle="""
+    SELECT n.n_name AS n_name, CAST(COUNT(*) AS BIGINT) AS n_urgent_buyers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name ORDER BY n_name
+    """,
+)
+def join_semi_urgent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having ≥1 urgent order, counted per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_urgent_buyers"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_anti_no_urgent_orders",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_anti_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no urgent orders, counted per segment."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_band_acctbal",
+    oracle="""
+    SELECT s.s_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_close_customers
+    FROM supplier s
+    JOIN customer c ON s.s_nationkey = c.c_nationkey
+                   AND ABS(s.s_acctbal - c.c_acctbal) < 100.0
+    GROUP BY s.s_suppkey ORDER BY s_suppkey
+    """,
+)
+def join_band_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join (J3): same-nation supplier-customer pairs with account
+    balances within 100 — equi hash join on nation + residual band filter."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    joined = band_join(
+        s,
+        c,
+        equi=s.s_nationkey == c.c_nationkey,
+        band=F.abs(s.s_acctbal - c.c_acctbal) < 100.0,
+    )
+    return (
+        joined.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_asof_last_click_before_error",
+    oracle="""
+    WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           MAX(event_id) AS click_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, CAST(ts AS TIMESTAMP))
+    SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts,
+           c.click_id AS asof_click_id, c.ts AS asof_click_ts
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY event_id
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J4): for every error event, the same user's most recent
+    click at-or-before it. Union+window implementation vs DuckDB's native
+    ASOF JOIN as the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["click_id", "click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_id"),
+        F.col("asof_click_ts"),
+    ).orderBy("event_id")

@@ -1,0 +1,511 @@
+"""Relational operator pack (SURVEY.md §2 A1-A5, P8, O1-O3, §2.7, F8).
+
+TPC-H-shaped queries over the star schema. Every float output is rounded on
+both engines (cross-engine double summation differs in the last ulp — partial
+aggregation order is nondeterministic in Spark by design); every integer
+aggregate is cast to BIGINT on both sides (DuckDB SUM(int) yields HUGEINT).
+
+Scale notes (100 TB design stance):
+- group-bys here are low-cardinality → Tungsten partial aggregation collapses
+  the shuffle to |groups|×|partitions| rows; no skew risk.
+- top-k = orderBy().limit() → TakeOrderedAndProject (per-partition heaps),
+  never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.queries import register
+
+
+# --- A1: TPC-H Q1 pricing summary (hash aggregate, partial+final) ----------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- TPC-H Q3: shipping priority (3-way join + agg + top-k) -----------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    # customer is the small side after its segment filter → broadcast;
+    # orders⨝lineitem shuffles on orderkey (co-partitioned at scale by
+    # bucketing both on orderkey).
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5: local supplier volume (6-way join) ---------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # dims (supplier/nation/region) broadcast — lineitem⨝orders is the only
+    # real shuffle; dim-side filters prune before broadcast.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --- A2: count distinct ------------------------------------------------------
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- A3: rollup / cube / grouping sets --------------------------------------
+
+
+@register(
+    "agg_rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS r_name, n.n_name AS n_name,
+           CAST(GROUPING(r.r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            "r_name", "n_name", "g_region", "g_nation", "total_acctbal", "n_customers"
+        )
+        .orderBy(
+            "g_region",
+            "g_nation",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n_items", "sum_qty")
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- A4: collect/array aggregation (deterministic: sorted) ------------------
+
+
+@register(
+    "agg_collect_sorted_list",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           list(DISTINCT c.c_mktsegment ORDER BY c.c_mktsegment) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n_name
+    """,
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- A5: statistical aggregates ---------------------------------------------
+
+
+@register(
+    "agg_stats_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS stddev_price,
+           ROUND(VAR_SAMP(o_totalprice), 2) AS var_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_corr_quantity_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- P8: predicate pack (IN / BETWEEN / LIKE / null-safe) --------------------
+
+
+@register(
+    "predicate_pack_part",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_size BETWEEN 10 AND 40
+      AND p_name LIKE '%a%'
+      AND p_retailprice IS NOT NULL
+    ORDER BY p_partkey
+    """,
+)
+def predicate_pack_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("p_name").like("%a%")
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+# --- O1-O3: sort + limit → TakeOrderedAndProject ----------------------------
+
+
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice_r
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice_r")
+        )
+        .orderBy(F.desc("o_totalprice_r"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --- §2.7: set operations ----------------------------------------------------
+
+
+@register(
+    "setop_union_intersect_except",
+    oracle="""
+    WITH b1994 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate < TIMESTAMP '1997-01-01'),
+         b1995 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                     AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT o_custkey FROM b1994 UNION SELECT o_custkey FROM b1995)
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT o_custkey FROM b1994 INTERSECT SELECT o_custkey FROM b1995)
+    UNION ALL
+    SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT o_custkey FROM b1994 EXCEPT SELECT o_custkey FROM b1995)
+    ORDER BY op
+    """,
+)
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(y0: str, y1: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    b94 = buyers("1996-01-01", "1997-01-01")
+    b95 = buyers("1997-01-01", "1998-01-01")
+    spark_counts = [
+        ("union", b94.union(b95).distinct()),
+        ("intersect", b94.intersect(b95)),
+        ("except", b94.exceptAll(b95).distinct()),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        for op, df in spark_counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("op")
+
+
+# --- F8: scalar function pack (string / date / math) -------------------------
+
+
+@register(
+    "scalar_string_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_upper,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           date_trunc('month', o_orderdate) AS order_month_start,
+           ROUND(sqrt(o_totalprice), 4) AS sqrt_price,
+           ROUND(ln(o_totalprice + 1), 6) AS ln_price,
+           CAST(ABS(o_custkey - 100) AS BIGINT) AS key_dist,
+           ROUND(POW(o_totalprice, 0.5) + ABS(o_totalprice * -1), 4) AS math_mix
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")
+        ).alias("status_prio"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("ln_price"),
+        F.abs(F.col("o_custkey") - 100).cast("bigint").alias("key_dist"),
+        F.round(
+            F.pow("o_totalprice", F.lit(0.5)) + F.abs(F.col("o_totalprice") * -1), 4
+        ).alias("math_mix"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "distinct_mktsegments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,107 @@
+"""Similarity-search pack: exact batch KNN (brute force baseline) and the
+IVF-bucketed approximate variant (scale path). Flagship single-query KNN is
+registered in queries/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.operators.knn import knn_topk_batch
+from cobalt_duckdb_spark.operators.similarity import ivf_topk
+from cobalt_duckdb_spark.queries import register
+
+_QUERY_IDS = [0, 1, 2]
+_K = 5
+
+
+def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "simsearch_batch_knn",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS d
+        FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+           ROUND(d, 6) AS distance
+    FROM ranked WHERE rn <= {_K}
+    ORDER BY query_id, rank
+    """,
+)
+def simsearch_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force batch KNN — one job for all queries (the set-oriented
+    rewrite of the reference's per-query loop, SURVEY.md §2.10 U4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_topk_batch(emb, _query_set(spark, sf_dir), k=_K)
+
+
+@register(
+    "simsearch_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv),
+                                c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.centroid_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY 1.0 - list_cosine_similarity(q.qv, c.cv),
+                                c.centroid_id) AS rn
+            FROM q CROSS JOIN centroids c
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id,
+               1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), p.qv) AS d
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, ROUND(d, 6) AS distance
+    FROM ranked WHERE rn <= {_K}
+    ORDER BY query_id, rank
+    """,
+)
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (16 cells, 4 probes) — identical algorithm
+    replayed by the oracle, so approximation ≠ untested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_set(spark, sf_dir), k=_K, num_centroids=16, nprobe=4)

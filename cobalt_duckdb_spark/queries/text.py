@@ -1,0 +1,153 @@
+"""Text-analysis pack over ``documents`` (north-star training-data ops):
+token stats, quality scoring, language-ID heuristic, fingerprinting, n-gram
+profiles. All pure Catalyst expressions — see functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.functions import text as T
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.queries import register
+
+_STOPWORDS = ["the", "a", "of", "and"]
+_SW_SQL = "('the', 'a', 'of', 'and')"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           ROUND(AVG(length(replace(text, ' ', '')) * 1.0
+                     / len(string_split(text, ' '))), 4) AS avg_token_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.token_count("text").alias("tc"), T.avg_token_length("text").alias("atl"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+            F.round(F.avg("atl"), 4).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS tc,
+               len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL})) * 1.0
+                   / len(string_split(text, ' ')) AS swr,
+               length(replace(text, ' ', '')) * 1.0
+                   / len(string_split(text, ' ')) AS atl
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(tc AS BIGINT) AS token_count,
+           ROUND(swr, 6) AS stopword_ratio,
+           ROUND(atl, 4) AS avg_token_len,
+           ROUND((LEAST(tc / 100.0, 1.0)
+                  + (1.0 - ABS(swr - 0.10) / 0.90)
+                  + (1.0 - LEAST(ABS(atl - 5.0) / 5.0, 1.0))) / 3.0, 6) AS quality
+    FROM scored
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("token_count"),
+        F.round(T.stopword_ratio("text", _STOPWORDS), 6).alias("stopword_ratio"),
+        F.round(T.avg_token_length("text"), 4).alias("avg_token_len"),
+        F.round(T.quality_score("text", _STOPWORDS), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    vote_exprs = []
+    for lang in sorted(T.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        vote_exprs.append(
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({markers}))) AS v_{lang}"
+        )
+    votes = ", ".join(vote_exprs)
+    langs = sorted(T.LANG_MARKERS)
+    gmax = "GREATEST(" + ", ".join(f"v_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN v_{l} = {gmax} THEN '{l}'" for l in langs)
+    return f"""
+    WITH votes AS (SELECT doc_id, lang, {votes} FROM documents)
+    SELECT lang,
+           CASE WHEN {gmax} = 0 THEN 'und' {case} END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM votes GROUP BY 1, 2 ORDER BY lang, predicted
+    """
+
+
+@register("text_langid_confusion", oracle=_langid_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token argmax) vs the labeled lang column,
+    as a confusion matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.predicted_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", T.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS bigram
+                FROM toks)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -1,0 +1,158 @@
+"""Window-function pack (SURVEY.md §2.5 W1-W2).
+
+The reference computes its rank by physical row position after a sort
+(``/root/reference/model/search/vector.py:186``); here the full window-family
+is expressed properly: ranking, analytic (lag/lead/first/last) and frame
+specs (rows/range). All windows partition by a key — an unpartitioned window
+collapses to a single task and dies at scale (the flagship's k-row window is
+the one sanctioned exception).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.queries import register
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT n_name, c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY row_number() OVER w <= 5
+    ORDER BY n_name, rn
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by balance per nation with the whole ranking family."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("n_name", "rn")
+    )
+
+
+@register(
+    "window_lag_lead_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderdate)  OVER w AS prev_orderdate,
+           lead(o_orderdate) OVER w AS next_orderdate,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+               AS days_since_prev
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline with lag/lead + day gaps."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_orderdate"),
+        F.lead("o_orderdate").over(w).alias("next_orderdate"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "window_moving_avg_rows_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           ROUND(first_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS first_price,
+           ROUND(last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+    FROM orders
+    WHERE o_custkey < 25
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: 3-row moving average, running total, first/last value."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 25)
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.avg("o_totalprice").over(wo.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+        F.round(
+            F.sum("o_totalprice").over(wo.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.first("o_totalprice").over(wo), 2).alias("first_price"),
+        F.round(
+            F.last("o_totalprice").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+            2,
+        ).alias("last_price"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "window_range_frame_value",
+    oracle="""
+    SELECT user_id, event_id, ROUND(value, 2) AS value,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT)
+               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT) AS n_within_5
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, value, event_id
+    """,
+)
+def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering column: for each event, how many of
+    the same user's events have value within ±5. Values are 2-dp currency, so
+    ordering by integer cents keeps the frame bounds integral (Spark's
+    rangeBetween takes long offsets) and the comparison exact in both engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(cents).rangeBetween(-500, 500)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_within_5"),
+    ).orderBy("user_id", "value", "event_id")

@@ -1,0 +1,106 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §2.9).
+
+Each transformation below takes a DataFrame — batch OR streaming — and
+returns the same logical plan, so the DuckDB-oracle-checked batch twins in
+``queries/events.py`` and the streaming pipelines here share semantics by
+construction. Streaming specifics (watermarks, output modes) are applied only
+when the input is streaming.
+
+At scale: these run against Kafka/file sources with watermark-bounded state;
+the shuffle key is always (window, group-key) which Spark's state store
+partitions by — no unbounded state growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Streaming file sources need an explicit schema; events.parquet stores ts as
+# TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong (io.load_table
+# has the same handling).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T1/T3: tumbling 1-hour counts per event_type with late-data watermark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_avg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T1: 1-hour windows sliding every 30 minutes."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T2: session windows per user (gap-based)."""
+    src = events.withWatermark("ts", gap) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T4: stateful dedup by event_id. Streaming uses
+    dropDuplicatesWithinWatermark (bounded state); batch uses dropDuplicates
+    (event_id is unique per event, so both keep exactly one row per id)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """T6: stream-static broadcast join (the static dim is re-read per
+    micro-batch; broadcast keeps it off the shuffle path)."""
+    return events.join(
+        F.broadcast(customers), events.user_id == customers.c_custkey, "left"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")

@@ -1,0 +1,170 @@
+"""Unit tests for operators on tiny literal frames + planted-dup checks."""
+
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.functions.text import (
+    fingerprint,
+    markdown_cleanup,
+    predicted_lang,
+    shingles,
+    token_count,
+)
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cobalt_duckdb_spark.operators.joins import asof_join
+
+
+# --- as-of join --------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k BIGINT, t BIGINT, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 99, 990)],
+        "k BIGINT, t BIGINT, v BIGINT",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _asof_fixture(spark)
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", right_values=["v"]
+        ).collect()
+    }
+    assert out["a"] == 100  # equal time matches
+    assert out["b"] == 150  # latest ≤ 20
+    assert out["c"] is None  # right exists but only later (99 > 15)
+    assert out["d"] is None  # no right rows for key 3
+
+
+def test_asof_right_dups_deterministic(spark):
+    left = spark.createDataFrame([(1, 10)], "k BIGINT, t BIGINT")
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 9)], "k BIGINT, t BIGINT, v BIGINT"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", right_values=["v"]
+    ).collect()
+    assert out[0]["asof_v"] == 9  # max value wins the (k, t) tie, pinned
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "Hello   world"),  # same after normalize+lower
+            (3, "different"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out[1]["keeper_id"] == 1 and out[2]["keeper_id"] == 1
+    assert out[1]["group_size"] == 2
+    assert out[3]["keeper_id"] == 3 and out[3]["group_size"] == 1
+
+
+def test_dedup_families_agree_on_planted_pairs(spark, sf_dir):
+    """The three near-dup detectors must all surface the planted pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    jac = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert jac, "expected planted near-dups at jaccard>=0.8"
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    sim = {
+        (r["a_id"], r["b_id"]) for r in simhash_pairs(docs, max_hamming=12).collect()
+    }
+    # high-jaccard planted pairs are found by LSH (b=8,r=4 → P(miss|j=0.9) ≈ 3e-6)
+    assert jac <= lsh
+    # and simhash at ≤12/64 bits finds them too (noise floor starts ~24 bits)
+    assert jac <= sim
+
+
+# --- text functions ----------------------------------------------------------
+
+
+def test_markdown_cleanup_reference_semantics(spark):
+    # mirrors /root/reference/model/data/notion_db.py:161
+    df = spark.createDataFrame([("a\n\nb<br/>c*d**",)], "s STRING")
+    out = df.select(markdown_cleanup("s").alias("c")).head()["c"]
+    assert out == "a\nb\ncd"
+
+
+def test_predicted_lang_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze und das haus"),
+            (3, "el perro y la casa y los gatos"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "id INT, text STRING",
+    )
+    out = {r["id"]: r["p"] for r in df.select("id", predicted_lang("text").alias("p")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_fingerprint_whitespace_invariance(spark):
+    df = spark.createDataFrame(
+        [("a  b\tc",), ("A b C",), ("totally different",)], "s STRING"
+    )
+    fps = [r["f"] for r in df.select(fingerprint("s").alias("f")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_shingles_and_token_count(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "s STRING")
+    rows = df.select(
+        token_count("s").alias("tc"), shingles("s", 3).alias("sh")
+    ).collect()
+    assert rows[0]["tc"] == 4
+    assert sorted(rows[0]["sh"]) == ["a b c", "b c d"]
+    assert rows[1]["sh"] == []  # shorter than n → empty set
+
+
+# --- IVF vs brute force -------------------------------------------------------
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from cobalt_duckdb_spark.operators.knn import knn_topk_batch
+    from cobalt_duckdb_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_topk_batch(emb, qs, k=5).collect()
+    approx = ivf_topk(emb, qs, k=5, num_centroids=8, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # self-match always survives (query == stored vector 0/1/2)
+    for qid in (0, 1, 2):
+        assert qid in approx_sets[qid]
+        recall = len(exact_sets[qid] & approx_sets[qid]) / 5
+        assert recall >= 0.2  # probing half the cells keeps at least the head

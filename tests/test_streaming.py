@@ -1,0 +1,66 @@
+"""Structured Streaming smoke: file-source stream over events parquet must
+produce exactly the batch twin's result (streaming and batch share the same
+transformation functions by construction)."""
+
+import os
+import shutil
+
+import pytest
+
+from cobalt_duckdb_spark.io import load_table, table_path
+from cobalt_duckdb_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    session_windows,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(table_path(sf_dir, "events"), os.path.join(d, "part-0.parquet"))
+    return str(d)
+
+
+def _run_to_memory(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(
+        spark, tumbling_counts(stream), "t_tumbling", mode="complete"
+    ).collect()
+    want = tumbling_counts(load_table(spark, sf_dir, "events")).collect()
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    got_map = {key(r): (r["n_events"], round(r["sum_value"], 6)) for r in got}
+    want_map = {key(r): (r["n_events"], round(r["sum_value"], 6)) for r in want}
+    assert got_map == want_map
+
+
+def test_stream_session_windows_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(
+        spark, session_windows(stream), "t_sessions", mode="complete"
+    ).collect()
+    want = session_windows(load_table(spark, sf_dir, "events")).collect()
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    assert {key(r): r["n_events"] for r in got} == {
+        key(r): r["n_events"] for r in want
+    }
+
+
+def test_stream_dedup(spark, sf_dir, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(spark, dedup_within_watermark(stream), "t_dedup")
+    n_batch = dedup_within_watermark(load_table(spark, sf_dir, "events")).count()
+    assert got.count() == n_batch

@@ -37,7 +37,11 @@ def stringify(df: pd.DataFrame) -> list[str]:
         if isinstance(v, float):
             return f"{v:.12g}"
         if isinstance(v, (list, np.ndarray)):
-            return "[" + ",".join(cell(float(x)) for x in v) + "]"
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, (np.floating,)):
+            return f"{float(v):.12g}"
+        if isinstance(v, (np.integer,)):
+            return str(int(v))
         return str(v)
 
     rows = ["|".join(cell(v) for v in row) for row in df.itertuples(index=False)]
