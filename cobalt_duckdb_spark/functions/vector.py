@@ -94,7 +94,7 @@ def make_cosine_distance_pandas_udf(query_vec: list[float]):
     qn = np.linalg.norm(q)
 
     @pandas_udf("double")
-    def cos_dist(embs: pd.Series) -> pd.Series:
+    def cos_dist(embs):
         mat = np.vstack(embs.to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1) * qn
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -96,6 +96,9 @@ def _load_all_modules() -> None:
         text,
         dedup,
         similarity,
+        subqueries,
+        multimodal,
+        inference,
     )
 
 

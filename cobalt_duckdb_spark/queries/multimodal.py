@@ -1,0 +1,64 @@
+"""Multimodal pack: binary-column stats (JVM-side, oracle-checked) and the
+mapInPandas feature-extraction pipeline (rows-only — Python decode stub).
+The media table is synthesized deterministically from documents (no real
+codecs/files in this environment); the Spark plumbing is the real thing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.operators.multimodal import (
+    binary_stats,
+    extract_features,
+    synth_media_from_documents,
+)
+from cobalt_duckdb_spark.queries import register
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               encode(text) AS blob,
+               md5(text) AS content_hash
+        FROM documents
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(blob)) AS BIGINT) AS max_bytes,
+           CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct
+    FROM media GROUP BY kind ORDER BY kind
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over opaque blobs — everything JVM-side
+    (octet length, md5) so no decode is needed to audit a 100 TB media lake."""
+    media = synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    stats = binary_stats(media)
+    return (
+        stats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.countDistinct("content_hash").alias("n_distinct"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register("multimodal_feature_extract")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature pipeline (stub decoder — rows-only check;
+    the Arrow batch shape, lazy singleton and output schema are the real
+    distributed plumbing)."""
+    media = synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return extract_features(media).orderBy("media_id")

@@ -1,0 +1,60 @@
+"""Physical-plan assertions: a de-optimized plan is a failed test, not a
+surprise at 100 TB (SURVEY.md §4)."""
+
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    assert_take_ordered,
+)
+from cobalt_duckdb_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    q = o.filter(F.col("o_custkey") == 42).select("o_orderkey", "o_totalprice")
+    assert_pushed_filters(q, "o_custkey")
+
+
+def test_column_pruning_projection_only(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    q = l.select("l_orderkey", "l_quantity")
+    assert_read_schema_only(q, "lineitem", "l_orderkey", "l_quantity")
+
+
+def test_flagship_scan_prunes_to_two_columns(spark, sf_dir):
+    # the scoring scan must read only (vec_id, embedding) — the reference's
+    # manual projection (SURVEY.md §4.1) is automatic here, but verify it
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+    from cobalt_duckdb_spark.operators.knn import query_vector_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = query_vector_of(emb, 0)
+    scored = emb.select(
+        "vec_id",
+        cosine_distance(
+            F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])
+        ).alias("d"),
+    )
+    assert_read_schema_only(scored, "embeddings", "vec_id", "embedding")
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf_dir):
+    q = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    assert_broadcast_join(q, expected=1)
+    assert_no_cartesian(q)
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    q = QUERIES["topk_orders_by_price"](spark, sf_dir)
+    assert_take_ordered(q)
+
+
+def test_q5_no_cartesian_and_broadcasts_dims(spark, sf_dir):
+    q = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    assert_broadcast_join(q, expected=2)
+    assert_no_cartesian(q)

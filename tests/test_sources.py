@@ -1,0 +1,132 @@
+"""Ingest sources/sinks: CSV round-trip, cache-aside semantics, paginated
+cursor fetch, markdown cleanup pipeline, multimodal plumbing, inference UDFs."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.sources import (
+    CORPUS_SCHEMA,
+    cache_aside,
+    paginated_fetch,
+    read_corpus_csv,
+    write_corpus_csv,
+)
+from cobalt_duckdb_spark.sources.corpus import markdown_cleaned_corpus
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "t0", "line one\nline two"),
+            (1, "t1", 'with "quotes" and, commas'),
+            (2, "t2", "plain"),
+        ],
+        CORPUS_SCHEMA,
+    )
+
+
+def test_csv_round_trip_multiline(spark, corpus, tmp_path):
+    path = str(tmp_path / "corpus_csv")
+    write_corpus_csv(corpus, path)
+    back = read_corpus_csv(spark, path)
+    assert sorted((r.doc_id, r.title, r.content) for r in back.collect()) == sorted(
+        (r.doc_id, r.title, r.content) for r in corpus.collect()
+    )
+
+
+def test_cache_aside_fetches_once(spark, corpus, tmp_path):
+    path = str(tmp_path / "corpus_cache")
+    calls = []
+
+    def fetch(s):
+        calls.append(1)
+        return corpus
+
+    a = cache_aside(spark, path, fetch)
+    b = cache_aside(spark, path, fetch)
+    assert a.count() == b.count() == 3
+    assert len(calls) == 1  # second call served from cache
+    cache_aside(spark, path, fetch, refetch=True)
+    assert len(calls) == 2  # refetch forces the source
+
+
+def test_paginated_fetch_cursor_loop(spark):
+    pages = {None: ([{"doc_id": 0, "title": "a", "content": "x"}], "c1"),
+             "c1": ([{"doc_id": 1, "title": "b", "content": "y"}], "c2"),
+             "c2": ([], None)}
+
+    df = paginated_fetch(spark, lambda cur: pages[cur], CORPUS_SCHEMA)
+    assert sorted(r.doc_id for r in df.collect()) == [0, 1]
+
+
+def test_markdown_cleaned_corpus(spark):
+    raw = spark.createDataFrame(
+        [(0, "t", "a\n\nb<br/>c*")], CORPUS_SCHEMA
+    )
+    out = markdown_cleaned_corpus(raw).head()
+    assert out.content == "a\nb\nc"
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def test_multimodal_feature_extract_plumbing(spark, sf_dir):
+    from cobalt_duckdb_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    assert all(r.feature_dim == 8 for r in rows)
+    assert all(len(r.content_hash) == 32 for r in rows)
+
+    plan = frame_sample_plan(media, every_n_bytes=100)
+    one = plan.groupBy("media_id").count().head()
+    assert one["count"] >= 1
+
+
+def test_multimodal_decode_stub_flag(spark, sf_dir):
+    from cobalt_duckdb_spark.operators.multimodal import (
+        extract_features,
+        synth_media_from_documents,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    media = synth_media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).limit(1)
+    with pytest.raises(Exception) as exc:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "no media codecs" in str(exc.value)
+
+
+# --- inference UDFs -----------------------------------------------------------
+
+
+def test_embedder_udf_deterministic_unit_vectors(spark):
+    import math
+
+    from cobalt_duckdb_spark.functions.inference import make_embedder_udf
+
+    df = spark.createDataFrame([("hello",), ("hello",), ("world",)], "text STRING")
+    embed = make_embedder_udf(dim=16)
+    rows = df.select(embed("text").alias("v")).collect()
+    assert rows[0].v == rows[1].v  # deterministic per text
+    assert rows[0].v != rows[2].v
+    assert math.isclose(sum(x * x for x in rows[0].v), 1.0, rel_tol=1e-5)
+
+
+def test_tokenizer_udf_fallback(spark):
+    from cobalt_duckdb_spark.functions.inference import make_tokenizer_udf
+
+    df = spark.createDataFrame([("abc def42 日本語",)], "text STRING")
+    tok = make_tokenizer_udf()
+    out = df.select(tok("text").alias("t")).head().t
+    assert out.split(" ") == ["abc", "def", "42", "日", "本", "語"]
