@@ -55,6 +55,18 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 # either engine.
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition before heavy per-row expression work. The testdata tables
+    arrive as a single small Parquet file → one input split → ONE core doing
+    all the shingling/hashing (higher-order array functions are interpreted,
+    not whole-stage-codegen'd, so they're the dominant cost). One cheap
+    round-robin shuffle of the id+text rows buys full-core parallelism. At
+    100 TB inputs arrive in thousands of splits and this is a no-op choice —
+    keep it keyed to the session's parallelism, not a constant."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup via normalized-text fingerprint: every row mapped to its
     group keeper (min id) + group size. One hash-partitioned shuffle."""
@@ -94,26 +106,35 @@ def ngram_jaccard_pairs(
     same shape. A length-bucket pre-blocked variant of this operator was
     measured 10× slower here because per-pair array intersections dominate.
     """
-    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("s")).filter(
-        F.size("s") > 0
-    )
-    sizes = sh.select(F.col(id_col), F.size("s").cast("double").alias("ns"))
-    # int hashes instead of shingle strings: cheaper join keys + agg
+    sh = fan_out(docs).select(
+        F.col(id_col), shingles(text_col, n).alias("s")
+    ).filter(F.size("s") > 0)
+    # int hashes instead of shingle strings (cheaper join keys + agg); the
+    # set size rides along through the explode so no extra doc-table scans /
+    # joins are needed for the Jaccard denominator. The self-join's two
+    # branches share an identical subplan → AQE reuses one shuffle exchange.
     ex = sh.select(
-        F.col(id_col), F.explode("s").alias("shingle")
-    ).select(F.col(id_col), token_hash("shingle").alias("h"))
+        F.col(id_col),
+        F.size("s").cast("double").alias("ns"),
+        F.explode("s").alias("shingle"),
+    ).select(F.col(id_col), "ns", token_hash("shingle").alias("h"))
 
-    common = (
-        ex.select(F.col(id_col).alias("a_id"), "h")
-        .join(ex.select(F.col(id_col).alias("b_id"), "h"), "h")
+    pairs = (
+        ex.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
+        .join(
+            ex.select(F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns"), "h"),
+            "h",
+        )
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).cast("double").alias("common"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("common"),
+            F.first("a_ns").alias("a_ns"),
+            F.first("b_ns").alias("b_ns"),
+        )
     )
     return (
-        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns")), "a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns")), "b_id")
-        .select(
+        pairs.select(
             "a_id",
             "b_id",
             (F.col("common") / (F.col("a_ns") + F.col("b_ns") - F.col("common"))).alias(
@@ -131,7 +152,7 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature: explode shingles, one 32-bit token hash per
     shingle, then 32 per-permutation MINs in a single hash aggregate."""
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
     ).withColumn("x", token_hash("sh"))
     aggs = [
@@ -270,7 +291,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Hamming-distance dedup. Shingles (not unigrams) carry word order, so
     unrelated docs over a shared vocabulary don't collide — with unigram
     hashing on this corpus 32 bits left ~250 random pairs under distance 3."""
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         F.col(id_col), F.explode(shingles(text_col, 3)).alias("sh")
     ).withColumn("xhi", token_hash("sh")).withColumn(
         "xlo", F.conv(F.substring(F.md5("sh"), 9, 8), 16, 10).cast("bigint")

@@ -68,6 +68,42 @@ def knn_topk(
     )
 
 
+def knn_topk_broadcast_query(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    query_vec_col: str = "query_vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """``knn_topk`` with the query vector supplied as a 1-row DataFrame and
+    broadcast into the scoring scan — one job end-to-end, no driver
+    round-trip (the reference inlines the vector as a SQL literal,
+    ``vector.py:176``; a broadcast join is the Spark-native equivalent and
+    composes when query vectors live in a table)."""
+    q = F.broadcast(query.select(F.col(query_vec_col)))
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        cosine_distance(F.col("embedding"), F.col(query_vec_col)).alias("_dist"),
+    )
+    topk = scored.orderBy(F.asc("_dist"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc("_dist"), F.asc(id_col))
+    dist = F.round("_dist", round_to) if round_to is not None else F.col("_dist")
+    return (
+        F.broadcast(topk)
+        .join(documents, topk[id_col] == documents[doc_id_col], "inner")
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.col(doc_id_col),
+            F.col("text"),
+            dist.alias("distance"),
+        )
+        .orderBy("rank")
+    )
+
+
 def query_vector_of(embeddings: DataFrame, vec_id: int) -> list[float]:
     """Fetch one stored embedding to serve as the query vector (deterministic
     stand-in for the reference's model inference, which needs GPU weights not

@@ -124,7 +124,8 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    n = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

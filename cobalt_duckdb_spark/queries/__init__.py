@@ -72,18 +72,18 @@ def flagship_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``/root/reference/model/search/vector.py:173-188`` + ``app.py:12-14``):
     cosine distance of every embedding to a query vector, top-10, joined back
     to documents, ranked. Query vector = stored embedding of vec_id 0 (frozen
-    input — no model in the loop, SURVEY.md §5.2.2)."""
-    from cobalt_duckdb_spark.operators.knn import knn_topk, query_vector_of
+    input — no model in the loop, SURVEY.md §5.2.2). The query row is
+    broadcast-joined rather than collected to the driver: one Spark job, no
+    driver round-trip, and the plan works unchanged when the query vector
+    comes from another table."""
+    from cobalt_duckdb_spark.operators.knn import knn_topk_broadcast_query
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    qvec = query_vector_of(emb, FLAGSHIP_QUERY_VEC_ID)
-    return knn_topk(
-        emb,
-        docs,
-        F.array(*[F.lit(float(x)) for x in qvec]),
-        k=FLAGSHIP_K,
+    query = emb.filter(F.col("vec_id") == FLAGSHIP_QUERY_VEC_ID).select(
+        F.col("embedding").alias("query_vec")
     )
+    return knn_topk_broadcast_query(emb, docs, query, k=FLAGSHIP_K)
 
 
 def _load_all_modules() -> None:

@@ -106,34 +106,53 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_pairs",
     oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+           ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
     ORDER BY a_id, b_id
     """,
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: same-label pairs with cosine similarity ≥ 0.4.
-    Label acts as the blocking key (at 100 TB: replace with LSH buckets)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    Label acts as the blocking key (at 100 TB: replace with LSH buckets).
+
+    Norms are computed once per VECTOR before the pair join (sim =
+    dot/(na·nb)) — the naive per-pair cosine does three array folds per
+    candidate, tripling the dominant cost. The oracle mirrors the same
+    algebra so doubles stay bit-comparable."""
+    from cobalt_duckdb_spark.functions.vector import dot_product, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    ).withColumn("nrm", l2_norm(F.col("emb")))
     a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "label",
     )
     b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "label"
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "label",
+    )
+    sim = dot_product(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
     )
     return (
         a.join(b, "label")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            cosine_similarity("a_emb", "b_emb").alias("sim"),
-        )
+        .select("a_id", "b_id", sim.alias("sim"))
         .filter(F.col("sim") >= 0.4)
         .select("a_id", "b_id", F.round("sim", 6).alias("cos_sim"))
         .orderBy("a_id", "b_id")

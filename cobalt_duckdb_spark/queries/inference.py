@@ -27,7 +27,9 @@ def infer_embed_index_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     job: prefix + embed the corpus (U1, lazy singleton per executor), prefix
     + embed 3 query texts, then set-oriented batch KNN — replacing the
     reference's per-query loop and positional join-back."""
-    docs = load_table(spark, sf_dir, "documents")
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     embed = make_embedder_udf(dim=64)
 
     indexed = docs.select(

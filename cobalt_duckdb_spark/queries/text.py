@@ -103,7 +103,9 @@ def _langid_oracle() -> str:
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax) vs the labeled lang column,
     as a confusion matrix."""
-    d = load_table(spark, sf_dir, "documents")
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         d.select("lang", T.predicted_lang("text").alias("predicted"))
         .groupBy("lang", "predicted")
@@ -138,7 +140,9 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = T.tokens("text")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(t) - 2),
