@@ -99,6 +99,7 @@ def _load_all_modules() -> None:
         subqueries,
         multimodal,
         inference,
+        advanced,
     )
 
 

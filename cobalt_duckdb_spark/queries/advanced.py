@@ -1,0 +1,193 @@
+"""Advanced-surface pack: remaining SURVEY.md §2 rows — percent_rank/
+cume_dist windows, null-handling scalar ops, approximate aggregates, Pandas
+UDAF (applyInPandas), Python UDTF (Spark 4), and array-serialization (F7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.queries import register
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT s_suppkey, ROUND(s_acctbal, 2) AS acctbal,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(3) OVER w AS BIGINT) AS tercile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over the (small) supplier table —
+    a global window is acceptable only because |supplier| is dimension-sized;
+    fact-table windows must partition (see windows.py)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(3).over(w).cast("bigint").alias("tercile"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "scalar_null_handling",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_custkey, c.c_acctbal, o.o_totalprice
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, MAX(o_totalprice) AS o_totalprice
+                   FROM orders WHERE o_totalprice > 490000
+                   GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey < 200
+    )
+    SELECT c_custkey,
+           ROUND(COALESCE(o_totalprice, 0.0), 2) AS best_big_order,
+           (o_totalprice IS NULL) AS never_big,
+           ROUND(COALESCE(o_totalprice, c_acctbal, 0.0), 2) AS fallback_chain,
+           NULLIF(COALESCE(o_totalprice, 0.0), 0.0) IS NULL AS nullif_zero,
+           CASE WHEN o_totalprice IS NOT NULL THEN 'big-spender'
+                WHEN c_acctbal > 5000 THEN 'wealthy'
+                ELSE 'regular' END AS segment
+    FROM j ORDER BY c_custkey
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / IS NULL / CASE over left-join-produced nulls."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("best_big_order"),
+        F.col("o_totalprice").isNull().alias("never_big"),
+        F.round(F.coalesce("o_totalprice", "c_acctbal", F.lit(0.0)), 2).alias(
+            "fallback_chain"
+        ),
+        F.nullif(F.coalesce("o_totalprice", F.lit(0.0)), F.lit(0.0))
+        .isNull()
+        .alias("nullif_zero"),
+        F.when(F.col("o_totalprice").isNotNull(), "big-spender")
+        .when(F.col("c_acctbal") > 5000, "wealthy")
+        .otherwise("regular")
+        .alias("segment"),
+    ).orderBy("c_custkey")
+
+
+@register("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HLL++ approx_count_distinct and percentile_approx.
+    Rows-only check (sketch outputs are engine-specific by nature); pytest
+    pins them within tolerance of the exact values."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+            F.round(F.percentile("l_extendedprice", 0.5), 2).alias("exact_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("udaf_label_centroids")
+def udaf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF via groupBy().applyInPandas (SURVEY.md §2.10 U5): per-label
+    embedding centroid + dispersion with NumPy inside Arrow batches. This is
+    the shape model-training feature aggregation takes when the kernel
+    genuinely needs NumPy (otherwise prefer built-ins). Rows-only check;
+    pytest verifies centroids against exact per-dimension averages."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        c = mat.mean(axis=0)
+        spread = float(np.linalg.norm(mat - c, axis=1).mean())
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "centroid": [[round(float(x), 6) for x in c]],
+                "mean_dist_to_centroid": [round(spread, 6)],
+            }
+        )
+
+    out_schema = (
+        "label INT, n_vectors BIGINT, centroid ARRAY<DOUBLE>, "
+        "mean_dist_to_centroid DOUBLE"
+    )
+    return emb.groupBy("label").applyInPandas(centroid, out_schema).orderBy("label")
+
+
+@register("udtf_sentence_split")
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4, §2.10 U5): one row per fixed-size token chunk of
+    each document — the table-function shape used for context-window chunking
+    in LLM pipelines. Rows-only; pytest pins chunk arithmetic."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx INT, n_tokens INT, chunk STRING")
+    class ChunkSplit:
+        def eval(self, text: str, chunk_tokens: int):
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), chunk_tokens):
+                part = toks[i : i + chunk_tokens]
+                yield i // chunk_tokens, len(part), " ".join(part)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    spark.udtf.register("chunk_split", ChunkSplit)
+    docs.createOrReplaceTempView("chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk
+        FROM chunk_docs d, LATERAL chunk_split(d.text, 32) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
+
+
+@register(
+    "scalar_array_serialization",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           to_json(list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * 1000, 0) AS BIGINT))) AS vec_milli_json
+    FROM embeddings WHERE vec_id < 20 ORDER BY vec_id
+    """,
+)
+def scalar_array_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (array→string serialization, dead code in the reference —
+    ``vector.py:22-37``): serialize embeddings to JSON. Values are quantized
+    to integer milli-units first because float→string formatting is
+    engine-specific; integer JSON arrays render identically."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    milli = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000, 0).cast("bigint"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.to_json(milli).alias("vec_milli_json"),
+    ).orderBy("vec_id")

@@ -5,6 +5,7 @@ from cobalt_duckdb_spark.streaming.events import (
     session_windows,
     dedup_within_watermark,
     enrich_with_customers,
+    running_user_totals,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "session_windows",
     "dedup_within_watermark",
     "enrich_with_customers",
+    "running_user_totals",
 ]

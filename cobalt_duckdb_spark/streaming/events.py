@@ -104,3 +104,54 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(customers), events.user_id == customers.c_custkey, "left"
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """T5: arbitrary stateful processing via applyInPandasWithState — a
+    per-user running (count, sum) accumulator that emits an updated row per
+    micro-batch and expires idle users by processing-time timeout. This is
+    the custom-operator escape hatch when windowed aggs can't express the
+    state machine (the batch-twin equivalent is a plain groupBy sum).
+
+    State layout: one (count, total) tuple per user_id — O(|users|), bounded
+    by the timeout. The shuffle key is user_id, same as the batch twin's.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -168,3 +168,49 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         assert qid in approx_sets[qid]
         recall = len(exact_sets[qid] & approx_sets[qid]) / 5
         assert recall >= 0.2  # probing half the cells keeps at least the head
+
+
+# --- advanced pack: rows-only queries pinned here ----------------------------
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    from cobalt_duckdb_spark.queries import QUERIES
+
+    rows = QUERIES["agg_approx_sketches"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.1 * r["exact_orders"]
+        assert abs(r["approx_median"] - r["exact_median"]) <= 0.1 * r["exact_median"]
+
+
+def test_udaf_centroids_match_exact_average(spark, sf_dir):
+    import numpy as np
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries import QUERIES
+
+    got = {r["label"]: r for r in QUERIES["udaf_label_centroids"](spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    for label, grp in pdf.groupby("label"):
+        want = np.vstack(grp["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+        assert got[label]["n_vectors"] == len(grp)
+        assert np.allclose(got[label]["centroid"], want, atol=1e-5)
+
+
+def test_udtf_chunks_cover_document(spark, sf_dir):
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries import QUERIES
+
+    rows = QUERIES["udtf_sentence_split"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").filter("doc_id < 20").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        rebuilt = " ".join(c["chunk"] for c in chunks)
+        assert rebuilt == docs[doc_id]
+        assert sum(c["n_tokens"] for c in chunks) == len(docs[doc_id].split(" "))

@@ -64,3 +64,24 @@ def test_stream_dedup(spark, sf_dir, events_stream_dir):
     got = _run_to_memory(spark, dedup_within_watermark(stream), "t_dedup")
     n_batch = dedup_within_watermark(load_table(spark, sf_dir, "events")).count()
     assert got.count() == n_batch
+
+
+def test_stream_arbitrary_state_running_totals(spark, sf_dir, events_stream_dir):
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.streaming import running_user_totals
+
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(
+        spark, running_user_totals(stream), "t_state", mode="update"
+    ).collect()
+    # single micro-batch → final state per user == batch groupBy totals
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got_map = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got}
+    assert got_map == want
