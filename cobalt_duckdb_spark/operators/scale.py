@@ -1,0 +1,90 @@
+"""Scale techniques as first-class operators: bucketed co-located joins,
+salted skew joins, partitioned layouts with pruning (SURVEY.md §4 /
+BASELINE north star "design every operator for 100 TB").
+
+These aren't used by the oracle queries (they're physical-layout tools, not
+query semantics); tests/test_scale.py proves each claim at the PLAN level —
+bucketing removes the shuffle Exchange, salting splits a hot key, partition
+pruning drops files — so the techniques are demonstrably wired, not
+aspirational.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) managed table. Two tables
+    bucketed identically on their join key co-locate: the sort-merge join
+    needs NO shuffle Exchange — at 100 TB this converts every fact⋈fact join
+    on the bucket key from a full network shuffle into local merges."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a previously-failed write can leave the managed location behind, which
+    # blocks re-creation; clear it explicitly
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = os.path.join(urlparse(warehouse).path or warehouse, table_name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two co-bucketed tables on the bucket key (shuffle-free)."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the skewed LEFT side gets a random salt in
+    [0, salt), the (smaller) RIGHT side is replicated across all salt values,
+    and the join key becomes (key, salt) — a single hot key now spreads over
+    ``salt`` reducers instead of stalling one. AQE's skew-join handles
+    moderate skew automatically; explicit salting is for the pathological
+    long-tail (one key = 30% of rows) where even a split partition is one
+    key's worth of work.
+
+    Correctness: every left row keeps exactly one salt; every right row
+    exists under every salt → join multiplicity is unchanged.
+    """
+    left_s = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    right_s = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = left_s.join(right_s, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Hive-style partitioned Parquet layout: directory per partition value.
+    Queries filtering on partition columns read only matching directories
+    (partition pruning — visible as PartitionFilters in the scan)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def events_by_day(events: DataFrame) -> DataFrame:
+    """Derive the natural partition column for the events stream (daily
+    partitions: the standard time-series layout for retention + pruning)."""
+    return events.withColumn("event_date", F.to_date("ts"))

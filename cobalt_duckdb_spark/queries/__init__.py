@@ -100,6 +100,7 @@ def _load_all_modules() -> None:
         multimodal,
         inference,
         advanced,
+        tpch_extra,
     )
 
 

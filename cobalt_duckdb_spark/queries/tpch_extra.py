@@ -1,0 +1,269 @@
+"""Extended TPC-H-shaped coverage (Q2/Q4/Q12/Q14/Q16/Q19/Q22 adapted to the
+testdata's columns — the star schema here has no partsupp/shipmode/commitdate,
+so each query keeps the original's OPERATOR shape on the columns that exist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.queries import register
+
+
+@register(
+    "q2_top_supplier_per_nation",
+    oracle="""
+    SELECT n.n_name AS n_name, s.s_suppkey AS s_suppkey,
+           ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (
+        SELECT MAX(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+    ORDER BY n_name, s_suppkey
+    """,
+)
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-MAX shape: the best supplier per nation (ties kept,
+    exactly like the correlated subquery keeps them)."""
+    for t in ("supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS n_name, s.s_suppkey AS s_suppkey,
+               ROUND(s.s_acctbal, 2) AS acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal = (
+            SELECT MAX(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+        ORDER BY n_name, s_suppkey
+        """
+    )
+
+
+@register(
+    "q4_late_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders in a quarter having ≥1 lineitem shipped >30 days
+    after order date (EXISTS with a correlated non-equi condition → left-semi
+    join with residual predicate)."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS o_orderpriority,
+               COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q12_case_aggregation",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity >= 25
+    GROUP BY 1 ORDER BY ship_year
+    """,
+)
+def q12_case_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's conditional-aggregation shape (SUM over CASE) by ship year."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY ship_year
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share per year (ratio of conditional sums;
+    broadcast the part dimension)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT l.l_suppkey) >= 4
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per (brand, type, size) with <> /
+    NOT IN literals and a NOT IN subquery (anti join)."""
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+        HAVING COUNT(DISTINCT l.l_suppkey) >= 4
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "q19_or_of_ands_predicates",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 5 AND l.l_quantity <= 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 45)
+    """,
+)
+def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunction of conjunctive band predicates across the join —
+    Catalyst pushes the common join key and keeps the OR as a join filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def clause(brand: str, s0: int, s1: int, q0: int, q1: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s0, s1)
+            & (F.col("l_quantity") >= q0)
+            & (F.col("l_quantity") <= q1)
+        )
+
+    cond = (
+        clause("Brand#2", 1, 15, 5, 25)
+        | clause("Brand#3", 10, 30, 10, 35)
+        | clause("Brand#4", 20, 50, 20, 45)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_inactive_wealthy_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c.c_name, 17, 2) AS cust_prefix,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY 1
+    ORDER BY cust_prefix
+    """,
+)
+def q22_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average balances (scalar subquery), recently inactive
+    (NOT EXISTS → anti join), grouped by a name-derived code."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT substr(c.c_name, 17, 2) AS cust_prefix,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+          )
+        GROUP BY 1
+        ORDER BY cust_prefix
+        """
+    )
