@@ -101,6 +101,7 @@ def _load_all_modules() -> None:
         inference,
         advanced,
         tpch_extra,
+        timeseries,
     )
 
 

@@ -99,9 +99,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
             F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-            F.round(F.percentile("l_extendedprice", 0.5), 2).alias("exact_median"),
         )
         .orderBy("l_returnflag")
     )

@@ -1,0 +1,206 @@
+"""Time-series pack over ``events``: pivot, multi-resolution rollup
+(hypertable-style), gap-filled resampling, and funnel/sequence analysis.
+These are the continuous-aggregate shapes a telemetry pipeline runs; each
+has an exact SQL twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.queries import register
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_type_totals",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 2) AS error,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 2) AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view
+    FROM events WHERE user_id < 30
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list (the list makes the
+    output schema static — REQUIRED at scale: an unlisted pivot runs an extra
+    distinct-scan job and produces nondeterministic column order)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("user_id")
+    )
+    # pivot leaves NULL where a user lacks that type; the CASE twin yields 0
+    return out.select(
+        "user_id",
+        *[F.round(F.coalesce(t, F.lit(0.0)), 2).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "events_multi_resolution_rollup",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    hourly AS (
+        SELECT 'hour' AS resolution,
+               time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM base GROUP BY 2
+    ),
+    daily AS (
+        SELECT 'day' AS resolution,
+               time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM base GROUP BY 2
+    )
+    SELECT * FROM hourly UNION ALL SELECT * FROM daily
+    ORDER BY resolution, bucket_start
+    """,
+)
+def events_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same stream rolled up at
+    hour and day resolution in one pass each, unioned with a resolution tag.
+    At scale the daily rollup derives from the hourly one (re-aggregation of
+    24 rows/day instead of re-scanning raw events) — expressed here exactly
+    that way."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "n",
+            "sum_cents",
+        )
+    )
+    # day = re-aggregation of the hourly rollup, NOT a raw re-scan
+    daily = (
+        hourly.groupBy(F.window("bucket_start", "1 day").alias("w"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+        .select(F.col("w.start").alias("bucket_start"), "n", "sum_cents")
+    )
+    out = hourly.select(F.lit("hour").alias("resolution"), "*").unionByName(
+        daily.select(F.lit("day").alias("resolution"), "*")
+    )
+    return out.orderBy("resolution", "bucket_start")
+
+
+@register(
+    "events_gap_filled_minutes",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', MIN(CAST(ts AS TIMESTAMP))) AS t0,
+               time_bucket(INTERVAL '1 hour', MAX(CAST(ts AS TIMESTAMP))) AS t1
+        FROM events WHERE user_id = 7
+    ),
+    grid AS (
+        SELECT unnest(generate_series((SELECT t0 FROM bounds),
+                                      (SELECT t1 FROM bounds),
+                                      INTERVAL '1 hour')) AS bucket_start
+    ),
+    actual AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE user_id = 7 GROUP BY 1
+    )
+    SELECT g.bucket_start AS bucket_start,
+           COALESCE(a.n, 0) AS n_events,
+           (a.n IS NULL) AS gap_filled
+    FROM grid g LEFT JOIN actual a ON g.bucket_start = a.bucket_start
+    ORDER BY bucket_start
+    """,
+)
+def events_gap_filled_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resample: a dense hourly grid (sequence + explode) left-
+    joined to actual per-hour counts so silent hours materialize as zeros —
+    the standard time-series densification before window smoothing."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    actual = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "n")
+    )
+    grid = actual.agg(
+        F.min("bucket_start").alias("t0"), F.max("bucket_start").alias("t1")
+    ).select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_start")
+    )
+    return (
+        grid.join(actual, "bucket_start", "left")
+        .select(
+            "bucket_start",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+@register(
+    "events_signup_to_purchase_funnel",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    converted AS (
+        SELECT s.user_id, s.first_signup,
+               MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+        FROM signups s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND CAST(e.ts AS TIMESTAMP) > s.first_signup
+        GROUP BY s.user_id, s.first_signup
+    )
+    SELECT CAST((SELECT COUNT(*) FROM signups) AS BIGINT) AS n_signed_up,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(date_diff('second', first_signup, first_purchase)) AS BIGINT)
+               AS fastest_conversion_sec
+    FROM converted
+    """,
+)
+def events_signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: first signup → first later purchase per user,
+    plus the fastest conversion. Join + min-aggregation shape (no window
+    needed); the sequence constraint is the join's non-equi predicate."""
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("p_ts") > F.col("first_signup"))
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    n_signed = signups.count()
+    return converted.agg(
+        F.lit(n_signed).cast("bigint").alias("n_signed_up"),
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min(
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_signup")
+        )
+        .cast("bigint")
+        .alias("fastest_conversion_sec"),
+    )

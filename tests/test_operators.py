@@ -178,9 +178,20 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
 
     rows = QUERIES["agg_approx_sketches"](spark, sf_dir).collect()
     assert rows
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.percentile("l_extendedprice", 0.5).alias("median"),
+        )
+        .collect()
+    }
     for r in rows:
-        assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.1 * r["exact_orders"]
-        assert abs(r["approx_median"] - r["exact_median"]) <= 0.1 * r["exact_median"]
+        e = exact[r["l_returnflag"]]
+        assert abs(r["approx_orders"] - e["orders"]) <= 0.1 * e["orders"]
+        assert abs(r["approx_median"] - e["median"]) <= 0.1 * e["median"]
 
 
 def test_udaf_centroids_match_exact_average(spark, sf_dir):
@@ -214,3 +225,56 @@ def test_udtf_chunks_cover_document(spark, sf_dir):
         rebuilt = " ".join(c["chunk"] for c in chunks)
         assert rebuilt == docs[doc_id]
         assert sum(c["n_tokens"] for c in chunks) == len(docs[doc_id].split(" "))
+
+
+def test_mllib_brp_lsh_finds_normalized_neighbors(spark, sf_dir):
+    """BRP-LSH on L2-normalized embeddings must recover the brute-force
+    cosine near pairs (L2² = 2−2·cos on unit vectors)."""
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.functions.vector import l2_normalize
+    from cobalt_duckdb_spark.operators.mllib_ann import brp_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    # cos >= 0.4  ⇔  l2 <= sqrt(2 - 2*0.4)
+    max_l2 = (2 - 2 * 0.4) ** 0.5
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in brp_near_dup_pairs(emb, max_l2, num_hash_tables=6).collect()
+    }
+    # brute force on the same normalized vectors
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"))
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine_similarity("ae", "be") >= 0.4)
+        .collect()
+    }
+    assert want, "expected some near pairs in fixture"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"LSH recall too low: {recall} ({len(got)=} {len(want)=})"
+
+
+def test_mllib_minhash_lsh_finds_planted_dups(spark, sf_dir):
+    from cobalt_duckdb_spark.operators.mllib_ann import minhash_lsh_token_pairs
+    from cobalt_duckdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_token_pairs(docs, max_jaccard_distance=0.4).collect()
+    }
+    planted = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert planted
+    # token-set distance <= 0.4 is looser than 3-gram j>=0.8 → must cover
+    missing = planted - got
+    assert len(missing) <= max(1, len(planted) // 10), f"missed {missing}"
