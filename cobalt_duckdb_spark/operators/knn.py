@@ -104,6 +104,30 @@ def knn_topk_broadcast_query(
     )
 
 
+def build_vector_store(
+    embeddings: DataFrame,
+    view_name: str = "vector_store",
+    normalize: bool = True,
+) -> DataFrame:
+    """The reference's index build (``from_dataframe`` → register,
+    ``vector.py:97-135``) Spark-style: optionally L2-normalize at ingest
+    (turning cosine distance into ``1 − dot`` — one fold per query instead of
+    three), persist in memory-and-disk, and register as a temp view for the
+    SQL surface. Returns the persisted frame; caller owns ``unpersist()``."""
+    from pyspark import StorageLevel
+
+    from cobalt_duckdb_spark.functions.vector import l2_normalize
+
+    store = embeddings
+    if normalize:
+        store = embeddings.select(
+            "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+        ).filter(F.col("embedding").isNotNull())
+    store = store.persist(StorageLevel.MEMORY_AND_DISK)
+    store.createOrReplaceTempView(view_name)
+    return store
+
+
 def query_vector_of(embeddings: DataFrame, vec_id: int) -> list[float]:
     """Fetch one stored embedding to serve as the query vector (deterministic
     stand-in for the reference's model inference, which needs GPU weights not

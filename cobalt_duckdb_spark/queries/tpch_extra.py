@@ -267,3 +267,90 @@ def q22_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cust_prefix
         """
     )
+
+
+@register(
+    "q10_returned_revenue_by_customer",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top customers by returned-item revenue (4-way join + agg +
+    top-k; nation broadcasts, orders date-filter prunes before the join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+           o.o_orderdate AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice_r,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 120
+    )
+    GROUP BY 1, 2, 3, 4
+    ORDER BY o_totalprice_r DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds a threshold (IN over an
+    aggregated subquery → semi join on the fact table's own aggregation)."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+               o.o_orderdate AS o_orderdate,
+               ROUND(o.o_totalprice, 2) AS o_totalprice_r,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 120
+        )
+        GROUP BY 1, 2, 3, 4
+        ORDER BY o_totalprice_r DESC, o_orderkey
+        LIMIT 20
+        """
+    )

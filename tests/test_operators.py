@@ -278,3 +278,41 @@ def test_mllib_minhash_lsh_finds_planted_dups(spark, sf_dir):
     # token-set distance <= 0.4 is looser than 3-gram j>=0.8 → must cover
     missing = planted - got
     assert len(missing) <= max(1, len(planted) // 10), f"missed {missing}"
+
+
+def test_build_vector_store(spark, sf_dir):
+    import math
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.operators.knn import build_vector_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = build_vector_store(emb, view_name="t_vstore")
+    try:
+        assert store.storageLevel.useMemory  # persisted
+        row = store.head()
+        assert math.isclose(sum(x * x for x in row.embedding), 1.0, rel_tol=1e-6)
+        # registered for the SQL surface
+        n = spark.sql("SELECT COUNT(*) AS n FROM t_vstore").head()["n"]
+        assert n == store.count() == emb.count()
+    finally:
+        store.unpersist()
+
+
+def test_stop_watch_decorator_and_timed():
+    import time as _time
+
+    from cobalt_duckdb_spark.instrument import stop_watch, timed
+
+    sink = {}
+
+    @stop_watch(sink)
+    def work():
+        _time.sleep(0.01)
+        return 7
+
+    assert work() == 7
+    assert sink["work"] >= 0.01
+    with timed(sink, "block"):
+        _time.sleep(0.01)
+    assert sink["block"] >= 0.01
