@@ -82,6 +82,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields TIMESTAMP_LTZ; pin the session to UTC so
+        # wall-clock values match DuckDB's naive reading of the same integers
+        # regardless of the host session's timezone (container is UTC today —
+        # this keeps it true anywhere)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return spark.read.parquet(table_path(sf_dir, name)).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )

@@ -55,16 +55,23 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 # either engine.
 
 
-def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame, partitions: int | None = None, by: str | None = None
+) -> DataFrame:
     """Repartition before heavy per-row expression work. The testdata tables
     arrive as a single small Parquet file → one input split → ONE core doing
-    all the shingling/hashing (higher-order array functions are interpreted,
-    not whole-stage-codegen'd, so they're the dominant cost). One cheap
-    round-robin shuffle of the id+text rows buys full-core parallelism. At
-    100 TB inputs arrive in thousands of splits and this is a no-op choice —
-    keep it keyed to the session's parallelism, not a constant."""
+    all the shingling/hashing. One cheap shuffle of the id+text rows buys
+    full-core parallelism. At 100 TB inputs arrive in thousands of splits
+    and this is a no-op choice — keep it keyed to the session's parallelism,
+    not a constant.
+
+    ``by`` hash-partitions on a column instead of round-robin: a downstream
+    window/groupBy on that column then REUSES this user-pinned partitioning —
+    no second shuffle, and (critically) no AQE coalescing: AQE respects
+    explicit repartition counts but shrinks its own small shuffles, which
+    would collapse a CPU-bound window over few MB of data onto 4 cores."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
+    return df.repartition(n, F.col(by)) if by else df.repartition(n)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -105,19 +112,16 @@ def ngram_jaccard_pairs(
     rarest-shingle prefix) to cap hot-shingle fan-out; the join stays the
     same shape. A length-bucket pre-blocked variant of this operator was
     measured 10× slower here because per-pair array intersections dominate.
+
+    The (id, ns, hash) shingle table is persisted: the self-join consumes it
+    twice, and recomputing the interpreted shingling per branch doubles the
+    dominant cost.
     """
-    sh = fan_out(docs).select(
-        F.col(id_col), shingles(text_col, n).alias("s")
-    ).filter(F.size("s") > 0)
-    # int hashes instead of shingle strings (cheaper join keys + agg); the
-    # set size rides along through the explode so no extra doc-table scans /
-    # joins are needed for the Jaccard denominator. The self-join's two
-    # branches share an identical subplan → AQE reuses one shuffle exchange.
-    ex = sh.select(
-        F.col(id_col),
-        F.size("s").cast("double").alias("ns"),
-        F.explode("s").alias("shingle"),
-    ).select(F.col(id_col), "ns", token_hash("shingle").alias("h"))
+    from pyspark import StorageLevel
+
+    ex = shingle_hashes(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     pairs = (
         ex.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
@@ -147,14 +151,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    with_counts: bool = True,
+) -> DataFrame:
+    """(id, ns, shingle): one row per DISTINCT (doc, n-token shingle), with
+    the doc's distinct-shingle count riding along. The shared first stage of
+    every shingle-based dedup operator.
+
+    Built from posexplode + window ``lead`` — plain codegen'd JVM operators.
+    The equivalent array expression (``transform``+``slice``+``concat_ws``
+    inside ``aggregate``) is interpreted per element and measured ~6s for
+    260k shingles on 32 cores; this form does the same work in under a
+    second. Identical output strings, so oracle SQL is unaffected."""
+    from pyspark.sql import Window
+
+    toks = fan_out(docs, by=id_col).select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (
+        toks.select(F.col(id_col), *[l.alias(f"t{i}") for i, l in enumerate(leads)])
+        .filter(F.col(f"t{n-1}").isNotNull())  # drop ragged tail windows
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle"),
+        )
+    )
+    # the window left rows hash-partitioned by id → this groupBy needs NO
+    # further shuffle; collect_set dedupes per doc and yields the count free
+    per_doc = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("s"))
+    if not with_counts:
+        return per_doc.select(F.col(id_col), F.explode("s").alias("shingle"))
+    return per_doc.select(
+        F.col(id_col),
+        F.size("s").cast("double").alias("ns"),
+        F.explode("s").alias("shingle"),
+    )
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """shingle_rows with the 32-bit token hash in place of the string."""
+    return shingle_rows(docs, id_col, text_col, n).select(
+        F.col(id_col), "ns", token_hash("shingle").alias("h")
+    )
+
+
 def minhash_signature(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: explode shingles, one 32-bit token hash per
     shingle, then 32 per-permutation MINs in a single hash aggregate."""
-    exploded = fan_out(docs).select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
-    ).withColumn("x", token_hash("sh"))
+    exploded = shingle_hashes(docs, id_col, text_col, n).withColumnRenamed("h", "x")
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"sig{i}"
@@ -175,8 +229,28 @@ def minhash_lsh_pairs(
     """LSH candidate pairs (same hash in ≥1 of 8 bands of 4 rows) verified
     with exact shingle Jaccard ≥ threshold. Deterministic: candidates are a
     pure function of the hardcoded hash family, so the DuckDB oracle can
-    reproduce the identical pair set."""
-    sig = minhash_signature(docs, id_col, text_col, n)
+    reproduce the identical pair set.
+
+    One MATERIALIZED shingle pass feeds both stages: signatures aggregate
+    over the (id, hash) rows, and verification counts common hashes per
+    candidate pair from the same rows (no array intersections). The shingle
+    table is persisted because it has two consumers in one job tree —
+    without it Spark recomputes the interpreted shingling per consumer,
+    which dominates runtime. (At 100 TB this table would be written once to
+    Parquet; MEMORY_AND_DISK is the single-job equivalent.)"""
+    from pyspark import StorageLevel
+
+    ex = shingle_hashes(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exploded = ex.withColumnRenamed("h", "x")
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"sig{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
     band_structs = F.array(
         *[
             F.struct(
@@ -211,18 +285,29 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("s")).filter(
-        F.size("s") > 0
+    # verification: common-hash counts for candidate pairs only, from the
+    # same (id, ns, h) rows the signatures came from
+    a_side = ex.select(
+        F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h"
+    ).join(cand, "a_id")
+    pairs = (
+        a_side.join(
+            ex.select(F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns"), "h"),
+            ["b_id", "h"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("common"),
+            F.first("a_ns").alias("a_ns"),
+            F.first("b_ns").alias("b_ns"),
+        )
     )
     return (
-        cand.join(sh.select(F.col(id_col).alias("a_id"), F.col("s").alias("a_s")), "a_id")
-        .join(sh.select(F.col(id_col).alias("b_id"), F.col("s").alias("b_s")), "b_id")
-        .select(
+        pairs.select(
             "a_id",
             "b_id",
             (
-                F.size(F.array_intersect("a_s", "b_s"))
-                / F.size(F.array_union("a_s", "b_s"))
+                F.col("common") / (F.col("a_ns") + F.col("b_ns") - F.col("common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -268,15 +353,21 @@ def minhash_lsh_oracle_sql(threshold: float = 0.5, n: int = 3) -> str:
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(s) * 1.0 AS ns FROM shf),
+    verified AS (
+        SELECT c.a_id, c.b_id, COUNT(*) * 1.0 AS common
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.a_id
+        JOIN ex eb ON eb.doc_id = c.b_id AND eb.x = ea.x
+        GROUP BY 1, 2
     )
-    SELECT c.a_id AS a_id, c.b_id AS b_id,
-           ROUND(len(list_intersect(sa.s, sb.s)) * 1.0
-                 / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
-    FROM cand c
-    JOIN shf sa ON sa.doc_id = c.a_id
-    JOIN shf sb ON sb.doc_id = c.b_id
-    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
-          / len(list_distinct(sa.s || sb.s)) >= {threshold}
+    SELECT v.a_id AS a_id, v.b_id AS b_id,
+           ROUND(v.common / (sa.ns + sb.ns - v.common), 6) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.a_id
+    JOIN sizes sb ON sb.doc_id = v.b_id
+    WHERE v.common / (sa.ns + sb.ns - v.common) >= {threshold}
     ORDER BY a_id, b_id
     """
 
@@ -291,10 +382,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Hamming-distance dedup. Shingles (not unigrams) carry word order, so
     unrelated docs over a shared vocabulary don't collide — with unigram
     hashing on this corpus 32 bits left ~250 random pairs under distance 3."""
-    exploded = fan_out(docs).select(
-        F.col(id_col), F.explode(shingles(text_col, 3)).alias("sh")
-    ).withColumn("xhi", token_hash("sh")).withColumn(
-        "xlo", F.conv(F.substring(F.md5("sh"), 9, 8), 16, 10).cast("bigint")
+    exploded = shingle_rows(docs, id_col, text_col, 3, with_counts=False).withColumn(
+        "xhi", token_hash("shingle")
+    ).withColumn(
+        "xlo", F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
     )
     bit_aggs = [
         F.sum(
