@@ -1,0 +1,168 @@
+"""Property-based differential tests (hypothesis): each custom operator vs
+an independent reference implementation on randomized inputs — the layer the
+fixed testdata can't provide (ties, empty keys, adversarial orderings)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.functions.vector import (
+    cosine_distance,
+    make_cosine_distance_pandas_udf,
+)
+from cobalt_duckdb_spark.operators.dedup import ngram_jaccard_pairs
+from cobalt_duckdb_spark.operators.joins import asof_join
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=8))
+    left = [(k, draw(st.integers(0, 50))) for k in keys]
+    right_keys = draw(st.lists(st.integers(0, 3), min_size=0, max_size=8))
+    right = [
+        (k, draw(st.integers(0, 50)), draw(st.integers(0, 1000)))
+        for k in right_keys
+    ]
+    return left, right
+
+
+@given(asof_case())
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k BIGINT, t BIGINT, lid BIGINT"
+    )
+    # dedupe right to latest-(k,t) max-v like the operator pins
+    rmap = {}
+    for k, t, v in right_rows:
+        rmap[(k, t)] = max(v, rmap.get((k, t), -1))
+    rrows = [(k, t, v) for (k, t), v in rmap.items()]
+    right = spark.createDataFrame(rrows or [], "k BIGINT, t BIGINT, v BIGINT")
+
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", right_values=["v"]
+        ).collect()
+    }
+
+    if rrows:
+        lpdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+            columns=["k", "t", "lid"],
+        ).sort_values("t", kind="stable")
+        rpdf = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values(
+            "t", kind="stable"
+        )
+        merged = pd.merge_asof(
+            lpdf, rpdf, on="t", by="k", direction="backward"
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {i: None for i in range(len(left_rows))}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(-10, 10, allow_nan=False), min_size=4, max_size=4),
+            st.lists(st.floats(-10, 10, allow_nan=False), min_size=4, max_size=4),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_cosine_distance_matches_numpy(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "id BIGINT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in df.select("id", cosine_distance("a", "b").alias("d")).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0.0 or nb == 0.0:
+            assert got[i] is None
+        else:
+            want = 1.0 - float(np.dot(a, b) / (na * nb))
+            assert math.isclose(got[i], want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_cosine_pandas_udf_fast_path_matches_expression(spark, sf_dir):
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.operators.knn import query_vector_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = query_vector_of(emb, 0)
+    udf_col = make_cosine_distance_pandas_udf(qvec)
+    expr_col = cosine_distance(
+        F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec])
+    )
+    rows = emb.select(
+        "vec_id", udf_col(F.col("embedding")).alias("du"), expr_col.alias("de")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert math.isclose(r["du"], r["de"], rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_inverted_jaccard_matches_naive(spark, token_docs):
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks), len(" ".join(toks))) for i, toks in enumerate(token_docs)],
+        "doc_id BIGINT, text STRING, n_chars BIGINT",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, n=2).collect()
+    }
+
+    def bigrams(toks):
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    for i, ta in enumerate(token_docs):
+        for j, tb in enumerate(token_docs):
+            if i >= j:
+                continue
+            sa, sb = bigrams(ta), bigrams(tb)
+            if not sa or not sb:
+                assert (i, j) not in got
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                # inverted index only yields pairs sharing >=1 shingle
+                assert (i, j) not in got
+                continue
+            want = inter / len(sa | sb)
+            assert math.isclose(got[(i, j)], want, rel_tol=1e-6, abs_tol=1e-6), (
+                i,
+                j,
+                ta,
+                tb,
+            )
