@@ -155,3 +155,68 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "text_levenshtein_near_titles",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN d BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           ROUND(AVG(d), 4) AS avg_dist
+    FROM (
+        SELECT a.p_brand AS p_brand,
+               levenshtein(a.p_name, b.p_name) AS d
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+          AND levenshtein(a.p_name, b.p_name) <= 3
+    )
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def text_levenshtein_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-matching (fuzzy dedup for short strings like
+    titles/SKUs): same-brand part-name pairs within Levenshtein 3,
+    aggregated per brand (pair-level output explodes on this small-vocab
+    corpus — half a million rows at sf0.1 — so the query returns the
+    bounded per-block audit a pipeline actually monitors). Brand is the
+    blocking key — edit distance is O(n·m) per pair, so at scale it only
+    ever runs inside blocks behind the O(1) length prefilter."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    p = load_table(spark, sf_dir, "part")
+    a = fan_out(p).select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        "p_brand",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        "p_brand",
+    )
+    pairs = (
+        a.join(F.broadcast(b), "p_brand")
+        .filter(F.col("a_key") < F.col("b_key"))
+        # |len(a)−len(b)| > 3 ⇒ edit_dist > 3: O(1) prune before the O(n·m)
+        # dynamic program (implied by the threshold — results unchanged)
+        .filter(F.abs(F.length("a_name") - F.length("b_name")) <= 3)
+        .withColumn("d", F.levenshtein("a_name", "b_name").cast("bigint"))
+        .filter(F.col("d") <= 3)
+    )
+    return (
+        pairs.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.sum(F.when(F.col("d").between(1, 3), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_near"),
+            F.round(F.avg("d"), 4).alias("avg_dist"),
+        )
+        .orderBy("p_brand")
+    )
