@@ -220,3 +220,41 @@ def text_levenshtein_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "text_bpe_ish_token_count",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+               AS BIGINT) AS bpe_ish_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+                 * 1.0 / SUM(len(string_split(text, ' '))), 4) AS expansion_ratio
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north star): whitespace tokens vs a BPE-ish
+    regex segmentation (letter runs / digit runs / single punctuation) and
+    the expansion ratio — the cheap proxy for LLM token cost per document.
+    Same regex class semantics in both engines."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    ws = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+        )
+    ).cast("bigint")
+    return (
+        d.select("lang", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_ish_tokens"),
+            F.round(F.sum("bpe") * 1.0 / F.sum("ws"), 4).alias("expansion_ratio"),
+        )
+        .orderBy("lang")
+    )
