@@ -130,3 +130,47 @@ def test_tokenizer_udf_fallback(spark):
     tok = make_tokenizer_udf()
     out = df.select(tok("text").alias("t")).head().t
     assert out.split(" ") == ["abc", "def", "42", "日", "本", "語"]
+
+
+def test_python_datasource_paged_corpus(spark):
+    from cobalt_duckdb_spark.sources.paged_source import PagedCorpusDataSource
+
+    spark.dataSource.register(PagedCorpusDataSource)
+    df = (
+        spark.read.format("paged_corpus")
+        .option("total_rows", 250)
+        .option("page_size", 40)
+        .option("num_splits", 6)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() >= 6  # cursor ranges became real splits
+    rows = df.collect()
+    assert len(rows) == 250
+    assert sorted(r.doc_id for r in rows) == list(range(250))
+    assert rows[0].title.startswith("title-")
+
+
+def test_cogroup_orders_events_alignment(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.operators.cogroup import orders_events_alignment
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    out = {r["custkey"]: r for r in orders_events_alignment(orders, events).collect()}
+
+    want_orders = {
+        r["o_custkey"]: (r["n"], round(r["t"], 2))
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("t"))
+        .collect()
+    }
+    for ck, (n, total) in want_orders.items():
+        assert out[ck]["n_orders"] == n
+        assert abs(out[ck]["order_total"] - total) < 0.01
+    # customers with events but no orders still appear (cogroup is full outer)
+    ev_only = {r["user_id"] for r in events.select("user_id").distinct().collect()} - set(
+        want_orders
+    )
+    for ck in ev_only:
+        assert out[ck]["n_orders"] == 0 and out[ck]["n_events"] > 0
