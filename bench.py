@@ -40,6 +40,44 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Warm-path KNN throughput at the reference's operating point: repeated
+    # queries against a resident (persisted, normalized) vector store —
+    # the reference's serving loop (vector.py:139-188) equivalent.
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.operators.knn import build_vector_store
+
+    store = build_vector_store(
+        load_table(spark, sf_dir, "embeddings"), view_name="bench_vstore"
+    )
+    store.count()  # materialize the cache
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in store.orderBy("vec_id").limit(11).collect()
+    ]
+    # normalized store → distance = 1 − dot (single fold)
+    from cobalt_duckdb_spark.functions.vector import dot_product
+
+    def warm_knn(vec):
+        q = F.array(*[F.lit(v) for v in vec])
+        return (
+            store.select(
+                "vec_id", (F.lit(1.0) - dot_product(F.col("embedding"), q)).alias("d")
+            )
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        )
+
+    warm_knn(qvecs[0])  # plan warm-up
+    t0 = time.perf_counter()
+    for vec in qvecs[1:]:
+        warm_knn(vec)
+    knn_ms = round((time.perf_counter() - t0) / (len(qvecs) - 1) * 1000, 1)
+    store.unpersist()
+
     print(
         json.dumps(
             {
@@ -48,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "knn_warm_ms_per_query": knn_ms,
             }
         )
     )

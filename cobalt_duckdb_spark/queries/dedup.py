@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cobalt_duckdb_spark.functions.vector import cosine_similarity
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.operators import dedup as D
 from cobalt_duckdb_spark.queries import register
