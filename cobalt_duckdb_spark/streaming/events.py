@@ -155,3 +155,63 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """T5 via Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (typed state handles, timers, TTL). Same per-user
+    running (count, sum) semantics as running_user_totals; requires the
+    RocksDB state store provider on the session AND a working protobuf
+    runtime (the TWS state client speaks protobuf; environments without it
+    should use running_user_totals — same semantics on the older API).
+
+    The processor class is defined INSIDE this function on purpose:
+    cloudpickle then serializes it by value, so the TWS driver worker (a
+    separate Python process that does NOT inherit the driver's sys.path)
+    never needs this library importable."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self.totals.get()
+            n, total = prev if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -85,3 +85,41 @@ def test_stream_arbitrary_state_running_totals(spark, sf_dir, events_stream_dir)
     }
     got_map = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got}
     assert got_map == want
+
+
+def test_stream_transform_with_state_matches_batch(spark, sf_dir, events_stream_dir):
+    # transformWithState's Python state client speaks protobuf; skip where
+    # the protobuf runtime is unusable (this container ships a broken one).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unusable here - transformWithState needs it")
+
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.streaming.events import running_user_totals_tws
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_stream_dir)
+        got = _run_to_memory(
+            spark, running_user_totals_tws(stream), "t_tws", mode="update"
+        ).collect()
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got_map = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got}
+    assert got_map == want
