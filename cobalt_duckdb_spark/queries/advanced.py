@@ -189,3 +189,19 @@ def scalar_array_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("bigint").alias("dim"),
         F.to_json(milli).alias("vec_milli_json"),
     ).orderBy("vec_id")
+
+
+def _cms_oracle() -> str:
+    from cobalt_duckdb_spark.operators.sketch import cms_oracle_sql
+
+    return cms_oracle_sql(top_k=20)
+
+
+@register("sketch_cms_heavy_hitters", oracle=_cms_oracle())
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over the token stream: top-20 exact
+    counts side-by-side with the deterministic CMS estimate (the oracle
+    replays the identical d×w sketch — see operators/sketch.py)."""
+    from cobalt_duckdb_spark.operators.sketch import heavy_hitters_with_cms
+
+    return heavy_hitters_with_cms(load_table(spark, sf_dir, "documents"), top_k=20)

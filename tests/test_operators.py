@@ -316,3 +316,23 @@ def test_stop_watch_decorator_and_timed():
     with timed(sink, "block"):
         _time.sleep(0.01)
     assert sink["block"] >= 0.01
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """CMS property: estimate >= exact count for EVERY token (not just heavy
+    hitters)."""
+    from cobalt_duckdb_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    sketch = cms_build(toks)
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    joined = cms_estimate(sketch, exact.select("item")).join(exact, "item")
+    rows = joined.collect()
+    assert rows
+    assert all(r["cms_estimate"] >= r["exact"] for r in rows)
+    # d=4, w=1024 over this stream → heavy tokens should estimate tightly
+    heavy = [r for r in rows if r["exact"] >= 100]
+    assert heavy
+    for r in heavy:
+        assert r["cms_estimate"] <= r["exact"] * 1.5
