@@ -8,6 +8,7 @@ import shutil
 import pytest
 
 from cobalt_duckdb_spark.io import load_table, table_path
+from tests.conftest import SF_DIR
 from cobalt_duckdb_spark.streaming import (
     dedup_within_watermark,
     read_events_stream,
@@ -123,3 +124,31 @@ def test_stream_transform_with_state_matches_batch(spark, sf_dir, events_stream_
     }
     got_map = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got}
     assert got_map == want
+
+
+def test_foreach_batch_sink(spark, events_stream_dir, tmp_path):
+    """foreachBatch sink: per-micro-batch custom writer (the escape hatch for
+    sinks Spark lacks — upserts, multi-table fanout). Writes each batch's
+    tumbling rollup to parquet and verifies the landed rows."""
+    out_dir = str(tmp_path / "fb_out")
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out_dir)
+    want = tumbling_counts(load_table(spark, SF_DIR, "events")).count()
+    assert landed.count() == want
+    assert "batch_id" in landed.columns
