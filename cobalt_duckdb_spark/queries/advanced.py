@@ -205,3 +205,47 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobalt_duckdb_spark.operators.sketch import heavy_hitters_with_cms
 
     return heavy_hitters_with_cms(load_table(spark, sf_dir, "documents"), top_k=20)
+
+
+@register(
+    "split_train_valid_test_hash",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM assigned GROUP BY lang ORDER BY lang
+    """,
+)
+def split_train_valid_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by id-hash bucket —
+    the reproducible alternative to random sampling for training data
+    (same row lands in the same split on every engine, run, partitioning,
+    and data refresh; `sampleBy(seed)` guarantees none of those)."""
+    from cobalt_duckdb_spark.operators.dedup import token_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    return (
+        d.select("lang", bucket.alias("bucket"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("bucket") < 80, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("bucket").between(80, 89), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(F.when(F.col("bucket") >= 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("lang")
+    )
