@@ -156,3 +156,64 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round("sim", 6).alias("cos_sim"))
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "dedup_connected_groups",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS s
+        FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    sizes AS (SELECT doc_id, len(s) * 1.0 AS ns FROM shf),
+    ex AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(s) AS shingle FROM shf)
+    ),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) * 1.0 AS common
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE c.common / (sa.ns + sb.ns - c.common) >= 0.5
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r
+        FROM reach JOIN edges e ON e.v = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS keeper_id FROM reach GROUP BY v)
+    SELECT c.doc_id AS doc_id, c.keeper_id AS keeper_id,
+           CAST(g.group_size AS BIGINT) AS group_size
+    FROM comp c
+    JOIN (SELECT keeper_id, COUNT(*) AS group_size FROM comp GROUP BY 1) g
+      ON c.keeper_id = g.keeper_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: jaccard pairs (≥0.5) → connected
+    components via min-label propagation → (doc, keeper=component min,
+    group size). The oracle computes the same components with a recursive
+    CTE (transitive closure + min over reachable)."""
+    from cobalt_duckdb_spark.operators.graph import dedup_groups
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return dedup_groups(pairs)

@@ -336,3 +336,21 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert heavy
     for r in heavy:
         assert r["cms_estimate"] <= r["exact"] * 1.5
+
+
+def test_connected_components_hand_checked(spark):
+    from cobalt_duckdb_spark.operators.graph import connected_components, dedup_groups
+
+    # two components: {1,2,3,7} (chain + extra edge) and {10,11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11), (2, 7)], "a_id BIGINT, b_id BIGINT"
+    )
+    comp = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+    groups = {r["doc_id"]: r for r in dedup_groups(edges).collect()}
+    assert groups[7]["keeper_id"] == 1 and groups[7]["group_size"] == 4
+    assert groups[11]["keeper_id"] == 10 and groups[11]["group_size"] == 2
