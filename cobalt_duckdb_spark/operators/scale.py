@@ -88,3 +88,19 @@ def events_by_day(events: DataFrame) -> DataFrame:
     """Derive the natural partition column for the events stream (daily
     partitions: the standard time-series layout for retention + pruning)."""
     return events.withColumn("event_date", F.to_date("ts"))
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_files: int = 8
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (repartition → write). THE recurring maintenance
+    job of any streaming-ingested lake — thousands of micro-batch files kill
+    scan parallelism bookkeeping and NameNode/metadata servers long before
+    they hurt raw IO. Returns the file count written."""
+    import glob
+    import os
+
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(out_path)
+    return len(glob.glob(os.path.join(out_path, "*.parquet")))

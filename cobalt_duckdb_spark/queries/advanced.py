@@ -249,3 +249,59 @@ def split_train_valid_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dq_integrity_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkeys' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orders_orphan_custkeys',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                 GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_null_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0.0 OR l_discount > 0.5
+                    OR l_discount IS NULL) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def dq_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as a query: referential integrity (anti joins),
+    primary-key uniqueness, null and range constraints — the checks a lake
+    pipeline runs before promoting a batch (operators/quality.py)."""
+    from cobalt_duckdb_spark.operators.quality import (
+        duplicate_key_count,
+        null_counts,
+        orphans,
+        value_range_violations,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    checks = [
+        ("lineitem_orphan_orderkeys", orphans(l, o, "l_orderkey", "o_orderkey").count()),
+        ("orders_orphan_custkeys", orphans(o, c, "o_custkey", "c_custkey").count()),
+        ("orders_duplicate_pk", duplicate_key_count(o, "o_orderkey")),
+        ("lineitem_null_quantity", null_counts(l, "l_quantity")["l_quantity"]),
+        (
+            "lineitem_discount_out_of_range",
+            value_range_violations(l, "l_discount", 0.0, 0.5).count(),
+        ),
+    ]
+    return spark.createDataFrame(
+        sorted(checks), "check_name STRING, violations BIGINT"
+    )

@@ -97,3 +97,35 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     n_total = spark.read.parquet(path).count()
     n_day = back.count()
     assert 0 < n_day < n_total
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from cobalt_duckdb_spark.operators.scale import compact_parquet
+
+    frag = str(tmp_path / "fragmented")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(64).write.parquet(frag)  # simulate micro-batch litter
+    import glob
+    import os
+
+    assert len(glob.glob(os.path.join(frag, "*.parquet"))) >= 32
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_files=4)
+    assert n == 4
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read across batches with added columns — the lake's
+    schema-evolution path (new columns appear as nulls for old batches)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id BIGINT, name STRING").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id BIGINT, name STRING, score DOUBLE"
+    ).write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) >= {"id", "name", "score"}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 3.5
