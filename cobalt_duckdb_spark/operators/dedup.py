@@ -382,10 +382,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Hamming-distance dedup. Shingles (not unigrams) carry word order, so
     unrelated docs over a shared vocabulary don't collide — with unigram
     hashing on this corpus 32 bits left ~250 random pairs under distance 3."""
-    exploded = shingle_rows(docs, id_col, text_col, 3, with_counts=False).withColumn(
-        "xhi", token_hash("shingle")
-    ).withColumn(
-        "xlo", F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
+    exploded = (
+        shingle_rows(docs, id_col, text_col, 3, with_counts=False)
+        .withColumn("_md5", F.md5("shingle"))  # one digest, two 32-bit slices
+        .withColumn("xhi", F.conv(F.substring("_md5", 1, 8), 16, 10).cast("bigint"))
+        .withColumn("xlo", F.conv(F.substring("_md5", 9, 8), 16, 10).cast("bigint"))
     )
     bit_aggs = [
         F.sum(
