@@ -509,3 +509,77 @@ def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "setop_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_orderkey < 1000),
+         b AS (SELECT l_returnflag FROM lineitem
+               WHERE l_orderkey >= 500 AND l_orderkey < 1500)
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'union_all', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    ORDER BY op
+    """,
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — duplicates preserved per SQL bag
+    semantics: intersectAll keeps min(multiplicity), exceptAll subtracts
+    multiplicities (vs the distinct-set forms in setop_union_intersect_except)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_orderkey") < 1000).select("l_returnflag")
+    b = l.filter(
+        (F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1500)
+    ).select("l_returnflag")
+    parts = [
+        ("intersect_all", a.intersectAll(b)),
+        ("except_all", a.exceptAll(b)),
+        ("union_all", a.unionAll(b)),
+    ]
+    frames = [
+        df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        for op, df in parts
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("op")
+
+
+@register(
+    "unpivot_event_totals_long",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+               ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view
+        FROM events WHERE user_id < 10 GROUP BY user_id
+    )
+    SELECT user_id, kind, amount
+    FROM wide UNPIVOT (amount FOR kind IN (click, purchase, view))
+    ORDER BY user_id, kind
+    """,
+)
+def unpivot_event_totals_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping with DataFrame.unpivot (melt) — the inverse of the
+    pivot query, round-tripping the same totals."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.round(F.sum("value"), 2))
+        .select(
+            "user_id",
+            *[F.coalesce(c, F.lit(0.0)).alias(c) for c in ("click", "purchase", "view")],
+        )
+    )
+    return wide.unpivot(
+        ["user_id"], ["click", "purchase", "view"], "kind", "amount"
+    ).orderBy("user_id", "kind")
