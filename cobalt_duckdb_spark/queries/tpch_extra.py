@@ -514,3 +514,96 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY numwait DESC, s_name
         """
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT l_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of a region's purchase volume per year —
+    ratio of conditional sums over a 7-way join (two nation roles)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), "n_regionkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("l_year"))
+        .agg(F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"))
+        .orderBy("l_year")
+    )
+
+
+@register(
+    "q20_nested_in_supplier_parts",
+    oracle="""
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+        )
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100
+    )
+    AND s.s_acctbal > 0
+    ORDER BY s_suppkey
+    """,
+)
+def q20_nested_in_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN subqueries (suppliers who moved >100 units of
+    promo parts) — two levels of semi-join rewriting."""
+    for t in ("supplier", "lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+            )
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 100
+        )
+        AND s.s_acctbal > 0
+        ORDER BY s_suppkey
+        """
+    )
