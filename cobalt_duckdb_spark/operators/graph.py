@@ -38,6 +38,14 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    # Iterative loops MUST truncate lineage: without it each round nests the
+    # previous round's plan, and by ~10 iterations plan compilation alone
+    # OOMs the JVM (observed on a 12-vertex path graph). localCheckpoint
+    # materializes the round's labels and restarts the plan from there —
+    # the standard Pregel-in-DataFrames survival move.
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.vertex)
@@ -55,13 +63,18 @@ def connected_components(
                     "_changed"
                 ),
             )
-        )
-        updated = updated.persist()
+        ).localCheckpoint(eager=True)
         n_changed = updated.filter("_changed").count()
-        labels.unpersist() if hasattr(labels, "is_cached") and labels.is_cached else None
         labels = updated.drop("_changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent non-fixpoint would return WRONG components — refuse
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the bound); raise max_iterations"
+        )
     return labels
 
 

@@ -354,3 +354,19 @@ def test_connected_components_hand_checked(spark):
     groups = {r["doc_id"]: r for r in dedup_groups(edges).collect()}
     assert groups[7]["keeper_id"] == 1 and groups[7]["group_size"] == 4
     assert groups[11]["keeper_id"] == 10 and groups[11]["group_size"] == 2
+
+
+def test_connected_components_long_chain_and_bound(spark):
+    import pytest as _pytest
+
+    from cobalt_duckdb_spark.operators.graph import connected_components
+
+    # a 12-vertex path: diameter 11 → needs several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a_id BIGINT, b_id BIGINT"
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    # refusing to return a non-fixpoint is part of the contract
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
