@@ -65,6 +65,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (session-id, sf_dir, table) → DataFrame. The testdata is immutable, so the
+# read relation (schema + file listing resolved from the parquet footer) can
+# be built once per session instead of once per query — trims fixed driver
+# overhead when many queries share tables. Keyed by session so the driver's
+# own SparkSession gets its own entries.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Column pruning / predicate pushdown is left to
     Catalyst — callers express plain ``select``/``filter`` and the Parquet scan
@@ -78,6 +86,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -87,10 +99,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # regardless of the host session's timezone (container is UTC today —
         # this keeps it true anywhere)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+        df = spark.read.parquet(table_path(sf_dir, name)).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
