@@ -105,3 +105,63 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed by the oracle, so approximation ≠ untested."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _query_set(spark, sf_dir), k=_K, num_centroids=16, nprobe=4)
+
+
+@register(
+    "embedding_int8_quantization_audit",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS emb,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(GREATEST(-127, LEAST(127, round(x * 127.0 / 0.5, 0))) AS BIGINT)
+               ) AS q8
+        FROM embeddings WHERE vec_id < 100
+    ),
+    err AS (
+        SELECT vec_id,
+               list_inner_product(
+                   list_transform(list_zip(emb, q8),
+                       p -> (p[1] - p[2] * 0.5 / 127.0)),
+                   list_transform(list_zip(emb, q8),
+                       p -> (p[1] - p[2] * 0.5 / 127.0))
+               ) AS sq_err,
+               list_inner_product(emb, emb) AS sq_norm
+        FROM q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(sqrt(sq_err)), 6) AS avg_l2_error,
+           ROUND(MAX(sqrt(sq_err)), 6) AS max_l2_error,
+           ROUND(AVG(sqrt(sq_err) / sqrt(sq_norm)), 6) AS avg_rel_error
+    FROM err
+    """,
+)
+def embedding_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression audit: symmetric int8 quantization (scale 0.5 →
+    ~4 valid bits per unit) and its reconstruction error — the storage-cost
+    lever for a 100 TB embedding lake (float32→int8 is 4× smaller; this
+    query quantifies what that costs in L2 error before committing to it)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = F.col("embedding").cast("array<double>")
+    scale = 0.5
+    q8 = F.transform(
+        emb,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x * 127.0 / scale, 0))
+        ).cast("bigint"),
+    )
+    deq_err = F.zip_with(emb, q8, lambda x, qv: x - qv * scale / 127.0)
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        F.zip_with(arr, arr, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+    )
+    per_vec = e.select(
+        "vec_id",
+        F.sqrt(sq(deq_err)).alias("l2_err"),
+        F.sqrt(sq(emb)).alias("l2_norm"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("l2_err"), 6).alias("avg_l2_error"),
+        F.round(F.max("l2_err"), 6).alias("max_l2_error"),
+        F.round(F.avg(F.col("l2_err") / F.col("l2_norm")), 6).alias("avg_rel_error"),
+    )
