@@ -156,3 +156,42 @@ def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_within_5"),
     ).orderBy("user_id", "value", "event_id")
+
+
+@register(
+    "window_trailing_hour_count",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing_1h,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ), 2) AS value_trailing_1h
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def window_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour sliding window per event (rate limiting / burst
+    detection shape). Spark's rangeBetween takes LONG offsets, so the
+    ordering column is epoch MICROseconds — full timestamp precision, exactly
+    DuckDB's RANGE INTERVAL semantics (ordering by epoch seconds would
+    truncate and disagree at boundaries)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    micros = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_trailing_1h"),
+    ).orderBy("user_id", "ts", "event_id")
