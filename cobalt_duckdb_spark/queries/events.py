@@ -252,3 +252,34 @@ def events_user_journey_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "json_props_as_map",
+    oracle="""
+    WITH kv AS (
+        SELECT event_type, k AS prop_key,
+               CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS prop_value
+        FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+    )
+    SELECT event_type, prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(prop_value) AS BIGINT) AS total
+    FROM kv GROUP BY 1, 2 ORDER BY event_type, prop_key
+    """,
+)
+def json_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 deep form: JSON → MapType → explode into key/value rows (the
+    schema-on-read path for ragged property bags where get_json_object's
+    fixed paths don't fit). DuckDB twin: json_each lateral join."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select("event_type", F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prop_value").alias("total"),
+        )
+        .orderBy("event_type", "prop_key")
+    )

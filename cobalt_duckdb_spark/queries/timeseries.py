@@ -204,3 +204,59 @@ def events_signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("fastest_conversion_sec"),
     )
+
+
+@register(
+    "events_weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '7 days', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               time_bucket(INTERVAL '7 days', CAST(ts AS TIMESTAMP)) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+               AS weeks_since_cohort,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, weeks_since_cohort
+    """,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as active
+    in each subsequent week — the canonical product-analytics triangle.
+    Bucket-origin subtlety: Spark's window() aligns to the epoch (a
+    Thursday) while DuckDB's time_bucket aligns day/week intervals to
+    Monday 2000-01-03 — startTime='4 days' shifts Spark onto the same
+    Monday grid."""
+    e = load_table(spark, sf_dir, "events")
+    week = lambda c: F.window(c, "7 days", startTime="4 days")["start"]  # noqa: E731
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id", week(F.col("first_ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", week(F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since_cohort"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since_cohort")
+    )
