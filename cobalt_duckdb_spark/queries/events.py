@@ -283,3 +283,42 @@ def json_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "prop_key")
     )
+
+
+@register(
+    "join_interval_error_click",
+    oracle="""
+    SELECT e.user_id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT e.event_id) AS BIGINT) AS n_errors_with_click
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'error') e
+    JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts
+     AND c.ts >= e.ts - INTERVAL '1 hour'
+    GROUP BY e.user_id
+    ORDER BY user_id
+    """,
+)
+def join_interval_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 stream-stream batch twin: errors joined to same-user clicks within
+    the preceding hour (interval join — the double-bounded event-time
+    condition that makes the streaming form's state finite), aggregated per
+    user. The streaming variant is streaming.correlate_clicks_to_errors."""
+    from cobalt_duckdb_spark.streaming.events import correlate_clicks_to_errors
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = correlate_clicks_to_errors(
+        e.filter(F.col("event_type") == "error"),
+        e.filter(F.col("event_type") == "click"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("error_id").alias("n_errors_with_click"),
+        )
+        .orderBy("user_id")
+    )

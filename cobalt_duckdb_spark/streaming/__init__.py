@@ -6,6 +6,7 @@ from cobalt_duckdb_spark.streaming.events import (
     dedup_within_watermark,
     enrich_with_customers,
     running_user_totals,
+    correlate_clicks_to_errors,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "dedup_within_watermark",
     "enrich_with_customers",
     "running_user_totals",
+    "correlate_clicks_to_errors",
 ]

@@ -215,3 +215,37 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def correlate_clicks_to_errors(
+    errors: DataFrame, clicks: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """T6 (stream-stream): join two event streams — each error to the same
+    user's clicks in the preceding ``within`` interval. With streaming
+    inputs, BOTH sides carry watermarks and the join condition bounds event
+    time on both sides, which is what lets Spark expire join state (an
+    unbounded stream-stream join would buffer forever). Works identically
+    on batch inputs (the oracle-checked twin)."""
+    from pyspark.sql import functions as F
+
+    e = errors.select(
+        F.col("user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if errors.isStreaming:
+        e = e.withWatermark("error_ts", "10 minutes")
+        c = c.withWatermark("click_ts", "10 minutes")
+    cond = (
+        (e.user_id == c.c_user_id)
+        & (c.click_ts <= e.error_ts)
+        & (c.click_ts >= e.error_ts - F.expr(f"INTERVAL {within}"))
+    )
+    return e.join(c, cond).select(
+        "user_id", "error_id", "error_ts", "click_id", "click_ts"
+    )

@@ -152,3 +152,24 @@ def test_foreach_batch_sink(spark, events_stream_dir, tmp_path):
     want = tumbling_counts(load_table(spark, SF_DIR, "events")).count()
     assert landed.count() == want
     assert "batch_id" in landed.columns
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_stream_dir):
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.streaming import correlate_clicks_to_errors
+
+    stream = read_events_stream(spark, events_stream_dir)
+    joined = correlate_clicks_to_errors(
+        stream.filter(F.col("event_type") == "error"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    got = _run_to_memory(spark, joined, "t_ss_join").count()
+    batch = load_table(spark, SF_DIR, "events")
+    want = correlate_clicks_to_errors(
+        batch.filter(F.col("event_type") == "error"),
+        batch.filter(F.col("event_type") == "click"),
+    ).count()
+    # single micro-batch + availableNow → no state expiry in play; the
+    # stream-stream join must reproduce the batch interval join exactly
+    assert got == want > 0
