@@ -33,15 +33,81 @@ def with_query_prefix(col: Column | str) -> Column:
     return F.concat(F.lit(QUERY_PREFIX), c)
 
 
-def make_embedder_udf(model_name: str = "cl-nagoya/ruri-large", dim: int = 64):
+def load_embed_backend(
+    model_name: str = "cl-nagoya/ruri-large",
+    dim: int = 64,
+    model_dir: str | None = None,
+):
+    """Resolve the embedding kernel once per process. Returns
+    ``(encode, backend)`` where ``encode(list[str]) -> np.ndarray`` of shape
+    ``(n, model_dim)`` and ``backend`` names the branch taken
+    (``"sentence_transformers"`` or ``"fallback"``).
+
+    Mirrors the reference's cache-aside model loading
+    (``/root/reference/model/search/vector.py:50-60``): if ``model_dir`` is
+    given and ``<model_dir>/<basename(model_name)>`` exists, load from that
+    local path; otherwise download by name (``HF_TOKEN`` honored, as in the
+    reference) and ``model.save()`` to the local path so the next process
+    skips the download. Without sentence-transformers importable, a
+    deterministic md5-seeded unit vector stands in — stable across runs,
+    engines and partitionings, so pipelines built on it are testable.
+    """
+    import numpy as np
+
+    try:
+        import os
+
+        from sentence_transformers import SentenceTransformer  # noqa: PLC0415
+
+        if model_dir is not None:
+            local_path = os.path.join(model_dir, model_name.rsplit("/", 1)[-1])
+            if os.path.exists(local_path):
+                model = SentenceTransformer(local_path)
+            else:
+                model = SentenceTransformer(
+                    model_name, token=os.environ.get("HF_TOKEN")
+                )
+                model.save(local_path)  # vector.py:60 (保存)
+        else:
+            model = SentenceTransformer(model_name)
+
+        def encode(texts: list[str]) -> np.ndarray:
+            return model.encode(texts, convert_to_numpy=True)
+
+        return encode, "sentence_transformers"
+    except Exception:  # noqa: BLE001 — no weights/package here
+        import hashlib
+
+        def encode(texts: list[str]) -> np.ndarray:
+            out = np.empty((len(texts), dim), dtype=np.float32)
+            for i, t in enumerate(texts):
+                seed = int.from_bytes(
+                    hashlib.md5((t or "").encode()).digest()[:8], "big"
+                )
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim).astype(np.float32)
+                out[i] = v / (np.linalg.norm(v) or 1.0)
+            return out
+
+        return encode, "fallback"
+
+
+def make_embedder_udf(
+    model_name: str = "cl-nagoya/ruri-large",
+    dim: int = 64,
+    model_dir: str | None = None,
+):
     """Series→Series pandas_udf: text → float embedding vector.
 
     Lazy per-executor singleton: the model loads on the first Arrow batch of
-    each executor process and is reused for every later batch (loading per
-    batch would dominate runtime; loading on the driver would ship weights
-    through the closure). Without sentence-transformers installed, a
-    deterministic md5-seeded unit vector stands in — stable across runs,
-    engines and partitionings, so pipelines built on it are testable.
+    each executor process (``load_embed_backend``) and is reused for every
+    later batch — loading per batch would dominate runtime; loading on the
+    driver would ship weights through the closure.
+
+    The returned udf exposes ``embed.raw`` (the plain Series→Series batch
+    function) so unit tests can drive batches in-process, and
+    ``embed.state`` (the singleton cell: ``encode`` + ``backend`` after the
+    first batch) so branch selection and reuse are observable.
     """
     import numpy as np
     import pandas as pd
@@ -50,69 +116,59 @@ def make_embedder_udf(model_name: str = "cl-nagoya/ruri-large", dim: int = 64):
 
     state: dict = {}
 
-    def _load_backend():
-        try:
-            from sentence_transformers import SentenceTransformer  # noqa: PLC0415
-
-            model = SentenceTransformer(model_name)
-
-            def encode(texts: list[str]) -> np.ndarray:
-                return model.encode(texts, convert_to_numpy=True)
-
-            return encode
-        except Exception:  # noqa: BLE001 — no weights/package here
-            import hashlib
-
-            def encode(texts: list[str]) -> np.ndarray:
-                out = np.empty((len(texts), dim), dtype=np.float32)
-                for i, t in enumerate(texts):
-                    seed = int.from_bytes(
-                        hashlib.md5((t or "").encode()).digest()[:8], "big"
-                    )
-                    rng = np.random.default_rng(seed)
-                    v = rng.standard_normal(dim).astype(np.float32)
-                    out[i] = v / (np.linalg.norm(v) or 1.0)
-                return out
-
-            return encode
-
-    @pandas_udf(ArrayType(FloatType()))
-    def embed(texts):
+    def _embed_batch(texts):
         if "encode" not in state:
-            state["encode"] = _load_backend()
+            state["encode"], state["backend"] = load_embed_backend(
+                model_name, dim, model_dir
+            )
         mat = state["encode"](texts.fillna("").tolist())
         return pd.Series([row.tolist() for row in np.asarray(mat, dtype=np.float32)])
 
+    embed = pandas_udf(ArrayType(FloatType()))(_embed_batch)
+    embed.raw = _embed_batch
+    embed.state = state
     return embed
+
+
+def load_tokenizer_backend():
+    """Resolve the tokenizer kernel once per process. Returns
+    ``(tokenize, backend)`` where ``tokenize(str) -> str`` is space-joined
+    tokens and ``backend`` is ``"mecab"`` or ``"fallback"``.
+
+    The MeCab branch wraps wakati segmentation exactly as the reference does
+    (``/root/reference/model/utils/tokenizer.py:27-37``: ``Tagger("-Owakati")``
+    → ``parse().strip()``). The fallback is a Unicode-aware regex (latin
+    words / digit runs / single CJK chars) — documented as differing from
+    wakati on Japanese text."""
+    import re
+
+    try:
+        from fugashi import Tagger  # noqa: PLC0415
+
+        tagger = Tagger("-Owakati")
+        return (lambda t: tagger.parse(t).strip()), "mecab"
+    except Exception:  # noqa: BLE001
+        pat = re.compile(r"[A-Za-z]+|[0-9]+|[぀-ヿ一-鿿]")
+        return (lambda t: " ".join(pat.findall(t))), "fallback"
 
 
 def make_tokenizer_udf():
     """Series→Series pandas_udf: text → space-joined tokens (the reference's
-    MeCab wakati output shape, ``model/utils/tokenizer.py:27-37``). Falls
-    back to a Unicode-aware regex (latin words / digit runs / single CJK
-    chars) when no MeCab binding is importable."""
-    import pandas as pd
-    import re
+    MeCab wakati output shape). Lazy per-executor singleton, same pattern as
+    ``make_embedder_udf``; exposes ``tokenize.raw`` / ``tokenize.state`` for
+    in-process unit tests of branch selection and singleton reuse."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
     state: dict = {}
 
-    def _load_backend():
-        try:
-            from fugashi import Tagger  # noqa: PLC0415
-
-            tagger = Tagger("-Owakati")
-            return lambda t: tagger.parse(t).strip()
-        except Exception:  # noqa: BLE001
-            pat = re.compile(r"[A-Za-z]+|[0-9]+|[぀-ヿ一-鿿]")
-            return lambda t: " ".join(pat.findall(t))
-
-    @pandas_udf(StringType())
-    def tokenize(texts):
+    def _tokenize_batch(texts):
         if "tok" not in state:
-            state["tok"] = _load_backend()
+            state["tok"], state["backend"] = load_tokenizer_backend()
         tok = state["tok"]
         return texts.fillna("").map(tok)
 
+    tokenize = pandas_udf(StringType())(_tokenize_batch)
+    tokenize.raw = _tokenize_batch
+    tokenize.state = state
     return tokenize

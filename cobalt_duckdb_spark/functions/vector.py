@@ -100,7 +100,10 @@ def make_cosine_distance_pandas_udf(query_vec: list[float]):
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = (mat @ q) / norms
         out = 1.0 - sims
-        out[norms == 0.0] = np.nan
-        return pd.Series(out)
+        # zero-norm → NULL (not NaN): matches the Catalyst cosine_distance
+        # path, so sorting/filtering/aggregation treat both paths identically
+        ser = pd.Series(out, dtype="object")
+        ser[norms == 0.0] = None
+        return ser
 
     return cos_dist

@@ -11,6 +11,7 @@ down to the Parquet scan via Catalyst (check with
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,12 +66,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# (session-id, sf_dir, table) → DataFrame. The testdata is immutable, so the
+# Explicit read schema for events: the file stores ts as Parquet
+# TIMESTAMP(NANOS), which Spark's default reader rejects. Declaring ts LONG
+# reads the raw nano integers without any session conf (no
+# ``spark.sql.legacy.parquet.nanosAsLong`` mutation — a loader must not have
+# session-global side effects on a co-hosted workload's SparkSession).
+EVENTS_READ_DDL = (
+    "event_id BIGINT, ts LONG, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+# Per-session (sf_dir, table) → DataFrame. The testdata is immutable, so the
 # read relation (schema + file listing resolved from the parquet footer) can
 # be built once per session instead of once per query — trims fixed driver
-# overhead when many queries share tables. Keyed by session so the driver's
-# own SparkSession gets its own entries.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# overhead when many queries share tables. WeakKeyDictionary: entries die
+# with their session (id()-keying could alias a new session onto a dead
+# one's cache after GC, and would leak across sessions).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -78,33 +92,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst — callers express plain ``select``/``filter`` and the Parquet scan
     receives PushedFilters + ReadSchema automatically.
 
-    ``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    we read it as raw nanos (legacy conf) and truncate to microseconds with
-    integer division — bit-identical to DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
-    (Plain ``/1000`` in double would lose precision: 1.7e18 ns exceeds the
-    53-bit mantissa.)
+    ``events.ts`` is Parquet TIMESTAMP(NANOS): we read the raw nanos via an
+    explicit LONG schema and truncate to microseconds with integer division
+    — bit-identical to DuckDB's TIMESTAMP_NS→TIMESTAMP cast. (Plain ``/1000``
+    in double would lose precision: 1.7e18 ns exceeds the 53-bit mantissa.)
+    The result is converted to TIMESTAMP_NTZ pinned to UTC wall time, so the
+    values are independent of the session timezone — no conf mutation needed
+    even on an externally created (driver) session.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields TIMESTAMP_LTZ; pin the session to UTC so
-        # wall-clock values match DuckDB's naive reading of the same integers
-        # regardless of the host session's timezone (container is UTC today —
-        # this keeps it true anywhere)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        df = (
+            spark.read.schema(EVENTS_READ_DDL)
+            .parquet(table_path(sf_dir, name))
+            .withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.lit("UTC"),
+                    F.lit("UTC"),
+                    F.timestamp_micros(F.expr("ts div 1000")),
+                ),
+            )
         )
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

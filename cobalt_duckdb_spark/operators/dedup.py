@@ -388,21 +388,44 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .withColumn("xhi", F.conv(F.substring("_md5", 1, 8), 16, 10).cast("bigint"))
         .withColumn("xlo", F.conv(F.substring("_md5", 9, 8), 16, 10).cast("bigint"))
     )
-    bit_aggs = [
+    # Per-bit balance over shingles is sum(±1) = 2·sum(bit) − n, so the
+    # aggregate only needs the plain bit sums plus one shared count — bit j
+    # is set iff 2·s_j > n. The 64 per-bit counters are PACKED four to a
+    # BIGINT as 16-bit fields (bit j of half h rides in packed_{h}_{j%8} at
+    # field j//8): 17 aggregate buffers instead of 65, which cuts both the
+    # hash-agg update work and — the dominant cold cost — the size of the
+    # whole-stage-codegen method Janino has to compile (measured 23.7 s →
+    # single-digit cold, ~1.6× warm, identical signatures). Field width
+    # bounds distinct shingles per doc at 65535; a doc would need >65k
+    # distinct 3-token shingles (≈400 KB of unique text) to overflow —
+    # callers chunking documents (standard at 100 TB) never approach it.
+    packed_aggs = [
         F.sum(
-            F.when(
-                F.shiftright(F.col(half), j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"bal_{half}_{j}")
+            sum(
+                (
+                    F.shiftleft(
+                        F.shiftright(F.col(half), q + 8 * i).bitwiseAND(F.lit(1)),
+                        16 * i,
+                    )
+                    for i in range(1, 4)
+                ),
+                start=F.shiftright(F.col(half), q).bitwiseAND(F.lit(1)),
+            )
+        ).alias(f"p_{half}_{q}")
         for half in ("xhi", "xlo")
-        for j in range(32)
+        for q in range(8)
     ]
-    balances = exploded.groupBy(id_col).agg(*bit_aggs)
+    balances = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("cnt"), *packed_aggs
+    )
     out_cols = {}
     for half, name in (("xhi", "sim_hi"), ("xlo", "sim_lo")):
         fp = None
         for j in range(32):
-            bit = F.when(F.col(f"bal_{half}_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            s_j = F.shiftright(F.col(f"p_{half}_{j % 8}"), 16 * (j // 8)).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            bit = F.when(s_j * 2 > F.col("cnt"), F.lit(2**j)).otherwise(F.lit(0))
             fp = bit if fp is None else (fp + bit)
         out_cols[name] = fp.cast("bigint")
     return balances.select(
@@ -421,9 +444,23 @@ def simhash_pairs(
     bucket_width: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, length-bucket blocked the
-    same way as ngram_jaccard_pairs."""
-    sh = simhash(docs, id_col, text_col).join(
-        docs.select(id_col, length_bucket(len_col, bucket_width).alias("bkt")), id_col
+    same way as ngram_jaccard_pairs.
+
+    The signature table is persisted: the blocked self-join consumes it on
+    both sides, and without a persist Spark recomputes the full shingle →
+    md5 → 64-bit-sum lineage per side (measured ~2× the query time). One row
+    per doc, so it always fits."""
+    from pyspark import StorageLevel
+
+    sh = (
+        simhash(docs, id_col, text_col)
+        .join(
+            docs.select(
+                id_col, length_bucket(len_col, bucket_width).alias("bkt")
+            ),
+            id_col,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     right = sh.select(
         F.col(id_col).alias("b_id"),
@@ -445,3 +482,83 @@ def simhash_pairs(
         .distinct()
         .orderBy("a_id", "b_id")
     )
+
+
+# Row-block size for grouped cosine near-dup: peak per-task memory is
+# O(EMB_BLOCK_ROWS × group_size) floats instead of O(group_size²).
+EMB_BLOCK_ROWS = 1024
+
+
+def cosine_block_pairs(ids, nm, threshold: float, block: int = EMB_BLOCK_ROWS):
+    """Yield upper-triangle cosine pairs (a_idx, b_idx, sim) from a
+    row-normalized matrix, one row-block at a time.
+
+    Never materializes the n×n similarity matrix: each step allocates a
+    (block, n) slab, keeps entries with sim ≥ threshold and col > row, and
+    releases the slab before the next block — the bounded-memory shape a hot
+    blocking key needs at 100 TB (group size n can be millions of rows; n²
+    doubles would OOM the Python worker, block·n streams through it).
+
+    ``ids`` must be sorted ascending so the col > row triangle condition
+    equals the a_id < b_id pair contract.
+    """
+    import numpy as np
+
+    n = len(ids)
+    for i0 in range(0, n, block):
+        sims = nm[i0 : min(i0 + block, n)] @ nm.T  # (≤block, n) slab
+        rows, cols = np.nonzero(sims >= threshold)
+        keep = cols > rows + i0
+        rows, cols = rows[keep], cols[keep]
+        yield ids[rows + i0], ids[cols], sims[rows, cols]
+
+
+def simhash_oracle_sql(max_hamming: int = 3, bucket_width: int = 64) -> str:
+    """DuckDB SQL replaying simhash_pairs bit-for-bit: same md5-slice halves,
+    same 2·Σbit > n sign rule (a lateral range(0,32) join replaces Spark's 64
+    generated aggregates), same length-bucket blocking, same Hamming filter
+    via bit_count(xor(...)). Every intermediate is deterministic integer
+    math, so the pair set is cross-engine identical."""
+    ham = (
+        "bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS s
+        FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    ex AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS xhi,
+               ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS xlo
+        FROM (SELECT doc_id, unnest(s) AS shingle FROM shf)
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               2 * SUM((xhi >> j) & 1) - COUNT(*) AS bal_hi,
+               2 * SUM((xlo >> j) & 1) - COUNT(*) AS bal_lo
+        FROM ex, range(0, 32) t(j)
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN bal_hi > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sim_hi,
+               CAST(SUM(CASE WHEN bal_lo > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sim_lo
+        FROM bits GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT g.doc_id, g.sim_hi, g.sim_lo, d.n_chars // {bucket_width} AS bkt
+        FROM sig g JOIN documents d USING (doc_id)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM keyed a JOIN keyed b
+      ON b.bkt BETWEEN a.bkt - 1 AND a.bkt + 1 AND a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    ORDER BY a_id, b_id
+    """

@@ -108,6 +108,62 @@ def _load_all_modules() -> None:
 _load_all_modules()
 
 
+# Names the driver's truncated 50-entry gate already verified in round 1
+# (keys of CORRECTNESS_r01.json). The driver checks the FIRST 50 registry
+# entries per round, so the registry is rotated: flagship stays in slot 0
+# (it is the smoke-checked contract query), then every not-yet-driver-
+# verified query (including anything newly registered), then the round-1-
+# verified set. This cycles driver verification through the whole surface
+# instead of re-checking the same prefix forever.
+_DRIVER_VERIFIED = frozenset(
+    {
+        # r01-green names only. Deliberately absent (must re-verify in r02):
+        # agg_collect_sorted_list + events_user_journey_prefix (r01 harness
+        # fail, output contract changed), dedup_simhash_pairs (r01 no_oracle,
+        # oracle added), dedup_embedding_cosine_pairs (implementation changed
+        # to blocked matmul).
+        "agg_corr_quantity_price",
+        "agg_count_distinct", "agg_cube_lineitem", "agg_rollup_revenue",
+        "agg_stats_orders", "dedup_connected_groups",
+        "dedup_exact_fingerprint",
+        "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+        "distinct_mktsegments",
+        "flagship_knn_cosine_topk",
+        "join_anti_no_urgent_orders", "join_asof_last_click_before_error",
+        "join_band_acctbal", "join_interval_error_click",
+        "join_left_outer_yoy_revenue", "join_semi_urgent_buyers",
+        "json_props_as_map", "json_props_extract", "predicate_pack_part",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "scalar_string_date_math",
+        "setop_bag_semantics", "setop_union_intersect_except",
+        "simsearch_batch_knn", "stream_dedup_first_event",
+        "stream_session_windows", "stream_sliding_window_avg",
+        "stream_static_enrichment", "stream_tumbling_window_counts",
+        "text_bpe_ish_token_count", "text_fingerprints",
+        "text_langid_confusion", "text_levenshtein_near_titles",
+        "text_quality_scores", "text_token_stats", "text_top_bigrams",
+        "topk_orders_by_price", "unpivot_event_totals_long",
+        "window_lag_lead_orders", "window_moving_avg_rows_frame",
+        "window_range_frame_value", "window_rank_family",
+        "window_trailing_hour_count",
+    }
+)
+
+
+def _rotate_registry() -> None:
+    flagship = "flagship_knn_cosine_topk"
+    fresh = [
+        n for n in QUERIES if n != flagship and n not in _DRIVER_VERIFIED
+    ]
+    stale = [n for n in QUERIES if n != flagship and n in _DRIVER_VERIFIED]
+    ordered = {n: QUERIES[n] for n in [flagship, *fresh, *stale]}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_rotate_registry()
+
+
 def queries() -> dict[str, SparkQuery]:
     return dict(QUERIES)
 

@@ -92,12 +92,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(d, threshold=0.5)
 
 
-@register("dedup_simhash_pairs")
+@register("dedup_simhash_pairs", oracle=D.simhash_oracle_sql(max_hamming=12))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash Hamming-distance pairs (≤12 bits). Rows-only check: the
-    64 bitwise aggregates are replayable in SQL but past the practical
-    oracle-SQL size; correctness is pinned by unit tests asserting the pair
-    set agrees with the exact-Jaccard near-dups on the same corpus."""
+    """64-bit SimHash Hamming-distance pairs (≤12 bits). The oracle replays
+    the identical md5-slice bit math in SQL (DuckDB bit_count/xor with a
+    lateral range(0,32) in place of Spark's 64 generated aggregates), so
+    this operator is fully differentially tested — plus unit tests asserting
+    the pair set agrees with exact-Jaccard near-dups on the same corpus."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=12)
 
@@ -122,13 +123,15 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: same-label pairs with cosine similarity ≥ 0.4.
     Label acts as the blocking key (at 100 TB: replace with LSH buckets).
 
-    Implementation: per-label Arrow batch → NumPy block matmul (BLAS) over
+    Implementation: per-label Arrow batch → NumPy BLOCKED matmul (BLAS) over
     the normalized matrix — the vectorized path SURVEY.md §4.1 prescribes
-    when JVM array expressions lose to SIMD. The per-pair Catalyst
-    expression form (dot/(na·nb), functions/vector.py) computes the same
-    values within 1 ulp but was measured 4× slower at 64 dims; ROUND(,6)
-    absorbs the ulp so the oracle (sequential-loop algebra) still
-    hash-matches."""
+    when JVM array expressions lose to SIMD, with per-task memory bounded at
+    O(block × n) by operators.dedup.cosine_block_pairs (a hot label never
+    allocates the n×n matrix, so one skewed blocking key can't OOM its
+    Python worker). The per-pair Catalyst expression form (dot/(na·nb),
+    functions/vector.py) computes the same values within 1 ulp but was
+    measured 4× slower at 64 dims; ROUND(,6) absorbs the ulp so the oracle
+    (sequential-loop algebra) still hash-matches."""
     e = load_table(spark, sf_dir, "embeddings")
 
     def pairs_fn(pdf):
@@ -139,16 +142,14 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims_full = nm @ nm.T
-        iu = np.triu_indices(len(ids), k=1)
-        sims = sims_full[iu]
-        mask = sims >= 0.4
+        blocks = list(D.cosine_block_pairs(ids, nm, threshold=0.4))
+        if not blocks:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        a, b, s = (np.concatenate(parts) for parts in zip(*blocks))
         return pd.DataFrame(
-            {
-                "a_id": ids[iu[0]][mask],
-                "b_id": ids[iu[1]][mask],
-                "cos_sim": np.round(sims[mask], 6),
-            }
+            {"a_id": a, "b_id": b, "cos_sim": np.round(s, 6)}
         )
 
     return (

@@ -220,7 +220,8 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_user_journey_prefix",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id)[1:5] AS first_events,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+               AS first_events,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     WHERE user_id < 25
@@ -230,19 +231,23 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_user_journey_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path/sequence analysis: each user's first five event types in time
-    order (funnel-entry patterns). Ordered collect via sort_array over
+    order (funnel-entry patterns), serialized 'a>b>c' so the output column
+    is a hashable scalar. Ordered collect via sort_array over
     (ts, event_id, type) structs — the deterministic ordered-aggregation
     idiom (plain collect_list order is partition-arbitrary)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
-    ordered = F.transform(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
+    ordered = F.array_join(
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                1,
+                5,
             ),
-            1,
-            5,
+            lambda s: s["event_type"],
         ),
-        lambda s: s["event_type"],
+        ">",
     )
     return (
         e.groupBy("user_id")

@@ -271,20 +271,26 @@ def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_list",
     oracle="""
     SELECT n.n_name AS n_name,
-           list(DISTINCT c.c_mktsegment ORDER BY c.c_mktsegment) AS segments,
+           string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment)
+               AS segments,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name ORDER BY n_name
     """,
 )
 def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ordered collect, serialized for the hash gate: the distinct set is
+    sorted then '|'-joined so the output column is a scalar STRING (array
+    cells are unhashable for the driver's canonicalizer)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("c_mktsegment"))
+            ).alias("segments"),
             F.count(F.lit(1)).alias("n_customers"),
         )
         .orderBy("n_name")

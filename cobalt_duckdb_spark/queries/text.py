@@ -258,3 +258,25 @@ def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_BM25_QUERY = ["spark", "join", "vector", "window"]
+
+
+@register(
+    "text_bm25_topk",
+    oracle=__import__(
+        "cobalt_duckdb_spark.operators.bm25", fromlist=["bm25_oracle_sql"]
+    ).bm25_oracle_sql(_BM25_QUERY, k=15),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (reference dependency surface: rank_bm25,
+    /root/reference/requirements.txt:31): top-15 documents for a bag-of-terms
+    query. tf/df/idf as pure Catalyst aggregates — the token stream is
+    filtered to the query's terms before any shuffle, dl comes from the doc
+    row itself (no corpus self-join), and df/avgdl/N are broadcast scalars.
+    See operators/bm25.py for the full scale analysis."""
+    from cobalt_duckdb_spark.operators.bm25 import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERY, k=15)

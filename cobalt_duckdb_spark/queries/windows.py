@@ -182,7 +182,10 @@ def window_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's RANGE INTERVAL semantics (ordering by epoch seconds would
     truncate and disagree at boundaries)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
-    micros = F.unix_micros(F.col("ts"))
+    # ts is TIMESTAMP_NTZ (io.load_table); unix_micros needs LTZ. The cast
+    # interprets wall time in the session tz — only frame *differences*
+    # matter for RANGE membership, so any fixed offset cancels out.
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(micros)

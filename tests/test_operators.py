@@ -370,3 +370,42 @@ def test_connected_components_long_chain_and_bound(spark):
     # refusing to return a non-fixpoint is part of the contract
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=2)
+
+
+def test_cosine_block_pairs_bounded_memory_matches_full_matmul():
+    """The blocked pair generator must (a) equal the full n×n upper-triangle
+    result and (b) never see more than `block` rows per slab — the bounded
+    per-task memory contract for hot blocking keys."""
+    import numpy as np
+
+    from cobalt_duckdb_spark.operators.dedup import cosine_block_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim, block = 257, 16, 32  # n deliberately not a multiple of block
+    mat = rng.normal(size=(n, dim))
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(100, 100 + n)
+
+    full = nm @ nm.T
+    iu = np.triu_indices(n, k=1)
+    mask = full[iu] >= 0.4
+    expected = {
+        (ids[i], ids[j]): full[i, j]
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+
+    got = {}
+    n_blocks = 0
+    for a, b, s in cosine_block_pairs(ids, nm, threshold=0.4, block=block):
+        n_blocks += 1
+        # each slab covers at most `block` source rows → O(block·n) memory
+        assert len(np.unique(a)) <= block
+        for ai, bi, si in zip(a, b, s):
+            got[(ai, bi)] = si
+
+    assert n_blocks == -(-n // block)  # every block yielded, even empty ones
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12
+    # sanity: threshold actually selects a nontrivial subset
+    assert 0 < len(expected) < len(iu[0])

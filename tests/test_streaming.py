@@ -173,3 +173,107 @@ def test_stream_stream_interval_join(spark, sf_dir, events_stream_dir):
     # single micro-batch + availableNow → no state expiry in play; the
     # stream-stream join must reproduce the batch interval join exactly
     assert got == want > 0
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data semantics (VERDICT r1 item 9): feed micro-batches
+# incrementally and assert rows arriving BEHIND the watermark are actually
+# dropped — for the windowed agg and for the stream-stream interval join.
+
+_HOUR0 = (1_700_000_000 // 3600) * 3600  # hour-aligned epoch base
+
+
+def _append_events(spark, d, rows):
+    """rows: (event_id, minutes_after_hour0, user_id, event_type). Written as
+    raw nanos LONG — the same physical shape events.parquet has."""
+    from cobalt_duckdb_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    data = [
+        (eid, (_HOUR0 + m * 60) * 1_000_000_000, uid, et, 1.0, None)
+        for eid, m, uid, et in rows
+    ]
+    spark.createDataFrame(data, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+
+def test_watermark_drops_late_rows_windowed_agg(spark, tmp_path):
+    d = str(tmp_path / "late_agg")
+    # batch 1: three rows in hour-window W0, one at +90min (pushes the
+    # watermark to +80min after this batch — past W0's end at +60min)
+    _append_events(
+        spark, d, [(1, 5, 1, "click"), (2, 20, 1, "click"), (3, 40, 1, "click"),
+                   (4, 90, 1, "click")]
+    )
+    stream = read_events_stream(spark, d)
+    agg = tumbling_counts(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_agg")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row back in W0 (watermark is now +80min > W0 end)
+        # plus an on-time row at +150min that advances the watermark past W1
+        _append_events(spark, d, [(5, 15, 1, "click"), (6, 150, 1, "click")])
+        q.processAllAvailable()
+        # batch 3: one more to let W1 flush
+        _append_events(spark, d, [(7, 210, 1, "click")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    got = {
+        int(r["w"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_late_agg")
+        .select(F.unix_timestamp("window_start").alias("w"), "n_events")
+        .collect()
+    }
+    # W0 was finalized with the 3 on-time rows; late event 5 was DROPPED
+    assert got[_HOUR0] == 3
+    # W1 closed too and only ever saw event 4
+    assert got[_HOUR0 + 3600] == 1
+
+
+def test_watermark_drops_late_click_interval_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.streaming import correlate_clicks_to_errors
+
+    d = str(tmp_path / "late_join")
+    # batch 1: error E1 (user 1, +30) matches click C0 (user 1, +10).
+    # Rows at +120 on BOTH streams (different users, no cross-match) so each
+    # side's watermark advances to +110 after this batch.
+    _append_events(
+        spark, d,
+        [(10, 10, 1, "click"), (11, 30, 1, "error"),
+         (12, 120, 8, "error"), (13, 120, 9, "click")],
+    )
+    stream = read_events_stream(spark, d)
+    joined = correlate_clicks_to_errors(
+        stream.filter(F.col("event_type") == "error"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_late_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late click (user 1, +20) — inside E1's 1-hour lookback and
+        # would have matched, but it is behind the +110 watermark → dropped
+        _append_events(spark, d, [(14, 20, 1, "click")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {
+        (r["error_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_late_join").collect()
+    }
+    assert (11, 10) in pairs  # the on-time match
+    assert (11, 14) not in pairs  # the late click produced NO pair

@@ -67,9 +67,11 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             spark_pdf = canonicalize(fn(spark, sf_dir).toPandas())
         except Exception as e:  # noqa: BLE001
@@ -105,7 +107,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: rows={len(spark_pdf)} hash-match")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match ({len(qs)} registered)")
     return 1 if failures else 0
 
 
