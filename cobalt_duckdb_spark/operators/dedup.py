@@ -474,12 +474,14 @@ def simhash_pairs(
         F.bit_count(F.col("sim_hi").bitwiseXOR(F.col("b_hi")))
         + F.bit_count(F.col("sim_lo").bitwiseXOR(F.col("b_lo")))
     ).cast("bigint")
+    # No .distinct(): b's three exploded buckets are distinct values and a
+    # carries exactly one bucket, so a qualifying pair meets on exactly one
+    # bucket row — dedup here would be a redundant full shuffle.
     return (
         sh.join(right, "bkt")
         .filter(F.col(id_col) < F.col("b_id"))
         .select(F.col(id_col).alias("a_id"), "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
         .orderBy("a_id", "b_id")
     )
 

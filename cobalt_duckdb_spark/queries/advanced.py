@@ -305,3 +305,47 @@ def dq_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(checks), "check_name STRING, violations BIGINT"
     )
+
+
+@register(
+    "split_stratified_sample",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket,
+               CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 80 ELSE 50 END AS rate
+        FROM documents
+    )
+    SELECT doc_id, lang FROM assigned
+    WHERE bucket < rate
+    ORDER BY doc_id
+    """,
+)
+def split_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling — the data-mixing step of a
+    training pipeline (e.g. downweight an overrepresented language, upweight
+    a scarce one). Per-stratum keep-rates: en 20%, zh 80%, default 50%.
+
+    Sampling is by id-hash bucket (salted so it is independent of the
+    train/valid/test split hash), not ``sample()``: the same row is kept on
+    every engine, run, partitioning and data refresh, and the whole thing is
+    a stateless map over the scan — no shuffle, no RNG state, trivially
+    scale-parallel."""
+    from cobalt_duckdb_spark.operators.dedup import token_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = token_hash(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "zh", 80)
+        .otherwise(50)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -218,3 +218,67 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.5
     )
     return dedup_groups(pairs)
+
+
+@register(
+    "dedup_keep_best_resolution",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, n_chars,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '
+               )) AS f
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, f,
+               ROW_NUMBER() OVER (
+                   PARTITION BY f ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY f) AS group_size
+        FROM fp
+    )
+    SELECT f AS fp, doc_id AS keeper_id,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(group_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1 AND group_size > 1
+    ORDER BY keeper_id
+    """,
+)
+def dedup_keep_best_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution policy: group docs by a bag-collapse fingerprint
+    (md5 of the sorted distinct token set — catches template/shuffled
+    near-dups that exact text hashing misses), keep the 'best' copy per
+    group (longest text, ties to the lowest id) and report how many rows
+    the policy drops — the materialization step that turns dedup signals
+    into a cleaned corpus.
+
+    One window over the fingerprint-partitioned rows yields rank and group
+    size in a single shuffle (fingerprints are md5 → uniformly distributed,
+    no skew at any scale)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    f = F.md5(
+        F.concat_ws(" ", F.sort_array(F.array_distinct(F.split(F.col("text"), " "))))
+    )
+    fp = d.select("doc_id", "n_chars", f.alias("f"))
+    w = Window.partitionBy("f")
+    ranked = fp.select(
+        "doc_id",
+        "f",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("group_size") > 1))
+        .select(
+            F.col("f").alias("fp"),
+            F.col("doc_id").alias("keeper_id"),
+            F.col("group_size").cast("bigint").alias("group_size"),
+            (F.col("group_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("keeper_id")
+    )

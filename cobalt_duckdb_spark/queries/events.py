@@ -327,3 +327,98 @@ def join_interval_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_value_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id AS event_id, e.event_type AS event_type,
+           ROUND(e.value, 2) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE (e.value - s.mu) / s.sigma > 2.5
+    ORDER BY event_id
+    """,
+)
+def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection — the cheap statistical cleaning
+    pass a training-data pipeline runs before ingestion (drop or quarantine
+    rows whose value is implausible for their category).
+
+    Scale shape: the per-type stats are a 5-row aggregate broadcast back to
+    the scan (one partial-agg shuffle of 5 groups), so the outlier filter is
+    a stateless map over the big table — no window over the full data, no
+    second shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(z > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_windowed_topk_types",
+    oracle="""
+    WITH phased AS (
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - (o.off * INTERVAL '30 minutes') AS window_start,
+               event_type
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    ),
+    counted AS (
+        SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM phased GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start ORDER BY n DESC, event_type ASC
+               ) AS rnk
+        FROM counted
+    )
+    SELECT window_start, event_type, n, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 2
+    ORDER BY window_start, rnk
+    """,
+)
+def events_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per 1-hour hopping window (slide 30 min) — the
+    trending-items shape: windowed counts + per-window rank. Batch twin of
+    the streaming pipeline (the rank stage runs in foreachBatch / on the
+    complete-mode sink downstream of the incremental windowed counts —
+    ranking is not incrementally maintainable in append mode by design).
+
+    Ties broken by event_type so the cut is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counted = e.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rnk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        counted.select(
+            F.col("w.start").alias("window_start"), "event_type", "n", rnk.alias("rnk")
+        )
+        .filter(F.col("rnk") <= 2)
+        .orderBy("window_start", "rnk")
+    )

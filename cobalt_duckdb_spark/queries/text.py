@@ -280,3 +280,85 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, _BM25_QUERY, k=15)
+
+
+@register(
+    "text_repetition_scores",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    per_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    freq AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c
+        FROM per_tok GROUP BY doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) - 3 AS total4,
+               len(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3]))) AS d4
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+    )
+    SELECT f.doc_id AS doc_id, f.n_tokens,
+           ROUND(f.top_c * 1.0 / f.n_tokens, 6) AS top_token_frac,
+           ROUND(1.0 - g.d4 * 1.0 / g.total4, 6) AS dup_4gram_frac
+    FROM freq f JOIN grams g ON f.doc_id = g.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/RefinedWeb-style filters a
+    training-data pipeline runs before model scoring): per doc, the fraction
+    of tokens taken by the single most frequent token, and the fraction of
+    duplicate 4-grams (1 − distinct/total).
+
+    Scale shape: token frequencies via fan-out explode → two-level hash agg
+    (partial map-side combine; one shuffle keyed by doc_id); distinct
+    4-grams via the shared posexplode + window-lead shingle stage
+    (operators/dedup.shingle_rows — codegen'd, not interpreted array
+    lambdas). Both sides are one-row-per-doc before the join, so the join
+    shuffles only doc-sized tables."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out, shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        fan_out(d.select("doc_id", "text"), by="doc_id")
+        .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+    )
+    d4 = (
+        shingle_rows(d, n=4, with_counts=False)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d4"))
+    )
+    total4 = d.select(
+        "doc_id", (F.size(T.tokens("text")) - 3).alias("total4")
+    ).filter(F.size(T.tokens("text")) >= 4)
+    return (
+        freq.join(d4, "doc_id")
+        .join(total4, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(1.0 - F.col("d4") / F.col("total4"), 6).alias(
+                "dup_4gram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

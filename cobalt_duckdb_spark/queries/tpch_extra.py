@@ -655,3 +655,145 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@register(
+    "q11_important_part_values",
+    oracle="""
+    WITH rev AS (
+        SELECT l.l_partkey AS l_partkey,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, ROUND(value, 2) AS value
+    FROM rev
+    WHERE value > (SELECT SUM(value) * 0.001 FROM rev)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose revenue within one nation exceeds a fraction
+    of that nation's total (HAVING against a scalar subquery over the same
+    aggregate — no partsupp in the testdata, so value = lineitem revenue).
+
+    Scale shape: the per-part aggregate is computed ONCE and persisted
+    implicitly by reuse under AQE; the global total is a single-row
+    aggregate broadcast back (crossJoin(broadcast)) — no second scan-side
+    shuffle and no driver round-trip. The fraction threshold is
+    scale-invariant (relative, not absolute), so the query's selectivity
+    holds at any SF."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    rev = (
+        l.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+                    "s_suppkey"
+                )
+            ),
+            l.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+    )
+    total = rev.agg((F.sum("value") * 0.001).alias("cutoff"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts, with the filter
+    INSIDE the outer join's ON clause (customers with zero qualifying orders
+    must survive with c_count = 0 — a WHERE would silently drop them).
+
+    Two aggregations, each a single hash shuffle; the second input is one
+    row per customer, so the heavy shuffle happens exactly once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_outer",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12' AND p.p_type = 'PROMO'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from small-quantity orders of one part family —
+    correlated AVG subquery decorrelated into a per-part aggregate joined
+    back.
+
+    Scale shape: the per-part average aggregates the FULL lineitem (the
+    correlation is against all lineitems of the part, matching the original
+    Q17), but only partkeys of the filtered family are needed, so the avg
+    input is semi-joined on the broadcast part dimension first — the big
+    scan feeds one partial-agg shuffle of filtered keys, never a full-table
+    shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_type") == "PROMO")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    keys = F.broadcast(p.select("p_partkey"))
+    part_avg = (
+        l.join(keys, l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cutoff"))
+        .withColumnRenamed("l_partkey", "avg_partkey")
+    )
+    return (
+        l.join(keys, l.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(part_avg), l.l_partkey == F.col("avg_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
