@@ -349,3 +349,70 @@ def split_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pack_sequences_budget",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 512 AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM binned
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign docs to fixed
+    token-budget bins (512 tokens) by exclusive running token count — the
+    deterministic streaming-concat packing an LLM data loader does, as a
+    set-oriented query (bin = floor(prefix_sum_before / budget); a doc that
+    crosses the boundary starts... rides with its starting bin, matching
+    greedy concat-and-split packing).
+
+    Scale shape: the running sum is windowed PER LANG (the natural packing
+    stratum — mixed-language bins are usually undesirable anyway), so the
+    cumulative window parallelizes across strata instead of serializing the
+    whole corpus through one partition. Deterministic order (doc_id), no RNG."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512).cast(
+            "bigint"
+        ),
+    )
+    return (
+        binned.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang", "bin_id")
+    )

@@ -282,3 +282,77 @@ def dedup_keep_best_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keeper_id")
     )
+
+
+@register(
+    "dedup_eval_contamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS s
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, source, ns,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, source, len(s) * 1.0 AS ns, unnest(s) AS shingle
+              FROM sh WHERE len(s) > 0)
+    ),
+    common AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+               ANY_VALUE(e.ns) AS eval_ns, COUNT(*) * 1.0 AS common
+        FROM ex e JOIN ex t ON e.h = t.h
+        WHERE e.source = 'src0' AND t.source <> 'src0'
+        GROUP BY 1, 2
+    )
+    SELECT eval_id, train_id, ROUND(common / eval_ns, 6) AS containment
+    FROM common
+    WHERE common / eval_ns >= 0.5
+    ORDER BY eval_id, train_id
+    """,
+)
+def dedup_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs that CONTAIN a large
+    fraction of an eval doc's shingles (containment = |A∩B| / |A_eval|, the
+    asymmetric overlap used for test-set leakage detection — Jaccard would
+    under-score a short eval doc embedded in a long training doc).
+
+    Scale shape: inverted-index join on the 32-bit shingle hash (docs meet
+    only on shared shingles — never |eval|×|train| pairs), eval side
+    filtered before the join so the index probe ships only eval shingles.
+    One shared shingle pass via operators/dedup.shingle_hashes."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    # two consumers (eval probe + train index) of one shingle pass — persist
+    # or Spark recomputes the explode+hash lineage per side
+    ex = (
+        D.shingle_hashes(d, "doc_id", "text", 3)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ev = ex.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), F.col("ns").alias("eval_ns"), "h"
+    )
+    tr = ex.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    common = (
+        ev.join(tr, "h")
+        .groupBy("eval_id", "train_id")
+        .agg(
+            F.any_value(F.col("eval_ns")).alias("eval_ns"),
+            F.count(F.lit(1)).cast("double").alias("common"),
+        )
+    )
+    contain = F.col("common") / F.col("eval_ns")
+    return (
+        common.filter(contain >= 0.5)
+        .select(
+            "eval_id", "train_id", F.round(contain, 6).alias("containment")
+        )
+        .orderBy("eval_id", "train_id")
+    )

@@ -252,3 +252,35 @@ def correlate_clicks_to_errors(
     return e.join(c, cond).select(
         "user_id", "error_id", "error_ts", "click_id", "click_ts"
     )
+
+
+def windowed_type_counts(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Hopping-window (1 h / 30 min) counts per event_type — the incremental
+    half of the trending-items pipeline. Rank does NOT happen here: a global
+    per-window rank is not incrementally maintainable in append mode (a new
+    row can dethrone an already-emitted one), so ranking belongs in
+    ``rank_topk_batch`` applied per micro-batch via foreachBatch, or on the
+    finalized sink table."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def rank_topk_batch(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Rank stage of the trending-items pipeline: top-k event types per
+    window from a (window_start, event_type, n) counts table. Deterministic
+    tie-break on event_type. Batch-only by design — run it inside
+    foreachBatch or over the finalized counts sink."""
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return counts.select(
+        "window_start", "event_type", "n", rnk.alias("rnk")
+    ).filter(F.col("rnk") <= k)

@@ -58,3 +58,25 @@ def test_q5_no_cartesian_and_broadcasts_dims(spark, sf_dir):
     q = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
     assert_broadcast_join(q, expected=2)
     assert_no_cartesian(q)
+
+
+def test_q17_broadcasts_part_keys_and_avgs(spark, sf_dir):
+    # correlated-AVG decorrelation: part keys AND the per-part cutoffs must
+    # both come in as broadcasts — lineitem is never shuffled whole
+    q = QUERIES["q17_small_quantity_revenue"](spark, sf_dir)
+    assert_broadcast_join(q, expected=3)
+    assert_no_cartesian(q)
+
+
+def test_zscore_outliers_broadcasts_stats(spark, sf_dir):
+    # 5-row per-type stats broadcast back to the scan; the outlier filter is
+    # a map over events, not a window over the full table
+    q = QUERIES["events_value_zscore_outliers"](spark, sf_dir)
+    assert_broadcast_join(q, expected=1)
+    assert_no_cartesian(q)
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    q = QUERIES["text_bm25_topk"](spark, sf_dir)
+    assert_take_ordered(q)
+    assert_no_cartesian(q)

