@@ -141,10 +141,13 @@ def udaf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4, §2.10 U5): one row per fixed-size token chunk of
     each document — the table-function shape used for context-window chunking
-    in LLM pipelines. Rows-only; pytest pins chunk arithmetic."""
+    in LLM pipelines. Arrow-optimized (``useArrow=True``): rows cross the
+    JVM↔Python boundary in Arrow batches (ArrowEvalPythonUDTF in the plan),
+    not pickled row-at-a-time — tools/plan_audit.py flags the non-Arrow form.
+    Rows-only; pytest pins chunk arithmetic."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="chunk_idx INT, n_tokens INT, chunk STRING")
+    @udtf(returnType="chunk_idx INT, n_tokens INT, chunk STRING", useArrow=True)
     class ChunkSplit:
         def eval(self, text: str, chunk_tokens: int):
             toks = (text or "").split(" ")

@@ -422,3 +422,55 @@ def events_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .orderBy("window_start", "rnk")
     )
+
+
+@register(
+    "events_latest_user_state",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    )
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def events_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state (SCD type 1 / CDC upsert compaction): reduce the event
+    log to one current row per key — the shape every lakehouse MERGE/upsert
+    pipeline materializes. Deterministic tiebreak (ts DESC, event_id DESC)
+    so 'latest' is well-defined under same-timestamp events.
+
+    One window over user-partitioned rows gives both the latest row and the
+    per-key count in a single shuffle; at scale this is the standard
+    row_number-compaction pattern (beats max-ts + self-join: one shuffle,
+    no join)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ranked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number()
+        .over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

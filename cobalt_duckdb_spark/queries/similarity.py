@@ -165,3 +165,103 @@ def embedding_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.max("l2_err"), 6).alias("max_l2_error"),
         F.round(F.avg(F.col("l2_err") / F.col("l2_norm")), 6).alias("avg_rel_error"),
     )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_HYBRID_TERMS = ["spark", "join", "vector", "window"]
+_HYBRID_LEG_K = 20
+
+
+def _hybrid_oracle() -> str:
+    from cobalt_duckdb_spark.operators.bm25 import bm25_oracle_sql
+
+    bm25 = bm25_oracle_sql(_HYBRID_TERMS, k=_HYBRID_LEG_K)
+    return f"""
+    WITH lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM ({bm25})
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS sim
+        FROM embeddings e CROSS JOIN q
+    ),
+    vec AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r
+        FROM scored ORDER BY sim DESC, doc_id LIMIT {_HYBRID_LEG_K}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + v.r), 0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@register("hybrid_rrf_topk", oracle=_hybrid_oracle())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + cosine vector leg fused by
+    reciprocal-rank fusion (RRF, k=60) — the retriever the reference's
+    dependency surface sketches (rank_bm25 + voyager ANN,
+    /root/reference/requirements.txt:31-32) re-expressed set-oriented.
+
+    Both legs are top-20; a doc missing from a leg contributes 0 (the
+    COALESCE form of RRF). Ranks are computed over ROUNDED scores with id
+    tiebreaks so leg order — and therefore the fusion — is deterministic
+    cross-engine.
+
+    Scale shape: each leg is the already-audited plan (BM25:
+    filter-before-shuffle aggregates; vector: broadcast single-row query ×
+    map-only scan → TakeOrderedAndProject); fusion is a full outer join of
+    two 20-row frames — driver-free end to end."""
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+    from cobalt_duckdb_spark.operators.bm25 import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = bm25_topk(d, _HYBRID_TERMS, k=_HYBRID_LEG_K).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_r"),
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity("embedding", "qv"), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_HYBRID_LEG_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+            .alias("vec_r"),
+        )
+    )
+
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_r")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_r")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )

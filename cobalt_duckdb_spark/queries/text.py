@@ -362,3 +362,73 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> [t[i], t[i + 1]])) AS b
+        FROM toks WHERE len(t) >= 2
+    ),
+    bg2 AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+    big_c AS (SELECT w1, w2, COUNT(*) * 1.0 AS c12 FROM bg2 GROUP BY w1, w2),
+    uni_c AS (SELECT w1, COUNT(*) * 1.0 AS c1 FROM bg2 GROUP BY w1)
+    SELECT d.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(ln(bc.c12 / uc.c1)), 4) AS nll
+    FROM bg2 d
+    JOIN big_c bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
+    JOIN uni_c uc ON d.w1 = uc.w1
+    GROUP BY d.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality scoring (perplexity proxy): train a corpus
+    bigram MLE model and score every doc by its average negative log
+    probability — high-NLL docs are the improbable/garbled ones a pipeline
+    quarantines, low-NLL docs the boilerplate-repetitive ones it downweights.
+    Self-scoring against the corpus model means every doc bigram exists in
+    the counts — no smoothing term to diverge on.
+
+    Scale shape: ONE bigram token stream (posexplode + window lead, persisted)
+    feeds all three consumers — the per-doc rows, the bigram counts, and the
+    context counts. Count tables join back on their keys (bigram vocab can
+    exceed broadcast size at 100 TB, so these stay shuffle joins on uniform
+    hash keys); the per-doc aggregate is the only doc-keyed shuffle."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d.select("doc_id", "text"), by="doc_id").select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big_c = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    uni_c = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    return (
+        bg.join(big_c, ["w1", "w2"])
+        .join(uni_c, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg(F.log(F.col("c12") / F.col("c1"))), 4).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -80,3 +80,17 @@ def test_bm25_topk_is_take_ordered(spark, sf_dir):
     q = QUERIES["text_bm25_topk"](spark, sf_dir)
     assert_take_ordered(q)
     assert_no_cartesian(q)
+
+
+def test_no_plan_smells_anywhere(spark, sf_dir):
+    """Registry-wide physical-plan audit: no CartesianProduct, no
+    row-at-a-time Python (BatchEvalPython) in ANY registered query's plan.
+    A de-optimized plan is a failed test, not a surprise at 100 TB."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import audit
+
+    bad = {k: v for k, v in audit(spark, sf_dir).items() if v}
+    assert bad == {}

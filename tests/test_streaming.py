@@ -319,3 +319,38 @@ def test_stream_topk_types_foreachbatch(spark, sf_dir, events_stream_dir):
     # emits exactly the full top-k set; safer: recompute set from sink tail
     got = set(sink[-len(want):])
     assert got == want
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across restart: a checkpointed file-source query stopped
+    and restarted over a grown directory must process each input file ONCE —
+    the already-committed batch is not replayed into the sink."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    _append_events(spark, src, [(i, i % 50, 1, "click") for i in range(100)])
+
+    def run_once():
+        q = (
+            read_events_stream(spark, src)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    # grow the source; restart from the SAME checkpoint
+    _append_events(spark, src, [(i, i % 50, 2, "view") for i in range(100, 150)])
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 150  # no replay of the first batch
+    assert final.select("event_id").distinct().count() == 150
