@@ -419,3 +419,107 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_id")
     )
+
+
+@register(
+    "mix_temperature_sample",
+    oracle="""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs,
+               ROUND(sqrt(n_docs) / SUM(sqrt(n_docs)) OVER (), 6) AS weight
+        FROM per_src
+    ),
+    targets AS (
+        SELECT source, n_docs, weight,
+               CAST(FLOOR(weight * 300) AS BIGINT) AS target_rows
+        FROM weighted
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('mixT:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           t.weight,
+           t.target_rows,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS sum_kept_ids
+    FROM targets t
+    LEFT JOIN ranked r ON r.source = t.source AND r.rn <= t.target_rows
+    GROUP BY t.source, t.n_docs, t.weight, t.target_rows
+    ORDER BY t.source
+    """,
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-corpus mixing
+    rule: p_s ∝ n_s^(1/T), here T=2 → sqrt): compute per-source mixture
+    weights, turn them into row budgets for a 300-doc mix, and select each
+    source's rows deterministically by salted id-hash rank — the same mix on
+    every engine, run, and partitioning (no RNG, no sample()).
+
+    Outputs the audit a mixing job emits: per-source corpus size, weight,
+    target, actual kept count, and an exact integer checksum of kept ids
+    (sum) so the oracle verifies the SELECTION, not just the counts.
+
+    Scale shape: weights come from a tiny per-source aggregate (broadcast
+    back); ranking is one window per source partition — the only
+    source-keyed shuffle; selection is a filter. The md5 rank key is
+    engine-portable (hex string ordering)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = per_src.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sqrt("n_docs")
+            / F.sum(F.sqrt("n_docs")).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("weight"),
+    )
+    targets = weighted.withColumn(
+        "target_rows", F.floor(F.col("weight") * 300).cast("bigint")
+    )
+    rnk = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mixT:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(rnk).alias("rn")
+    )
+    kept = ranked.join(
+        F.broadcast(targets.select("source", "target_rows")), "source"
+    ).filter(F.col("rn") <= F.col("target_rows"))
+    return (
+        targets.join(
+            kept.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "weight",
+            "target_rows",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("sum_kept_ids"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_kept_ids"),
+        )
+        .orderBy("source")
+    )

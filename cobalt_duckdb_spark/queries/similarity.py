@@ -265,3 +265,37 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+def _kmeans_oracle() -> str:
+    from cobalt_duckdb_spark.operators.clustering import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, iterations=2, dims=64)
+
+
+@register("cluster_kmeans_lloyd", oracle=_kmeans_oracle())
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means codebook training (2 Lloyd iterations, k=8) over the corpus
+    embeddings, reported as per-cluster profiles (size + mean distance).
+    The iterative-algorithm pattern: the whole loop is ONE lazy DataFrame
+    plan — broadcast centroids × vectors → struct-min argmin → dimension-wise
+    re-average — with no driver round-trip and deterministic cross-engine
+    rounding at every step (see operators/clustering.py).
+
+    This is the trainer for the IVF index family (simsearch_ivf_topk
+    consumes a codebook of exactly this shape)."""
+    from cobalt_duckdb_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    final = kmeans_lloyd(vecs, k=8, iterations=2)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )

@@ -397,25 +397,29 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-scoring against the corpus model means every doc bigram exists in
     the counts — no smoothing term to diverge on.
 
-    Scale shape: ONE bigram token stream (posexplode + window lead, persisted)
-    feeds all three consumers — the per-doc rows, the bigram counts, and the
-    context counts. Count tables join back on their keys (bigram vocab can
-    exceed broadcast size at 100 TB, so these stay shuffle joins on uniform
-    hash keys); the per-doc aggregate is the only doc-keyed shuffle."""
+    Scale shape: ONE bigram stream (persisted) feeds all three consumers —
+    the per-doc rows, the bigram counts, and the context counts. Bigrams are
+    built SHUFFLE-FREE by zipping the token array against itself shifted by
+    one (slice+arrays_zip, all Catalyst) — no posexplode + per-doc window,
+    which would shuffle every token row just to pair neighbors. Count tables
+    join back on their keys (bigram vocab can exceed broadcast size at
+    100 TB, so these stay shuffle joins on uniform hash keys); the per-doc
+    aggregate is the only doc-keyed shuffle."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     from cobalt_duckdb_spark.operators.dedup import fan_out
 
     d = load_table(spark, sf_dir, "documents")
-    toks = fan_out(d.select("doc_id", "text"), by="doc_id").select(
-        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "w1")
+    t = T.tokens("text")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
+        fan_out(d.select("doc_id", "text"), by="doc_id")
+        .filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     big_c = bg.groupBy("w1", "w2").agg(
@@ -431,4 +435,76 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg(F.log(F.col("c12") / F.col("c1"))), 4).alias("nll"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    ranked AS (
+        SELECT w, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn,
+               SUM(c) OVER (ORDER BY c DESC, w
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS tot
+        FROM counts
+    )
+    SELECT t.thr AS coverage,
+           CAST(MIN(rn) AS BIGINT) AS vocab_size,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens
+    FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(thr)
+    WHERE cum >= t.thr * tot
+    GROUP BY t.thr
+    ORDER BY coverage
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest frequency-ranked vocab that
+    covers 50/90/99% of all token occurrences — the sizing question every
+    tokenizer/vocab build answers first (and a long-tail health check: a
+    corpus whose 99% point needs millions of types is noise-heavy).
+
+    Scale shape: token counting is the heavy stage (explode + groupBy, one
+    shuffle, map-side combine). The cumulative stage runs over the VOCAB
+    (types, not occurrences) — orders of magnitude smaller; its global-order
+    window is a range-partitioned sort in Spark, acceptable because the
+    input is already aggregate-sized. Threshold fan-out is a 3-row cross
+    join against that."""
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        fan_out(d.select("text"))
+        .select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_ord = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select(
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("c").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    thr = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("coverage")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .filter(F.col("cum") >= F.col("coverage") * F.col("tot"))
+        .groupBy("coverage")
+        .agg(
+            F.min("rn").cast("bigint").alias("vocab_size"),
+            F.max("tot").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("coverage")
     )

@@ -284,3 +284,76 @@ def rank_topk_batch(counts: DataFrame, k: int = 2) -> DataFrame:
     return counts.select(
         "window_start", "event_type", "n", rnk.alias("rnk")
     ).filter(F.col("rnk") <= k)
+
+
+def compact_latest(events: DataFrame) -> DataFrame:
+    """Batch compaction: one current row per user (ts DESC, event_id DESC
+    tiebreak) — the shared kernel of the CDC upsert pattern. Used both by the
+    batch query (events_latest_user_state) and inside foreachBatch below."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    return (
+        events.select("user_id", "event_type", "ts", "event_id", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def latest_state_upsert(
+    stream: DataFrame, state_path: str, checkpoint: str
+):
+    """Streaming CDC upsert WITHOUT a table format: maintain a keyed
+    latest-state table in plain Parquet via foreachBatch merge-and-rewrite.
+
+    Each micro-batch: (1) compact the batch to latest-per-key, (2) union
+    with the existing state, (3) re-compact, (4) atomically replace the
+    state (write to a versioned subdir, then repoint a _CURRENT marker —
+    plain-parquet stand-in for a transactional commit; with Delta/Iceberg
+    this whole function is a MERGE INTO). foreachBatch gives at-least-once
+    sink semantics; the merge is idempotent (same batch replayed → same
+    state), which upgrades the end-to-end result to effectively-once.
+
+    Scale: state rewrite is O(|keys|) per batch — the plain-parquet cost;
+    partition the state by key-hash bucket and rewrite only buckets touched
+    by the batch to make it incremental (documented trade-off, same pattern
+    Delta's MERGE implements under the hood)."""
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = compact_latest(batch_df)
+        marker = os.path.join(state_path, "_CURRENT")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                cur = fh.read().strip()
+            existing = spark.read.parquet(os.path.join(state_path, cur))
+            merged = compact_latest(existing.unionByName(delta))
+        else:
+            merged = delta
+        new_ver = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_path, new_ver)
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_ver)
+        os.replace(tmp, marker)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_latest_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the current version of the upsert state table."""
+    import os
+
+    with open(os.path.join(state_path, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    return spark.read.parquet(os.path.join(state_path, cur))

@@ -218,3 +218,32 @@ def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
     assert clean.count() == 2
     got_corrupt = sorted(r.raw_line for r in corrupt.collect())
     assert got_corrupt == ["this is not json at all", '{"doc_id": 3, "text": "unclosed']
+
+
+# ORC columnar interchange (Hive-era lakes / Trino exports)
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink→source round trip preserves data AND the scan gets the same
+    pushdown/pruning guarantees as Parquet: PushedFilters populated, pruned
+    ReadSchema (only selected columns reach the reader)."""
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.sources.columnar import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    a = sorted(docs.select("doc_id", "lang").collect())
+    b = sorted(back.select("doc_id", "lang").collect())
+    assert a == b
+
+    q = back.filter(F.col("doc_id") < 50).select("doc_id", "n_chars")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,50)" in plan
+    assert "n_chars" in plan.split("ReadSchema")[1][:200]
+    assert "text" not in plan.split("ReadSchema")[1][:200]

@@ -354,3 +354,38 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 150  # no replay of the first batch
     assert final.select("event_id").distinct().count() == 150
+
+
+def test_latest_state_upsert_foreachbatch(spark, tmp_path):
+    """Streaming CDC upsert (foreachBatch merge): after streaming two
+    source growths through latest_state_upsert, the state table equals the
+    batch compaction of ALL events — one current row per user, later batch
+    wins on conflict."""
+    from cobalt_duckdb_spark.streaming.events import (
+        latest_state_upsert,
+        read_events_stream,
+        read_latest_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _append_events(spark, src, [(1, 0, 1, "signup"), (2, 5, 2, "signup"),
+                                (3, 10, 1, "click")])
+    q = latest_state_upsert(read_events_stream(spark, src), state, ckpt)
+    q.awaitTermination(120)
+
+    s1 = {r["user_id"]: r["event_type"]
+          for r in read_latest_state(spark, state).collect()}
+    assert s1 == {1: "click", 2: "signup"}
+
+    # second growth: user 2 advances, user 3 appears; restart from checkpoint
+    _append_events(spark, src, [(4, 20, 2, "purchase"), (5, 25, 3, "view")])
+    q = latest_state_upsert(read_events_stream(spark, src), state, ckpt)
+    q.awaitTermination(120)
+
+    got = read_latest_state(spark, state)
+    s2 = {r["user_id"]: r["event_type"] for r in got.collect()}
+    assert s2 == {1: "click", 2: "purchase", 3: "view"}
+    assert got.count() == 3
