@@ -474,3 +474,57 @@ def events_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type),
+                 6) AS p
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the session-path model behind next-action
+    prediction, funnel leak detection, and bot fingerprinting (bots have
+    near-deterministic rows).
+
+    Scale shape: ONE shuffle on user_id for the sequence window (lead), then
+    a type-pair aggregate whose cardinality is |types|² — tiny — so the
+    normalizing window over from_type is free. Deterministic sequence order
+    via (ts, event_id) tiebreak."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    ).orderBy("from_type", "to_type")

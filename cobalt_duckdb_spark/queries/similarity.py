@@ -299,3 +299,43 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "embedding_dim_variance_topk",
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    per_dim AS (
+        SELECT i AS dim,
+               ROUND(AVG(v[CAST(i AS INT)]), 6) AS mean,
+               ROUND(VAR_POP(v[CAST(i AS INT)]), 6) AS variance
+        FROM e CROSS JOIN range(1, 65) t(i)
+        GROUP BY i
+    )
+    SELECT CAST(dim AS INT) AS dim, mean, variance
+    FROM per_dim
+    ORDER BY variance DESC, dim LIMIT 10
+    """,
+)
+def embedding_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance audit over the embedding matrix: the 10
+    highest-variance dimensions (with means). The screening step of
+    dimensionality reduction / dead-dimension detection — a near-zero-variance
+    dimension carries no signal and an anisotropic spread (few dims dominate)
+    degrades cosine retrieval; this is the audit that catches both.
+
+    Scale shape: posexplode to (dim, value) then ONE aggregate keyed by dim —
+    64 groups, perfectly uniform, map-side partial var (Spark's var_pop is a
+    single-pass merge-able moment aggregate). Top-10 is TakeOrdered over 64
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"))
+        .select((F.col("d0") + 1).cast("int").alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.var_pop("x"), 6).alias("variance"),
+        )
+    )
+    return per_dim.orderBy(F.desc("variance"), F.asc("dim")).limit(10)

@@ -508,3 +508,56 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("coverage")
     )
+
+
+@register(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                      i -> substr(w, CAST(i AS INT), 2))) AS pair,
+               freq
+        FROM wf WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, round 1: the most frequent adjacent
+    character pairs weighted by word frequency — the statistic a BPE/WordPiece
+    vocab build computes to pick each merge. (Full training iterates; each
+    round is exactly this query over re-segmented words, so the round IS the
+    scale primitive.)
+
+    Scale shape: pair counting runs over the WORD-FREQUENCY table (types ×
+    word length), not the token stream — the corpus-size-to-vocab-size
+    reduction happens in the first groupBy, everything after is
+    aggregate-sized. Character pairs via substr over a sequence (all
+    Catalyst; no UDF)."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        fan_out(d.select("text"))
+        .select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.substr(F.col("w"), i, F.lit(2)),
+    )
+    return (
+        wf.select(F.explode(pair_arr).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

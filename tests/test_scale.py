@@ -129,3 +129,51 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) >= {"id", "name", "score"}
     assert rows[1]["score"] is None
     assert rows[2]["score"] == 3.5
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Spark 3.3+): for a shuffle join
+    whose build side is selectively filtered, Catalyst injects a bloom
+    filter built from the build side into the probe side's scan stage —
+    probe rows that can't match are dropped BEFORE the shuffle. At 100 TB
+    this is the difference between shuffling all of lineitem and shuffling
+    only the ~20% that joins filtered orders.
+
+    Locally the application-side threshold (10 GB of scan by default —
+    sized for real clusters) must be lowered to see it on test data; the
+    assertion is that the plan contains the injected might_contain probe."""
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        # and it must not change results
+        [row] = j.collect()
+        want = (
+            li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        assert row["n"] == want[0]["count"]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
