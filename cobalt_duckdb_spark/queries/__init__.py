@@ -102,6 +102,7 @@ def _load_all_modules() -> None:
         advanced,
         tpch_extra,
         timeseries,
+        pipeline,
     )
 
 

@@ -356,3 +356,89 @@ def dedup_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id", "train_id")
     )
+
+
+@register(
+    "dedup_incremental_new_batch",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(text) AS exact_fp,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '
+               )) AS bag_fp
+        FROM documents
+    ),
+    corpus AS (SELECT * FROM fp WHERE source = 'src0'),
+    batch AS (SELECT * FROM fp WHERE source <> 'src0'),
+    flagged AS (
+        SELECT b.doc_id, b.source,
+               MAX(CASE WHEN ce.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hit_exact,
+               MAX(CASE WHEN cb.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hit_bag
+        FROM batch b
+        LEFT JOIN corpus ce ON ce.exact_fp = b.exact_fp
+        LEFT JOIN corpus cb ON cb.bag_fp = b.bag_fp
+        GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(hit_exact) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(GREATEST(hit_exact, hit_bag)) AS BIGINT) AS n_dup_any,
+           CAST(COUNT(*) - SUM(GREATEST(hit_exact, hit_bag)) AS BIGINT)
+               AS n_admitted
+    FROM flagged
+    GROUP BY source ORDER BY source
+    """,
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: screen a NEW batch against the EXISTING
+    corpus's fingerprint index (src0 plays the corpus; the other sources
+    play arriving batches) — the shape every continuously-fed training
+    pipeline runs, where re-deduplicating the whole corpus per batch is
+    unaffordable. Two signals per batch doc: exact text hash and
+    bag-collapse fingerprint; admitted = matched by neither.
+
+    Scale shape: the corpus side is represented ONLY by its two fingerprint
+    columns (the persisted dedup index — bytes per doc, not the text);
+    both probes are hash equi-joins on md5 keys (uniform, no skew), and the
+    per-batch audit is a tiny aggregate. At 100 TB the index is a bucketed
+    table on the fingerprint so the probe join is shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("exact_fp"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+        ).alias("bag_fp"),
+    )
+    corpus = fp.filter(F.col("source") == "src0")
+    batch = fp.filter(F.col("source") != "src0")
+    # the index is DISTINCT fingerprints: joins are at-most-one-match, so a
+    # batch doc never multiplies against internal corpus duplicates
+    ce = corpus.select(F.col("exact_fp").alias("c_exact")).distinct()
+    cb = corpus.select(F.col("bag_fp").alias("c_bag")).distinct()
+    flagged = (
+        batch.join(ce, batch.exact_fp == ce.c_exact, "left")
+        .join(cb, batch.bag_fp == cb.c_bag, "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max(
+                F.when(F.col("c_exact").isNotNull(), 1).otherwise(0)
+            ).alias("hit_exact"),
+            F.max(F.when(F.col("c_bag").isNotNull(), 1).otherwise(0)).alias(
+                "hit_bag"
+            ),
+        )
+    )
+    dup_any = F.greatest("hit_exact", "hit_bag")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.sum("hit_exact").cast("bigint").alias("n_exact_dup"),
+            F.sum(dup_any).cast("bigint").alias("n_dup_any"),
+            (F.count(F.lit(1)) - F.sum(dup_any)).cast("bigint").alias("n_admitted"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,217 @@
+"""The composed corpus-curation pipeline — every stage the repo implements
+individually, chained end-to-end the way a training-data job actually runs:
+
+    raw → quality gate → exact dedup → near-dup keep-best →
+    eval-decontamination → train/valid/test split
+
+Registered as ONE oracle-checked query returning the per-stage funnel audit
+(docs + token totals after each stage) — the number-one artifact a curation
+run emits, and the integration test that the stages compose (each stage
+consumes the previous stage's survivors, not the raw table).
+
+Stage logic is the library's own: token_count (functions/text.py), md5 exact
+fingerprint, bag-collapse keep-best (cf. dedup_keep_best_resolution),
+shingle-containment contamination (cf. dedup_eval_contamination,
+operators/dedup.shingle_hashes), salted-hash split
+(cf. split_train_valid_test_hash). All decisions are integer/hash math —
+deterministic across engines, runs, and partitionings.
+
+Scale shape: stages 1-3 are narrow filters + two md5-keyed window shuffles
+(uniform keys, no skew). The contamination stage is the heavy one — an
+inverted-index join on 32-bit shingle hashes (train docs meet eval docs only
+on shared shingles; eval side is benchmark-sized, so the probe ships the
+small side). The funnel audit aggregates are one tiny job per stage over
+persisted survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobalt_duckdb_spark.functions import text as T
+from cobalt_duckdb_spark.io import load_table
+from cobalt_duckdb_spark.operators import dedup as D
+from cobalt_duckdb_spark.queries import register
+
+_MIN_TOKENS = 30
+_EVAL_SOURCE = "src0"
+
+_SHINGLE3 = """list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]))"""
+
+_PIPELINE_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id, text, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+        FROM documents
+    ),
+    q AS (SELECT * FROM raw WHERE tc >= {_MIN_TOKENS}),
+    exr AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+    ),
+    e2 AS (SELECT doc_id, text, source, n_chars, tc FROM exr WHERE rn = 1),
+    bag AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY md5(array_to_string(
+                list_sort(list_distinct(string_split(text, ' '))), ' '))
+            ORDER BY n_chars DESC, doc_id) AS rn2
+        FROM e2
+    ),
+    n2 AS (SELECT doc_id, text, source, tc FROM bag WHERE rn2 = 1),
+    shtr AS (
+        SELECT doc_id, {_SHINGLE3} AS s FROM n2 WHERE source <> '{_EVAL_SOURCE}'
+    ),
+    shev AS (
+        SELECT doc_id, {_SHINGLE3} AS s FROM raw WHERE source = '{_EVAL_SOURCE}'
+    ),
+    extr AS (
+        SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(s) AS sh FROM shtr WHERE len(s) > 0)
+    ),
+    exev AS (
+        SELECT doc_id, ns, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, len(s) * 1.0 AS ns, unnest(s) AS sh
+              FROM shev WHERE len(s) > 0)
+    ),
+    cont AS (
+        SELECT DISTINCT t.doc_id
+        FROM (
+            SELECT e.doc_id AS eval_id, t.doc_id, ANY_VALUE(e.ns) AS ns,
+                   COUNT(*) * 1.0 AS common
+            FROM exev e JOIN extr t ON e.h = t.h
+            GROUP BY 1, 2
+        ) t
+        WHERE common / ns >= 0.5
+    ),
+    d5 AS (
+        SELECT * FROM n2
+        WHERE source <> '{_EVAL_SOURCE}'
+          AND doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    sp AS (
+        SELECT tc,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM d5
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage_idx, 'raw' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tc) AS BIGINT) AS n_tokens FROM raw
+        UNION ALL
+        SELECT 1, 'quality', COUNT(*), SUM(tc) FROM q
+        UNION ALL
+        SELECT 2, 'exact_dedup', COUNT(*), SUM(tc) FROM e2
+        UNION ALL
+        SELECT 3, 'near_dedup', COUNT(*), SUM(tc) FROM n2
+        UNION ALL
+        SELECT 4, 'decontaminated', COUNT(*), SUM(tc) FROM d5
+        UNION ALL
+        SELECT 5 + CASE WHEN bucket < 80 THEN 0
+                        WHEN bucket < 90 THEN 1 ELSE 2 END,
+               CASE WHEN bucket < 80 THEN 'split_train'
+                    WHEN bucket < 90 THEN 'split_valid'
+                    ELSE 'split_test' END,
+               COUNT(*), SUM(tc)
+        FROM sp
+        GROUP BY 1, 2
+    )
+    ORDER BY stage_idx
+    """
+
+
+def _stage_audit(df: DataFrame, idx: int, name: str) -> DataFrame:
+    return df.agg(
+        F.lit(idx).cast("int").alias("stage_idx"),
+        F.lit(name).alias("stage"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tc").cast("bigint").alias("n_tokens"),
+    )
+
+
+@register("pipeline_corpus_curation", oracle=_PIPELINE_ORACLE)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel; see module docstring. Returns one row per
+    stage: (stage_idx, stage, n_docs, n_tokens)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars", T.token_count("text").alias("tc")
+    )
+
+    q = raw.filter(F.col("tc") >= _MIN_TOKENS)
+
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    e2 = q.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+    bag_fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(T.tokens("text"))))
+    )
+    rn2 = F.row_number().over(
+        Window.partitionBy(bag_fp).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    n2 = (
+        e2.withColumn("rn2", rn2)
+        .filter(F.col("rn2") == 1)
+        .select("doc_id", "text", "source", "tc")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    train = n2.filter(F.col("source") != _EVAL_SOURCE)
+    ev_sh = D.shingle_hashes(
+        raw.filter(F.col("source") == _EVAL_SOURCE), "doc_id", "text", 3
+    ).select(F.col("doc_id").alias("eval_id"), F.col("ns").alias("eval_ns"), "h")
+    tr_sh = D.shingle_hashes(train, "doc_id", "text", 3).select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    contaminated = (
+        ev_sh.join(tr_sh, "h")
+        .groupBy("eval_id", "train_id")
+        .agg(
+            F.any_value("eval_ns").alias("eval_ns"),
+            F.count(F.lit(1)).cast("double").alias("common"),
+        )
+        .filter(F.col("common") / F.col("eval_ns") >= 0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    d5 = train.join(contaminated, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    bucket = D.token_hash(F.col("doc_id").cast("string")) % 100
+    sp = d5.select(
+        "tc",
+        F.when(bucket < 80, "split_train")
+        .when(bucket < 90, "split_valid")
+        .otherwise("split_test")
+        .alias("stage"),
+        (
+            F.lit(5)
+            + F.when(bucket < 80, 0).when(bucket < 90, 1).otherwise(2)
+        )
+        .cast("int")
+        .alias("stage_idx"),
+    )
+    split_audit = sp.groupBy("stage_idx", "stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tc").cast("bigint").alias("n_tokens"),
+    )
+
+    return (
+        _stage_audit(raw, 0, "raw")
+        .unionByName(_stage_audit(q, 1, "quality"))
+        .unionByName(_stage_audit(e2, 2, "exact_dedup"))
+        .unionByName(_stage_audit(n2, 3, "near_dedup"))
+        .unionByName(_stage_audit(d5, 4, "decontaminated"))
+        .unionByName(split_audit)
+        .orderBy("stage_idx")
+    )
