@@ -409,3 +409,44 @@ def test_cosine_block_pairs_bounded_memory_matches_full_matmul():
         assert abs(got[k] - v) < 1e-12
     # sanity: threshold actually selects a nontrivial subset
     assert 0 < len(expected) < len(iu[0])
+
+
+def test_pipeline_funnel_invariants(spark, sf_dir):
+    """The curation funnel can only shrink: every stage's doc and token
+    counts are <= the previous stage's, splits partition the decontaminated
+    set exactly, and no stage goes to zero on healthy data."""
+    from cobalt_duckdb_spark.queries import QUERIES
+
+    rows = {r["stage"]: r for r in QUERIES["pipeline_corpus_curation"](spark, sf_dir).collect()}
+    chain = ["raw", "quality", "exact_dedup", "near_dedup", "decontaminated"]
+    for prev, cur in zip(chain, chain[1:]):
+        assert rows[cur]["n_docs"] <= rows[prev]["n_docs"]
+        assert rows[cur]["n_tokens"] <= rows[prev]["n_tokens"]
+    assert rows["decontaminated"]["n_docs"] > 0
+    split_docs = sum(
+        rows[s]["n_docs"] for s in ("split_train", "split_valid", "split_test")
+    )
+    split_toks = sum(
+        rows[s]["n_tokens"] for s in ("split_train", "split_valid", "split_test")
+    )
+    assert split_docs == rows["decontaminated"]["n_docs"]
+    assert split_toks == rows["decontaminated"]["n_tokens"]
+
+
+def test_kmeans_assignment_invariants(spark, sf_dir):
+    """Lloyd output is a true partition: every vector assigned exactly once,
+    cluster count <= k, members' distances are to their OWN centroid (so the
+    per-cluster mean distance is bounded by the max member distance)."""
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    final = kmeans_lloyd(vecs, k=8, iterations=2)
+    n_vecs = vecs.count()
+    assert final.count() == n_vecs
+    assert final.select("vec_id").distinct().count() == n_vecs
+    assert final.select("cid").distinct().count() <= 8
+    assert final.filter(F.col("dist") < 0).count() == 0
