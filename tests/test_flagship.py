@@ -106,3 +106,30 @@ def test_query_vector_of_missing_raises(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(KeyError):
         query_vector_of(emb, 10**12)
+
+
+def test_spark_search_client_reference_contract(spark, sf_dir):
+    """Drop-in client parity with RuriDuckDBSearchClient: from_dataframe +
+    search_top_n returns, per query, the dataset's own columns + score +
+    0-based rank; a str query and a [str] query give identical results; a
+    2-query list runs set-oriented and returns 2 frames."""
+    from cobalt_duckdb_spark.client import SparkSearchClient
+    from cobalt_duckdb_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    client = SparkSearchClient.from_dataframe(docs, "text", dim=16)
+
+    [res] = client.search_top_n("key agg row scan", n=5)
+    rows = res.collect()
+    assert len(rows) == 5
+    assert {"doc_id", "text", "lang", "score", "rank"} <= set(res.columns)
+    assert [r["rank"] for r in rows] == [0, 1, 2, 3, 4]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores)
+
+    [res2] = client.search_top_n(["key agg row scan"], n=5)
+    assert [r["doc_id"] for r in res2.collect()] == [r["doc_id"] for r in rows]
+
+    both = client.search_top_n(["key agg row scan", "stream window join"], n=3)
+    assert len(both) == 2
+    assert all(len(b.collect()) == 3 for b in both)
