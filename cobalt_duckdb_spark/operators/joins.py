@@ -40,18 +40,21 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right_time <= left_time`` (backward; equal times match), per key ``on``.
+    ``right_time <= left_time`` (``backward``; equal times match) or the
+    earliest right row with ``right_time >= left_time`` (``forward``),
+    per key ``on``.
 
     Implementation: tag both sides, union by (key, time), then
-    ``last(value, ignorenulls=True)`` over a running window — the standard
-    distributed merge-asof. Cost: one shuffle on the key, one sort within
-    partitions; output rows = |left|. Right rows are deduplicated to the
-    latest per (key, time) with a deterministic tie-break so results are
-    stable (the reference's tie behavior is engine-accidental,
-    SURVEY.md §5.2.4).
+    ``last(value, ignorenulls=True)`` over a running window (backward) /
+    ``first`` over the mirrored forward window — the standard distributed
+    merge-asof. Cost: one shuffle on the key, one sort within partitions;
+    output rows = |left|. Right rows are deduplicated to one per
+    (key, time) with a deterministic tie-break so results are stable (the
+    reference's tie behavior is engine-accidental, SURVEY.md §5.2.4).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
 
     # Deduplicate right to one row per (key, time): keep the row that sorts
     # last by the value columns (deterministic).
@@ -69,14 +72,16 @@ def asof_join(
     r_side = right_clean.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
-        F.lit(0).alias("_side"),  # right sorts BEFORE left at equal time
+        F.lit(1 if fwd else 0).alias("_side"),  # right sorts on the inclusive
+        # side of left at equal time: BEFORE left for backward, AFTER for
+        # forward — ties (equal timestamps) match in both directions
         *[F.col(c).alias(f"_rv_{c}") for c in right_values],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_lv_{c}") for c in left_cols],
     )
     l_side = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.lit(0 if fwd else 1).alias("_side"),
         *[
             F.lit(None).cast(right_clean.schema[c].dataType).alias(f"_rv_{c}")
             for c in right_values
@@ -84,11 +89,13 @@ def asof_join(
         *[F.col(c).alias(f"_lv_{c}") for c in left_cols],
     )
 
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy("_k").orderBy("_t", "_side")
+    if fwd:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        fill = F.first
+    else:
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        fill = F.last
     unioned = r_side.unionByName(l_side)
     filled = unioned.select(
         "_k",
@@ -96,11 +103,11 @@ def asof_join(
         "_side",
         *[F.col(f"_lv_{c}") for c in left_cols],
         *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_match_{c}")
+            fill(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_match_{c}")
             for c in right_values
         ],
     )
-    return filled.filter(F.col("_side") == 1).select(
+    return filled.filter(F.col("_side") == (0 if fwd else 1)).select(
         *[F.col(f"_lv_{c}").alias(c) for c in left_cols],
         *[F.col(f"_match_{c}").alias(f"asof_{c}") for c in right_values],
     )

@@ -523,3 +523,86 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "features_customer_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchored AS (
+        SELECT o_custkey,
+               date_diff('day', last_order, (SELECT MAX(o_orderdate) FROM orders))
+                   AS recency_days,
+               frequency, monetary
+        FROM base
+    ),
+    scored AS (
+        SELECT o_custkey AS custkey,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               monetary,
+               NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM anchored
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score
+    FROM scored
+    WHERE custkey < 200
+    ORDER BY custkey
+    """,
+)
+def features_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering (the feature-store shape): per-customer RFM —
+    recency vs the corpus's last order date, order frequency, monetary
+    total — plus 1-5 quintile scores. Deterministic quintiles: every NTILE
+    orders by (metric, custkey) so ties split identically on every engine
+    and partitioning.
+
+    Scale shape: one groupBy(custkey) aggregate (uniform key), the global
+    max date as a broadcast single-row frame (no driver round-trip), and
+    three rank windows over the CUSTOMER aggregate (not the order log).
+    Output capped to a stable id range for the audit."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    scored = (
+        base.crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff("anchor", "last_order").cast("bigint").alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary",
+        )
+        .select(
+            "*",
+            F.ntile(5)
+            .over(Window.orderBy("recency_days", "custkey"))
+            .cast("int")
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+            .cast("int")
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+            .cast("int")
+            .alias("m_score"),
+        )
+    )
+    return scored.filter(F.col("custkey") < 200).orderBy("custkey")

@@ -189,3 +189,54 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_id"),
         F.col("asof_click_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_asof_next_click_after_error",
+    oracle="""
+    WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           MAX(event_id) AS click_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, CAST(ts AS TIMESTAMP))
+    SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts,
+           c.click_id AS asof_click_id, c.ts AS asof_click_ts
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts <= c.ts
+    ORDER BY event_id
+    """,
+)
+def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (J4 mirror): for every error event, the same
+    user's earliest click at-or-after it — the recovery-action lookup
+    (did the user click again after the error, and when). Same union+window
+    merge-asof plan as backward, with the window mirrored
+    (first-ignorenulls over current→following); one user_id shuffle, no
+    row explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["click_id", "click_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_id"),
+        F.col("asof_click_ts"),
+    ).orderBy("event_id")

@@ -37,9 +37,9 @@ def asof_case(draw):
     return left, right
 
 
-@given(asof_case())
+@given(asof_case(), st.sampled_from(["backward", "forward"]))
 @settings(**SETTINGS)
-def test_asof_join_matches_pandas_merge_asof(spark, case):
+def test_asof_join_matches_pandas_merge_asof(spark, case, direction):
     left_rows, right_rows = case
     left = spark.createDataFrame(
         [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k BIGINT, t BIGINT, lid BIGINT"
@@ -54,7 +54,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
     got = {
         r["lid"]: r["asof_v"]
         for r in asof_join(
-            left, right, on="k", left_time="t", right_time="t", right_values=["v"]
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["v"], direction=direction
         ).collect()
     }
 
@@ -67,7 +68,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
             "t", kind="stable"
         )
         merged = pd.merge_asof(
-            lpdf, rpdf, on="t", by="k", direction="backward"
+            lpdf, rpdf, on="t", by="k", direction=direction
         )
         want = {
             int(r.lid): (None if pd.isna(r.v) else int(r.v))
