@@ -78,6 +78,102 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank → (node, pagerank).
+
+    Semantics are pinned as "exactly ``iterations`` power steps from the
+    uniform vector" (not run-to-convergence): a deterministic computation both
+    engines can replay bit-for-bit, which is what a differential oracle needs.
+    rank₀(v) = 1/N;  rankₜ₊₁(v) = (1−d)/N + d·Σᵤ rankₜ(u)·w(u→v), with
+    w(u→v) = the out-normalized edge weight. Dangling mass is NOT
+    redistributed (documented; near-dup/transition graphs have none).
+
+    Scale shape — the standard Pregel-without-Pregel loop: each step is one
+    join of the rank vector against the edge list (both hash-partitioned on
+    the join key) plus one aggregate on dst. Nodes and edges stay distributed;
+    nothing is collected. For small ``iterations`` the whole recurrence is
+    left as ONE chained plan (a single job, Catalyst pipelines it); for deep
+    iteration counts pass ``checkpoint_every`` to truncate lineage with
+    ``localCheckpoint`` the way :func:`connected_components` does.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    out_norm = e.groupBy("src").agg(F.sum("w").alias("wtot"))
+    probs = (
+        e.join(out_norm, "src")
+        .select("src", "dst", (F.col("w") / F.col("wtot")).alias("p"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N as a 1-row frame cross-joined in (broadcast, no driver round-trip)
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    probs = probs.persist()
+    for i in range(iterations):
+        contrib = (
+            probs.join(ranks, probs.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_oracle_cte(
+    edges_cte: str, iterations: int = 10, damping: float = 0.85
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the same recurrence unrolled as a
+    chain of CTEs (r0 … rK). ``edges_cte`` must define ``edges(src, dst, p)``
+    with out-normalized p. Returns SQL up to (and selecting from) ``r{K}``
+    as ``(node, rank)`` — callers wrap it for projection/rounding."""
+    d = damping
+    parts = [
+        edges_cte,
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""r{k} AS (
+              SELECT n.node,
+                     (1.0 - {d})/(SELECT n FROM nn)
+                     + {d} * COALESCE(SUM(r.rank * e.p), 0.0) AS rank
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.node
+              LEFT JOIN r{k - 1} r ON e.src = r.node
+              GROUP BY n.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
+    )
+
+
 def dedup_groups(pairs: DataFrame, src: str = "a_id", dst: str = "b_id") -> DataFrame:
     """Resolve near-dup pairs into groups: (doc_id, keeper_id, group_size),
     keeper = component minimum. Everything except keepers is the drop list."""

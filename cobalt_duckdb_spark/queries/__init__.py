@@ -103,6 +103,7 @@ def _load_all_modules() -> None:
         tpch_extra,
         timeseries,
         pipeline,
+        graph_analytics,
     )
 
 

@@ -606,3 +606,67 @@ def features_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("custkey") < 200).orderBy("custkey")
+
+
+@register(
+    "skyline_cheap_small_parts",
+    oracle="""
+    WITH g AS (
+        SELECT p_retailprice AS price, MIN(p_size) AS gmin
+        FROM part GROUP BY p_retailprice
+    ),
+    g2 AS (
+        SELECT price, gmin,
+               MIN(gmin) OVER (
+                   ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prevmin
+        FROM g
+    )
+    SELECT p.p_partkey AS p_partkey,
+           ROUND(p.p_retailprice, 2) AS price,
+           p.p_size AS p_size
+    FROM part p JOIN g2 ON p.p_retailprice = g2.price
+    WHERE p.p_size = g2.gmin
+      AND (g2.prevmin IS NULL OR g2.prevmin > p.p_size)
+    ORDER BY price, p_partkey
+    """,
+)
+def skyline_cheap_small_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts where no other part is both
+    cheaper-or-equal AND smaller-or-equal with at least one strict — the
+    multi-objective "best tradeoff" query (here: price vs size).
+
+    The naive formulation is a quadratic NOT EXISTS self-join. For 2-D the
+    frontier collapses to a cumulative-min scan: group to one (price → min
+    size) row per distinct price, take the running min of size over cheaper
+    prices, and a part is on the skyline iff it holds its price-group min and
+    beats every cheaper group's min. Cost: one aggregate + one window over
+    |distinct prices| + a join back — O(n log n) and shuffle-bounded vs the
+    self-join's O(n²) compare volume. The group-level window is a single
+    partition only over DISTINCT prices (small by construction); at 100 TB
+    the same plan runs with a range-partitioned sort (the groupBy output is
+    orders of magnitude smaller than the fact table). Equal (price, size)
+    duplicates do not dominate each other, so all co-optimal rows surface —
+    pinned by the tie rows in the output."""
+    p = load_table(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("gmin")
+    )
+    w = (
+        Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g.select("price", "gmin", F.min("gmin").over(w).alias("prevmin"))
+    return (
+        p.join(F.broadcast(g2), p.p_retailprice == g2.price)
+        .filter(
+            (F.col("p_size") == F.col("gmin"))
+            & (F.col("prevmin").isNull() | (F.col("prevmin") > F.col("p_size")))
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("price", "p_partkey")
+    )

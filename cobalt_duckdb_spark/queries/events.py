@@ -528,3 +528,76 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "events_scd2_user_state",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_state
+        FROM events WHERE user_id < 10
+    ),
+    changes AS (
+        SELECT user_id, state, ts, event_id FROM seq
+        WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           (LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS version
+    FROM changes
+    ORDER BY user_id, version
+    """,
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: compact the event log into versioned
+    [valid_from, valid_to) state intervals per user, collapsing consecutive
+    identical states (gaps-and-islands) — the dimension-history complement
+    to ``events_latest_user_state``'s Type-1 compaction. This is what a
+    lakehouse MERGE pipeline materializes for "as of time T" joins
+    (the as-of join operator then serves point-in-time lookups against it).
+
+    Scale shape: ONE shuffle on user_id serves all three windows (change
+    detection, interval close, versioning) because they share the partition
+    key; per-user history is processed within a partition with no further
+    exchange. Deterministic under same-timestamp events via the event_id
+    tiebreak."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_state"),
+    )
+    changes = seq.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    valid_to = F.lead("ts").over(w)
+    return (
+        changes.select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -260,3 +260,68 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "weeks_since_cohort")
     )
+
+
+@register(
+    "events_seasonal_hour_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               SUM(value) AS v
+        FROM events GROUP BY 1
+    ),
+    keyed AS (
+        SELECT bucket, v,
+               dayofweek(bucket) + 1 AS dow,
+               hour(bucket) AS hod
+        FROM hourly
+    ),
+    base AS (
+        SELECT dow, hod,
+               AVG(v) AS m, STDDEV_SAMP(v) AS s, COUNT(*) AS c
+        FROM keyed GROUP BY dow, hod
+    )
+    SELECT k.bucket AS bucket,
+           ROUND(k.v, 2) AS hourly_value,
+           ROUND((k.v - b.m) / b.s, 4) AS z
+    FROM keyed k JOIN base b ON k.dow = b.dow AND k.hod = b.hod
+    WHERE b.c >= 3 AND b.s > 1e-9
+      AND ABS(ROUND((k.v - b.m) / b.s, 4)) > 1.4
+    ORDER BY bucket
+    """,
+)
+def events_seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each hourly total is z-scored
+    against the history of ITS OWN (day-of-week, hour-of-day) slot, so a
+    quiet Sunday 3am is not "anomalous" merely for being quieter than Monday
+    noon (threshold 1.4: with a ~4-sample seasonal history the sample-z is
+    bounded at (n-1)/sqrt(n) ≈ 1.75, so the classic |z|>2 cut is unsatisfiable
+    by construction; 1.4 flags the top decile. A year of history → n≈52 →
+    restore the conventional 2–3 cut) — the standard seasonal-profile monitor for telemetry volumes.
+
+    Scale shape: one shuffle to hourly buckets (massively reducing — 3.6 M
+    raw rows/hour collapse to 1), then a (7×24)-row baseline aggregate that
+    broadcasts back onto the buckets; no window over the full series, so the
+    plan is insensitive to history length. Slots with <3 samples or ~zero
+    variance are excluded (z undefined); the z filter compares the ROUNDED
+    value on both sides so the cross-engine ulp in stddev can't flip a
+    boundary row in or out."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.sum("value").alias("v")
+    )
+    keyed = hourly.select(
+        "bucket", "v", F.dayofweek("bucket").alias("dow"), F.hour("bucket").alias("hod")
+    )
+    base = keyed.groupBy("dow", "hod").agg(
+        F.avg("v").alias("m"),
+        F.stddev_samp("v").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    z = F.round((F.col("v") - F.col("m")) / F.col("s"), 4)
+    return (
+        keyed.join(F.broadcast(base), ["dow", "hod"])
+        .filter((F.col("c") >= 3) & (F.col("s") > 1e-9) & (F.abs(z) > 1.4))
+        .select("bucket", F.round("v", 2).alias("hourly_value"), z.alias("z"))
+        .orderBy("bucket")
+    )
