@@ -670,3 +670,54 @@ def skyline_cheap_small_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+@register(
+    "dq_histogram_totalprice",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+               o_totalprice
+        FROM orders
+    )
+    SELECT bin,
+           ROUND(bin * 25000.0, 2) AS bin_low,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max,
+           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def dq_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profile of a value column — the distribution
+    fingerprint a data-quality monitor stores per snapshot to catch drift
+    (new mass in a tail bin = schema or upstream change). Fixed bin width
+    (not quantile bins) so histograms from different snapshots/partitions
+    are MERGEABLE by adding counts — the property that lets 100 TB of
+    per-file profiles roll up to a dataset profile without a re-scan.
+
+    One map-side-combined aggregate on the bin key; the percent-of-total
+    window runs over |bins| rows, not data rows."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 25000.0).cast("bigint")
+    out = o.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+    return (
+        out.select(
+            "bin",
+            F.round(F.col("bin") * 25000.0, 2).alias("bin_low"),
+            "n",
+            "bin_min",
+            "bin_max",
+            F.round(100.0 * F.col("n") / F.sum("n").over(Window.partitionBy()), 4).alias(
+                "pct"
+            ),
+        )
+        .orderBy("bin")
+    )

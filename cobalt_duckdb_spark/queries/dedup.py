@@ -442,3 +442,56 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_shared_span_report",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                      i -> array_to_string(t[i:i+7], ' '))) AS span
+        FROM toks WHERE len(t) >= 8
+    )
+    SELECT span,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM spans
+    GROUP BY span
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, span
+    LIMIT 25
+    """,
+)
+def dedup_shared_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span report: 8-token windows appearing verbatim in
+    ≥2 distinct documents — the span-level view of contamination/boilerplate
+    (the "exact substring duplication" signal of Lee et al.'s
+    train-data dedup, computed at fixed window width so it stays a pure
+    group-by instead of a suffix array). Where the pairwise operators answer
+    "which docs overlap", this answers "WHAT text is duplicated and how
+    widely" — the report a curation run reads to build a boilerplate
+    blocklist.
+
+    Scale shape: shingle explode (one user-key shuffle via fan_out +
+    window), per-doc DISTINCT during the explode (collect_set inside
+    ``shingle_rows``), then ONE map-side-combined aggregate on span; doc
+    frequency = plain COUNT because rows are (doc, span)-distinct by
+    construction. Top-k via TakeOrderedAndProject. Span width 8 ≈ the n-gram
+    size at which natural-language collisions vanish, so survivors are true
+    copies."""
+    from cobalt_duckdb_spark.operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = shingle_rows(d, n=8, with_counts=False)
+    return (
+        spans.groupBy(F.col("shingle").alias("span"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(25)
+    )

@@ -215,3 +215,55 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(split_audit)
         .orderBy("stage_idx")
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0) / n_chars AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(k, 8) AS sample_key
+    FROM keyed
+    ORDER BY sample_key, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each doc draws key = −ln(u)/w with u ∈ (0,1) and weight w; the k
+    smallest keys are a weighted reservoir sample — how a training mix
+    over-samples long/high-quality docs without replacement and without a
+    sampling state. Here w = n_chars (longer docs proportionally likelier).
+
+    The randomness is DERANDOMIZED: u comes from the doc's md5 id-hash, not
+    an RNG — the same doc draws the same u on every engine, run, partition
+    layout, and cluster size (``rand(seed)`` guarantees none of those; its
+    output depends on partition assignment). That makes a *sampling*
+    operator differentially testable and the sample reproducible for
+    training-data lineage audits.
+
+    Scale shape: embarrassingly parallel key computation (one md5 + one ln
+    per row, no shuffle), then a global top-k = TakeOrderedAndProject —
+    per-partition heaps of size k, only k rows ever cross the network. At
+    100 TB this is THE way to draw a weighted sample: no per-stratum state,
+    no second pass, no skew sensitivity."""
+    from cobalt_duckdb_spark.operators.dedup import token_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (token_hash(F.col("doc_id").cast("string")) + 0.5) / F.lit(4294967296.0)
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(k, 8).alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(50)
+    )

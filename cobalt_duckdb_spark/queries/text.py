@@ -561,3 +561,91 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+    utot AS (SELECT SUM(n) * 1.0 AS tot FROM ucnt),
+    bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+           FROM toks),
+    bcnt AS (SELECT bigram, COUNT(*) AS nb FROM bg GROUP BY bigram),
+    btot AS (SELECT SUM(nb) * 1.0 AS tot FROM bcnt)
+    SELECT b.bigram AS bigram,
+           CAST(b.nb AS BIGINT) AS n,
+           ROUND(LN((b.nb / (SELECT tot FROM btot))
+                    / ((u1.n / (SELECT tot FROM utot))
+                       * (u2.n / (SELECT tot FROM utot)))), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON u1.w = split_part(b.bigram, ' ', 1)
+    JOIN ucnt u2 ON u2.w = split_part(b.bigram, ' ', 2)
+    WHERE b.nb >= 5
+    ORDER BY pmi DESC, bigram LIMIT 25
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    statistically-weighted upgrade of ``text_top_bigrams``: raw counts rank
+    "the the"-style frequency; PMI = ln(p(xy)/(p(x)p(y))) ranks pairs that
+    co-occur MORE than their unigram frequencies predict (true collocations).
+    Standard first pass for multi-word-expression mining over a corpus.
+
+    Scale shape: unigram and bigram counts are two map-side-combined
+    aggregates over the exploded token stream; the vocabulary tables they
+    produce are tiny relative to the corpus (Heaps' law), so both PMI joins
+    broadcast. The ≥5 count floor removes the unstable low-frequency tail
+    (PMI's known bias toward hapax pairs). Ordering is by the ROUNDED score
+    with a bigram tiebreak so the cross-engine ulp in ln() can't reorder the
+    cut line."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = T.tokens("text")
+    uni = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    utot = uni.agg(F.sum("n").cast("double").alias("utot"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+    )
+    bcnt = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 5)
+    )
+    btot_df = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .agg(F.count(F.lit(1)).cast("double").alias("btot"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    pmi = F.round(
+        F.log(
+            (F.col("nb") / F.col("btot"))
+            / ((F.col("n1") / F.col("utot")) * (F.col("n2") / F.col("utot")))
+        ),
+        6,
+    )
+    return (
+        bcnt.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot_df))
+        .select(
+            "bigram",
+            F.col("nb").cast("bigint").alias("n"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(25)
+    )
