@@ -339,3 +339,24 @@ def embedding_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_dim.orderBy(F.desc("variance"), F.asc("dim")).limit(10)
+
+
+from cobalt_duckdb_spark.operators.pq import pq_adc_oracle_sql  # noqa: E402
+
+
+@register(
+    "simsearch_pq_adc_topk",
+    oracle=pq_adc_oracle_sql(k=_K, query_ids=(0, 1, 2)),
+)
+def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (8 subspaces × 16 centroids → 8-byte
+    codes, 32× compression): train → encode → lookup-table search, the
+    Jegou-style billion-vector index path (``operators/pq.py``). The oracle
+    replays the IDENTICAL deterministic pipeline in SQL — the compressed
+    index is differentially tested end-to-end, not smoke-checked. Distances
+    here are L2² over codes (ADC); the recall-vs-exact tradeoff is pinned by
+    ``tests/test_operators.py::test_pq_recall_vs_exact``."""
+    from cobalt_duckdb_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _query_set(spark, sf_dir), k=_K)
