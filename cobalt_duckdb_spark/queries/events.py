@@ -601,3 +601,68 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "join_interval_error_click_left",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click'),
+    joined AS (
+        SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id
+        FROM e LEFT JOIN c
+          ON e.user_id = c.user_id
+         AND c.ts <= e.ts
+         AND c.ts >= e.ts - INTERVAL '1 hour'
+    ),
+    per_error AS (
+        SELECT user_id, error_id,
+               COUNT(click_id) AS n_clicks
+        FROM joined GROUP BY user_id, error_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(SUM(CASE WHEN n_clicks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors_with_click,
+           CAST(SUM(CASE WHEN n_clicks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors_orphan
+    FROM per_error
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def join_interval_error_click_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 left-OUTER stream-stream batch twin: unlike the inner variant,
+    errors with no same-user click in the preceding hour survive with NULL
+    click columns — the "orphan error" diagnostic (errors not preceded by
+    user interaction suggest background/system failures, not UX failures).
+    In streaming mode the outer row is emitted only after the watermark
+    proves no match can arrive (pinned by
+    ``tests/test_streaming.py::test_left_outer_interval_join_emits_orphans``).
+    Same double-bounded interval condition → same finite join state."""
+    from cobalt_duckdb_spark.streaming.events import correlate_clicks_to_errors
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = correlate_clicks_to_errors(
+        e.filter(F.col("event_type") == "error"),
+        e.filter(F.col("event_type") == "click"),
+        how="left_outer",
+    )
+    per_error = pairs.groupBy("user_id", "error_id").agg(
+        F.count("click_id").alias("n_clicks")
+    )
+    return (
+        per_error.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+            F.sum(F.when(F.col("n_clicks") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors_with_click"),
+            F.sum(F.when(F.col("n_clicks") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors_orphan"),
+        )
+        .orderBy("user_id")
+    )

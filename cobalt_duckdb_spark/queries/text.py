@@ -5,7 +5,7 @@ profiles. All pure Catalyst expressions — see functions/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions import text as T
@@ -615,16 +615,16 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(t) - 2),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
     )
-    bcnt = (
+    bcnt_all = (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") >= 5)
+        .persist()
     )
-    btot_df = (
-        d.select(F.explode(bigrams).alias("bigram"))
-        .agg(F.count(F.lit(1)).cast("double").alias("btot"))
-    )
+    # total bigram mass folded from the count table — the corpus-sized
+    # explode runs ONCE and both consumers read the persisted vocab table
+    btot_df = bcnt_all.agg(F.sum("nb").cast("double").alias("btot"))
+    bcnt = bcnt_all.filter(F.col("nb") >= 5)
     u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
     pmi = F.round(
@@ -648,4 +648,74 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(25)
+    )
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    nd AS (SELECT COUNT(*) * 1.0 AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.w, t.tf,
+               ROUND(t.tf * LN((SELECT n FROM nd) / d.df), 6) AS tfidf
+        FROM tf t JOIN df d ON t.w = d.w
+    )
+    SELECT doc_id, w AS keyword, CAST(tf AS BIGINT) AS tf, tfidf,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+          FROM scored)
+    WHERE rn <= 3 AND doc_id < 25
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf·idf — the cheap
+    doc-level summarizer a curation pipeline uses for faceting/labeling
+    before any model runs. idf uses the full corpus; the doc_id cut applies
+    only at output so scores don't depend on the slice requested.
+
+    Scale shape: tf is one map-side-combined aggregate over the exploded
+    token stream partitioned by (doc, token); df folds tf by token (already
+    distinct per doc, so a plain count — no second distinct shuffle); the
+    vocabulary-sized df table broadcasts back. Top-3 per doc rides the
+    existing doc partition. ln(N/df) [plain idf] rather than smoothed: df>0
+    by construction here; rounded BEFORE ranking so the cross-engine ulp in
+    ln can't reorder the per-doc cut."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 25))
+        .select(
+            "doc_id",
+            F.col("w").alias("keyword"),
+            F.col("tf").cast("bigint").alias("tf"),
+            "tfidf",
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
     )

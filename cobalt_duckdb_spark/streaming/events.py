@@ -221,14 +221,19 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
 
 def correlate_clicks_to_errors(
-    errors: DataFrame, clicks: DataFrame, within: str = "1 hour"
+    errors: DataFrame, clicks: DataFrame, within: str = "1 hour", how: str = "inner"
 ) -> DataFrame:
     """T6 (stream-stream): join two event streams — each error to the same
     user's clicks in the preceding ``within`` interval. With streaming
     inputs, BOTH sides carry watermarks and the join condition bounds event
     time on both sides, which is what lets Spark expire join state (an
     unbounded stream-stream join would buffer forever). Works identically
-    on batch inputs (the oracle-checked twin)."""
+    on batch inputs (the oracle-checked twin).
+
+    ``how='left_outer'`` keeps errors with NO click in the window (click
+    columns NULL) — in streaming mode the null-extended row is emitted only
+    once the watermark proves no matching click can still arrive, so outer
+    results are late by the watermark delay by design."""
     from pyspark.sql import functions as F
 
     e = errors.select(
@@ -249,7 +254,7 @@ def correlate_clicks_to_errors(
         & (c.click_ts <= e.error_ts)
         & (c.click_ts >= e.error_ts - F.expr(f"INTERVAL {within}"))
     )
-    return e.join(c, cond).select(
+    return e.join(c, cond, how).select(
         "user_id", "error_id", "error_ts", "click_id", "click_ts"
     )
 

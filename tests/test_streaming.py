@@ -389,3 +389,56 @@ def test_latest_state_upsert_foreachbatch(spark, tmp_path):
     s2 = {r["user_id"]: r["event_type"] for r in got.collect()}
     assert s2 == {1: "click", 2: "purchase", 3: "view"}
     assert got.count() == 3
+
+
+def test_left_outer_interval_join_emits_orphans(spark, tmp_path):
+    """Left-outer stream-stream: an error with NO click in its 1-hour
+    lookback must surface with a NULL click — but only AFTER the watermark
+    proves no matching click can still arrive. Matched errors emit normally."""
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.streaming import correlate_clicks_to_errors
+
+    d = str(tmp_path / "louter_join")
+    # E1 (+30, user 1) has click C0 (+10, user 1) → matched pair.
+    # E2 (+40, user 2) has NO click ever → orphan, emittable once both
+    # watermarks pass E2's join window.
+    _append_events(
+        spark, d,
+        [(20, 10, 1, "click"), (21, 30, 1, "error"), (22, 40, 2, "error")],
+    )
+    stream = read_events_stream(spark, d)
+    joined = correlate_clicks_to_errors(
+        stream.filter(F.col("event_type") == "error"),
+        stream.filter(F.col("event_type") == "click"),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_louter_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            (r["error_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM t_louter_join").collect()
+        }
+        # watermark hasn't passed E2's window yet → orphan NOT yet emitted
+        assert (22, None) not in mid
+        # advance both watermarks far past E2's window (+40 + 60min lookback
+        # + 10min delay): rows at +240 on both streams
+        _append_events(spark, d, [(23, 240, 8, "error"), (24, 240, 9, "click")])
+        q.processAllAvailable()
+        # one more batch so the outer-join state for E2 definitely flushes
+        _append_events(spark, d, [(25, 300, 8, "error"), (26, 300, 9, "click")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {
+        (r["error_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_louter_join").collect()
+    }
+    assert (21, 20) in pairs  # matched error emitted with its click
+    assert (22, None) in pairs  # orphan emitted null-extended after watermark
