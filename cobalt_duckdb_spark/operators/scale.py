@@ -104,3 +104,54 @@ def compact_parquet(
     df = spark.read.parquet(path)
     df.repartition(target_files).write.mode("overwrite").parquet(out_path)
     return len(glob.glob(os.path.join(out_path, "*.parquet")))
+
+
+def zorder_value(x: "F.Column", y: "F.Column", bits: int = 16) -> "F.Column":
+    """Morton/Z-order interleave of two pre-bucketed non-negative ints
+    (each < 2**bits) into one locality-preserving sort key — pure Catalyst
+    bit math (shiftleft/bitwiseOR), no UDF.
+
+    Why it matters at 100 TB: sorting by (a, b) clusters files tightly on
+    ``a`` but leaves every file's ``b`` range global, so predicates on ``b``
+    prune nothing. Z-ordering interleaves the bits so EVERY file covers a
+    small rectangle of (a, b) space — min/max footer stats then prune scans
+    on either column (or both). This is the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, expressed as a plain sort key."""
+    xb = x.cast("bigint")
+    yb = y.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    x_bucket: float,
+    y_bucket: float,
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Cluster a table on the Z-curve of two columns and write ``num_files``
+    parquet files, each covering a small (x, y) rectangle. Buckets are
+    ``value / *_bucket`` (floor), so callers pick resolution; range
+    partitioning on the z key balances file sizes even when the space is
+    skewed (quantile-based splits), then rows are sorted within each file so
+    row-group stats are tight too."""
+    zx = F.floor(F.col(x_col) / x_bucket)
+    zy = F.floor(F.col(y_col) / y_bucket)
+    (
+        df.withColumn("_z", zorder_value(zx, zy, bits))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -214,3 +214,68 @@ def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir, tmp_path):
     assert 0 < n_probe < n_all
     got_cells = {r["cell"] for r in probe.select("cell").distinct().collect()}
     assert got_cells <= {0, 1}
+
+
+def test_zorder_layout_tightens_file_ranges_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering vs linear sort, judged by the parquet footer stats
+    a scan actually prunes with: under a linear (custkey, price) sort each
+    file's custkey range is tight but its PRICE range stays ~global (no
+    pruning on price); under Z-order BOTH per-file ranges shrink, so
+    predicates on either column skip most files. Asserts the mechanism, not
+    a plan string: per-file min/max read back via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.operators.scale import write_zordered
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    span = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+    ).collect()[0]
+
+    def per_file_avg_range(path: str, col: str) -> float:
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        assert len(spans) >= 8
+        return sum(spans) / len(spans)
+
+    linear = str(tmp_path / "linear")
+    (
+        o.repartitionByRange(16, "o_custkey", "o_totalprice")
+        .sortWithinPartitions("o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zordered = str(tmp_path / "zordered")
+    write_zordered(
+        o, zordered, "o_custkey", "o_totalprice",
+        x_bucket=max(1.0, span["ck"] / 64.0),
+        y_bucket=span["tp"] / 64.0,
+        num_files=16,
+    )
+
+    # linear layout: custkey tight, price ~global
+    lin_price = per_file_avg_range(linear, "o_totalprice")
+    z_price = per_file_avg_range(zordered, "o_totalprice")
+    z_ck = per_file_avg_range(zordered, "o_custkey")
+    # z-order shrinks the price range per file by a real factor…
+    assert z_price < 0.6 * lin_price
+    # …while keeping custkey locality far below the global span
+    assert z_ck < 0.6 * span["ck"]
