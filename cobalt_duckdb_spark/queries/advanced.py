@@ -794,3 +794,47 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+@register(
+    "dq_equidepth_deciles",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def dq_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (exact deciles): equal row mass per bucket, so
+    bucket boundaries ARE the distribution's quantiles — the complement of
+    ``dq_histogram_totalprice``'s fixed-width bins (which go empty/overfull
+    under skew). Exact ntile needs a global ordered numbering: correct for
+    audit-grade profiling, but at 100 TB a global-order window is one
+    partition's sort — use ``percentile_approx`` (see
+    ``agg_approx_sketches``) for the streaming/estimate path and reserve
+    this exact form for bounded slices. Determinism: o_orderkey tiebreak
+    pins which of two equal prices straddles a boundary."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(F.col("decile").cast("bigint").alias("decile"), "n", "lo", "hi")
+        .orderBy("decile")
+    )

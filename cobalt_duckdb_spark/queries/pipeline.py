@@ -267,3 +267,67 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "sample_per_user_event_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT,
+                            event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_user
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(n_user) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors_kept
+    FROM ranked WHERE rn <= 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sample_per_user_event_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cap (rate-limit) downsampling: keep at most 50 events per
+    user, chosen by id-hash order — the anti-whale primitive for training
+    data (unbounded per-user contributions let a bot dominate the mix; a
+    straight LIMIT has no per-key semantics). Hash order, not time order, so
+    the kept subset is an unbiased-ish draw across each user's history and
+    reproducible everywhere (same derandomized-u policy as
+    ``sample_weighted_reservoir``).
+
+    Scale shape: ONE shuffle on the cap key; the row_number and the per-key
+    count share the partition. Hot keys are exactly the rows this op
+    removes, and the cap bounds every partition's surviving rows."""
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.operators.dedup import token_hash
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number()
+        .over(w.orderBy(token_hash(F.col("event_id").cast("string")), "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_user"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("n_user").cast("bigint").alias("n_before"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors_kept"),
+        )
+        .orderBy("user_id")
+    )

@@ -325,3 +325,81 @@ def events_seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", F.round("v", 2).alias("hourly_value"), z.alias("z"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_peak_concurrent_incidents",
+    oracle="""
+    WITH incidents AS (
+        SELECT CAST(ts AS TIMESTAMP) AS s,
+               CAST(ts AS TIMESTAMP) + INTERVAL '10 minutes' AS e
+        FROM events WHERE event_type = 'error'
+    ),
+    deltas AS (
+        SELECT CAST(s AS DATE) AS day, s AS t, 1 AS delta FROM incidents
+        UNION ALL
+        SELECT CAST(s AS DATE) AS day, e AS t, -1 AS delta FROM incidents
+    ),
+    swept AS (
+        SELECT day, t,
+               SUM(delta) OVER (
+                   PARTITION BY day ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS concurrent
+        FROM deltas
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_incidents
+    FROM swept
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def events_peak_concurrent_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: each error opens a 10-minute
+    incident window; the peak number of simultaneously-open incidents per
+    day is the classic capacity/alerting metric (max concurrent sessions,
+    peak room occupancy — same query). The O(n log n) sweep replaces the
+    quadratic self-join ("count intervals overlapping each instant"):
+    explode every interval into a +1/−1 delta, running-sum in time order,
+    take the max.
+
+    Partitioned by day so the running sum never needs a global single
+    partition (incidents opened in one day and closing in the next are
+    counted in the opening day — the boundary convention, documented).
+    Ties: deltas sort (t, delta) so a −1 at instant t lands before the +1
+    of an interval opening at exactly t — back-to-back windows don't
+    double-count."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    inc = e.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 minutes")).alias("e"),
+    )
+    deltas = inc.select(
+        F.to_date("s").alias("day"), F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        inc.select(
+            F.to_date("s").alias("day"), F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select("day", F.sum("delta").over(w).alias("concurrent"))
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.max("concurrent").cast("bigint").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_incidents"),
+        )
+        # DATE serializes differently across the two engines' pandas
+        # bridges (object date vs datetime64) and breaks the value hash —
+        # ISO string on both sides instead
+        .select(F.col("day").cast("string").alias("day"), "peak_concurrent", "n_incidents")
+        .orderBy("day")
+    )
