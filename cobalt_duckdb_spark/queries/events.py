@@ -666,3 +666,80 @@ def join_interval_error_click_left(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_assoc_rules_types",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    nu AS (SELECT COUNT(DISTINCT user_id) * 1.0 AS n FROM baskets),
+    item AS (SELECT event_type, COUNT(*) * 1.0 AS n_item FROM baskets
+             GROUP BY event_type),
+    pair AS (
+        SELECT a.event_type AS lhs, b.event_type AS rhs,
+               COUNT(*) * 1.0 AS n_pair
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.lhs, p.rhs,
+           ROUND(p.n_pair / (SELECT n FROM nu), 6) AS support,
+           ROUND(p.n_pair / ia.n_item, 6) AS confidence,
+           ROUND((p.n_pair / ia.n_item) / (ib.n_item / (SELECT n FROM nu)), 6)
+               AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.lhs
+    JOIN item ib ON ib.event_type = p.rhs
+    ORDER BY lhs, rhs
+    """,
+)
+def events_assoc_rules_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over per-user behavior baskets: support /
+    confidence / lift for every event-type pair — the first round of an
+    FP-growth-style market-basket analysis, done relationally (lift > 1 =
+    types co-occurring beyond independence; the behavioral cousin of
+    ``text_pmi_collocations``).
+
+    Scale shape: baskets = one distinct shuffle on (user, item); the pair
+    self-join meets only within a user (key-partitioned, basket-size-bounded
+    fan-out — |types|² max per user, never users²); item counts are a tiny
+    broadcast. At real vocabulary sizes the standard guard is a support
+    floor pushed below the pair join (drop rare items first) — here the
+    5-type vocabulary needs none."""
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    nu = baskets.agg(F.countDistinct("user_id").cast("double").alias("n"))
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_item")
+    )
+    b2 = baskets.select(
+        F.col("user_id").alias("b_user"), F.col("event_type").alias("rhs")
+    )
+    pair = (
+        baskets.join(
+            b2,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("event_type") < F.col("rhs")),
+        )
+        .groupBy(F.col("event_type").alias("lhs"), "rhs")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_pair"))
+    )
+    ia = item.select(F.col("event_type").alias("lhs"), F.col("n_item").alias("n_lhs"))
+    ib = item.select(F.col("event_type").alias("rhs"), F.col("n_item").alias("n_rhs"))
+    return (
+        pair.join(F.broadcast(ia), "lhs")
+        .join(F.broadcast(ib), "rhs")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "lhs",
+            "rhs",
+            F.round(F.col("n_pair") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_lhs"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_pair") / F.col("n_lhs")) / (F.col("n_rhs") / F.col("n")), 6
+            ).alias("lift"),
+        )
+        .orderBy("lhs", "rhs")
+    )
