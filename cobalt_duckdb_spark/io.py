@@ -66,7 +66,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Explicit read schema for events: the file stores ts as Parquet
+# Explicit read schema for events when the file stores ts as Parquet
 # TIMESTAMP(NANOS), which Spark's default reader rejects. Declaring ts LONG
 # reads the raw nano integers without any session conf (no
 # ``spark.sql.legacy.parquet.nanosAsLong`` mutation — a loader must not have
@@ -75,6 +75,16 @@ EVENTS_READ_DDL = (
     "event_id BIGINT, ts LONG, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
+
+
+def _events_ts_unit(path: str) -> str:
+    """Timestamp unit ('ns' | 'us' | ...) of events.ts from the Parquet
+    footer. The driver has shipped testdata with BOTH encodings across
+    rounds, so the loader adapts per file instead of assuming either; one
+    footer read per (session, sf_dir) thanks to the table cache."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow.field("ts").type.unit
 
 # Per-session (sf_dir, table) → DataFrame. The testdata is immutable, so the
 # read relation (schema + file listing resolved from the parquet footer) can
@@ -92,13 +102,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst — callers express plain ``select``/``filter`` and the Parquet scan
     receives PushedFilters + ReadSchema automatically.
 
-    ``events.ts`` is Parquet TIMESTAMP(NANOS): we read the raw nanos via an
-    explicit LONG schema and truncate to microseconds with integer division
-    — bit-identical to DuckDB's TIMESTAMP_NS→TIMESTAMP cast. (Plain ``/1000``
-    in double would lose precision: 1.7e18 ns exceeds the 53-bit mantissa.)
-    The result is converted to TIMESTAMP_NTZ pinned to UTC wall time, so the
-    values are independent of the session timezone — no conf mutation needed
-    even on an externally created (driver) session.
+    ``events.ts`` needs unit handling: testdata has shipped with ts as both
+    Parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver rounds.
+    MICROS reads natively (TIMESTAMP_NTZ). For NANOS — which Spark's reader
+    rejects — we read the raw nanos via an explicit LONG schema and truncate
+    to microseconds with integer division, bit-identical to DuckDB's
+    TIMESTAMP_NS→TIMESTAMP cast. (Plain ``/1000`` in double would lose
+    precision: 1.7e18 ns exceeds the 53-bit mantissa.) The result is
+    converted to TIMESTAMP_NTZ pinned to UTC wall time, so the values are
+    independent of the session timezone — no conf mutation needed even on an
+    externally created (driver) session.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -107,7 +120,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = per_session.get(key)
     if cached is not None:
         return cached
-    if name == "events":
+    if name == "events" and _events_ts_unit(table_path(sf_dir, name)) == "ns":
         from pyspark.sql import functions as F
 
         df = (

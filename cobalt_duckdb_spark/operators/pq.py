@@ -156,6 +156,178 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF+PQ composed index (the FAISS ``IVFx,PQy`` architecture, Jegou et
+    al. §V): a coarse quantizer prunes the candidate set to ``nprobe`` cells,
+    then ADC over 8-byte PQ codes scores only those candidates — N shrinks by
+    ~C/nprobe AND each comparison shrinks from D multiplies to M lookups.
+
+    This variant encodes full vectors, not cell residuals: residual encoding
+    couples the two codebooks and buys accuracy, but the pruning/compression
+    plan — the part that matters at 100 TB — is identical, and full-vector
+    codes keep the whole pipeline replayable as SQL by the oracle.
+
+    Scale shape: both codebooks broadcast; cell assignment + PQ encode are
+    one-time map-only ingest jobs (lake layout: partition by cell, codes as
+    an M-byte BINARY column → every query is a partition-pruned scan of
+    compressed codes). Search = candidates ⋈ codes ⋈ broadcast LUT + one
+    partial-aggregated sum per (query, vec) + per-query top-k window."""
+    from cobalt_duckdb_spark.operators.similarity import ivf_assign, make_centroids
+
+    centroids = make_centroids(embeddings, num_centroids, id_col)
+    cells = ivf_assign(embeddings, centroids, id_col).select(id_col, "cell")
+
+    books = pq_codebooks(embeddings, m, dsub, ksub, id_col).persist()
+    codes = pq_encode(embeddings, books, m, dsub, id_col)
+
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+
+    qscored = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col("centroid_id"),
+        cosine_distance(F.col(query_vec_col), F.col("centroid_vec")).alias("_cd"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.asc("_cd"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, F.col("centroid_id").alias("cell"))
+    )
+
+    qv = F.col(query_vec_col).cast("array<double>")
+    lut = queries.select(F.col(query_id_col), qv.alias("qv")).crossJoin(
+        F.broadcast(books)
+    ).select(
+        query_id_col,
+        "sub",
+        F.col("cid").alias("code"),
+        _l2sq(F.slice("qv", F.col("sub") * dsub + 1, dsub), F.col("cvec")).alias("pd"),
+    )
+
+    candidates = cells.join(F.broadcast(probes), "cell").select(query_id_col, id_col)
+    scored = (
+        codes.join(candidates, id_col)
+        .join(F.broadcast(lut), [query_id_col, "sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("pd"), round_to).alias("adc_distance"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_distance"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "adc_distance")
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def ivfpq_adc_oracle_sql(
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+) -> str:
+    """DuckDB twin: identical coarse-prune + encode + ADC pipeline in SQL."""
+    qid_list = ", ".join(str(q) for q in query_ids)
+    l2 = (
+        "list_aggregate(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    sub_slice = "(CAST({col} AS DOUBLE[]))[b.sub * {dsub} + 1 : b.sub * {dsub} + {dsub}]"
+    e_slice = sub_slice.format(col="e.embedding", dsub=dsub)
+    q_slice = sub_slice.format(col="q.embedding", dsub=dsub)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT {num_centroids}
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.centroid_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv),
+                                c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY 1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv),
+                                c.centroid_id) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id IN ({qid_list})) q
+            CROSS JOIN centroids c
+        ) WHERE rn <= {nprobe}
+    ),
+    subs AS (SELECT unnest(range(0, {m})) AS sub),
+    books AS (
+        SELECT s.sub AS sub, bb.cid,
+               (CAST(bb.v AS DOUBLE[]))[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS cvec
+        FROM (SELECT vec_id AS cid, embedding AS v
+              FROM embeddings ORDER BY vec_id LIMIT {ksub}) bb
+        CROSS JOIN subs s
+    ),
+    codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+            SELECT e.vec_id, b.sub, b.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, b.sub
+                       ORDER BY {l2.format(a=e_slice, b='b.cvec')}, b.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN books b
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, b.sub, b.cid AS code,
+               {l2.format(a=q_slice, b='b.cvec')} AS pd
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id IN ({qid_list})) q
+        CROSS JOIN books b
+    ),
+    cand AS (
+        SELECT p.query_id, c.vec_id
+        FROM cells c JOIN probes p ON c.cell = p.cell
+    ),
+    scored AS (
+        SELECT l.query_id, cd.vec_id, ROUND(SUM(l.pd), 6) AS adc_distance
+        FROM codes cd
+        JOIN cand ca ON cd.vec_id = ca.vec_id
+        JOIN lut l ON l.query_id = ca.query_id
+                  AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY l.query_id, cd.vec_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adc_distance
+    FROM (
+        SELECT query_id, vec_id, adc_distance,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_distance, vec_id
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= {k}
+    ORDER BY query_id, rank
+    """
+
+
 def pq_adc_oracle_sql(
     k: int = 5,
     m: int = PQ_M,

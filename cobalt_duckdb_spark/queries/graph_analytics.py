@@ -85,3 +85,84 @@ def graph_pagerank_event_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("centrality_rank"),
     ).orderBy("centrality_rank")
+
+
+_TRI_MIN_W = 2  # co-order count for an edge to exist
+
+
+@register(
+    "graph_triangle_parts",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= {_TRI_MIN_W}
+    ),
+    tris AS (
+        SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.pb = e2.pa
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    member AS (
+        SELECT x AS partkey FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+    )
+    SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY partkey
+    ORDER BY n_triangles DESC, partkey LIMIT 20
+    """,
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts co-occurring
+    in ≥2 orders are connected): parts by number of triangles they sit in —
+    the classic cluster-cohesion / community-seed signal, and the third
+    member of the iterative-graph family next to PageRank and connected
+    components (this one is join-closed: exactly two self-joins, no loop).
+
+    Scale shape: the textbook distributed-triangle plan — orient every edge
+    low-id → high-id so each triangle is counted exactly ONCE as the wedge
+    (a<b<c) closed by edge (a,c); the orientation also bounds the wedge join,
+    since a node's out-degree under id-ordering ≲ √(2·|E|) for any skew
+    (Ganz/Schank-Wagner bound). Edge building partial-aggregates map-side on
+    (pa, pb); the wedge and closing joins shuffle on single part keys. At
+    100 TB the edge list is the thing to persist bucketed by pa — both joins
+    then co-locate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    pairs = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+    ).select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("pa", "pb")
+        .persist()
+    )
+    wedges = edges.alias("e1").join(
+        edges.alias("e2"), F.col("e1.pb") == F.col("e2.pa")
+    ).select(
+        F.col("e1.pa").alias("x"), F.col("e1.pb").alias("y"), F.col("e2.pb").alias("z")
+    )
+    tris = wedges.join(
+        edges.alias("e3"),
+        (F.col("x") == F.col("e3.pa")) & (F.col("z") == F.col("e3.pb")),
+    ).select("x", "y", "z")
+    member = (
+        tris.select(F.col("x").alias("partkey"))
+        .unionAll(tris.select(F.col("y").alias("partkey")))
+        .unionAll(tris.select(F.col("z").alias("partkey")))
+    )
+    return (
+        member.groupBy("partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("partkey"))
+        .limit(20)
+    )

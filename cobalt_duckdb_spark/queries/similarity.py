@@ -341,7 +341,10 @@ def embedding_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_dim.orderBy(F.desc("variance"), F.asc("dim")).limit(10)
 
 
-from cobalt_duckdb_spark.operators.pq import pq_adc_oracle_sql  # noqa: E402
+from cobalt_duckdb_spark.operators.pq import (  # noqa: E402
+    ivfpq_adc_oracle_sql,
+    pq_adc_oracle_sql,
+)
 
 
 @register(
@@ -360,3 +363,19 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, _query_set(spark, sf_dir), k=_K)
+
+
+@register(
+    "simsearch_ivfpq_adc_topk",
+    oracle=ivfpq_adc_oracle_sql(k=_K, query_ids=(0, 1, 2)),
+)
+def simsearch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index (FAISS ``IVF16,PQ8`` shape): coarse cells prune
+    the candidate set ~4×, PQ codes compress each comparison 32× — the two
+    scale levers multiplied, which is how billion-vector serving actually
+    ships. Deterministic codebooks keep the entire train → assign → encode →
+    ADC pipeline oracle-replayable (``operators/pq.py::ivfpq_adc_topk``)."""
+    from cobalt_duckdb_spark.operators.pq import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_adc_topk(emb, _query_set(spark, sf_dir), k=_K)

@@ -719,3 +719,93 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, Appendix A — adapted to the
+# synthetic corpus's scale: docs here are 20-100 words of space-separated
+# tokens, so the word-count band is narrowed from [50, 100k] to [25, 500]).
+_G_MIN_WORDS, _G_MAX_WORDS = 25, 500
+_G_MIN_MWL, _G_MAX_MWL = 2.0, 10.0
+_G_MIN_STOPWORDS = 2  # distinct stopwords that must appear
+_G_MAX_TOP_FRAC = 0.2  # most-frequent-word mass cap (repetition rule)
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 300
+    ),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               SUM(c) AS n_words,
+               SUM(c * length(w)) * 1.0 / SUM(c) AS mean_word_len,
+               MAX(c) * 1.0 / SUM(c) AS top_word_frac,
+               COUNT(DISTINCT CASE WHEN w IN ('the', 'a', 'of', 'and')
+                                   THEN w END) AS n_stop
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_word_len, 4) AS mean_word_len,
+           ROUND(top_word_frac, 4) AS top_word_frac,
+           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS flag_n_words,
+           (mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}) AS flag_mean_len,
+           (n_stop >= {_G_MIN_STOPWORDS}) AS flag_stopwords,
+           (top_word_frac <= {_G_MAX_TOP_FRAC}) AS flag_repetition,
+           ((n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+            AND (mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL})
+            AND n_stop >= {_G_MIN_STOPWORDS}
+            AND top_word_frac <= {_G_MAX_TOP_FRAC}) AS keep
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021's heuristic
+    pack: word-count band, mean-word-length band, stopword presence,
+    repetition cap) as per-doc boolean flags + a composed ``keep`` decision —
+    the curation-pipeline complement to ``text_quality_scores``' continuous
+    score: scores rank, flags GATE, and a pipeline audits WHY a doc was
+    dropped by reading which flag tripped.
+
+    Scale shape: one explode + two-level aggregate keyed by doc_id — the
+    (doc, word) count table partial-aggregates map-side, the per-doc
+    reduction reuses the same key, so one shuffle end-to-end and no
+    collect. At 100 TB each rule stays a pure column expression; adding a
+    rule adds zero shuffles."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        (F.sum(F.col("c") * F.length("w")) / F.sum("c")).alias("mwl"),
+        (F.max("c") / F.sum("c")).alias("twf"),
+        F.count_distinct(
+            F.when(F.col("w").isin(_STOPWORDS), F.col("w"))
+        ).alias("n_stop"),
+    )
+    flag_n = F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+    flag_m = F.col("mwl").between(_G_MIN_MWL, _G_MAX_MWL)
+    flag_s = F.col("n_stop") >= _G_MIN_STOPWORDS
+    flag_r = F.col("twf") <= _G_MAX_TOP_FRAC
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("twf", 4).alias("top_word_frac"),
+        flag_n.alias("flag_n_words"),
+        flag_m.alias("flag_mean_len"),
+        flag_s.alias("flag_stopwords"),
+        flag_r.alias("flag_repetition"),
+        (flag_n & flag_m & flag_s & flag_r).alias("keep"),
+    ).orderBy("doc_id")

@@ -403,3 +403,130 @@ def events_peak_concurrent_incidents(spark: SparkSession, sf_dir: str) -> DataFr
         .select(F.col("day").cast("string").alias("day"), "peak_concurrent", "n_incidents")
         .orderBy("day")
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 20  # trailing rows folded per point
+
+
+@register(
+    "events_ewma_user_value",
+    oracle=f"""
+    WITH windows AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id, event_id, ROUND(value, 2) AS value,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA}), 6)
+               AS ewma
+    FROM windows
+    ORDER BY user_id, event_id
+    """,
+)
+def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user — the
+    classic smoothing recurrence ``s_n = (1-α)·s_{n-1} + α·x_n``, which no
+    built-in window aggregate expresses (weights depend on distance from the
+    current row). Computed as a sequential FOLD over a trailing-20 window
+    array: ``collect_list`` over a rows frame, then ``F.aggregate`` seeded
+    with the oldest element — all Catalyst/codegen, no UDF. DuckDB's
+    ``list_reduce`` seeds identically (first element), and both engines fold
+    left-to-right in IEEE double order, so the oracle hash-matches exactly.
+
+    Scale shape: one shuffle on user_id (the window's partition key); the
+    fold is per-row compute bounded by the 20-element frame — no iterative
+    joins, no driver loop. Truncating the geometric tail at 20 terms bounds
+    state; the dropped weight is (1-α)^20 ≈ 0.08% of mass."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    vals = e.select(
+        "user_id", "event_id", "value", F.collect_list("value").over(w).alias("vals")
+    )
+    folded = F.aggregate(
+        F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    return vals.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(folded, 6).alias("ewma"),
+    ).orderBy("user_id", "event_id")
+
+
+_MAD_K = 1.4826  # normal-consistency constant
+_MAD_CUT = 3.0
+
+
+@register(
+    "events_mad_robust_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, ROUND(d.value, 2) AS value,
+           ROUND((d.value - d.med) / ({_MAD_K} * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0
+      AND ABS(d.value - d.med) > {_MAD_CUT} * {_MAD_K} * m.mad
+    ORDER BY d.event_type, d.event_id
+    """,
+)
+def events_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    median/MAD twin of ``events_value_zscore_outliers``: mean/stddev z-scores
+    move with the outliers they hunt (masking), MAD has a 50% breakdown
+    point. Exact medians on both sides (Spark ``percentile``, DuckDB
+    ``percentile_cont`` — both interpolate), flag |x−med| > 3·1.4826·MAD.
+
+    Scale shape: two grouped exact percentiles over event_type (5 groups —
+    per-group sort state, the honest cost of exact medians; swap
+    ``percentile_approx`` in when groups get hot, same plan otherwise) and
+    two broadcast joins of 5-row stats back onto the stream — map-only
+    flagging, no second shuffle of the big table."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("adev") > F.lit(_MAD_CUT * _MAD_K) * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(
+                (F.col("value") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad")), 4
+            ).alias("robust_z"),
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -13,6 +13,8 @@ partitions by — no unbounded state growth.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -21,11 +23,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# Streaming file sources need an explicit schema; events.parquet stores ts as
-# TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong (io.load_table
-# has the same handling).
+# Streaming file sources need an explicit schema. Driver testdata has
+# shipped events.ts as Parquet TIMESTAMP(NANOS) (round 1) and
+# TIMESTAMP(MICROS) (round 2+); test fixtures also synthesize raw-nanos
+# int64 files. ``read_events_stream`` sniffs the footer of whatever is in
+# the directory at stream start and picks the matching schema — the raw
+# LONG read for nanos (no ``nanosAsLong`` session conf mutation, cf.
+# io.load_table), a native NTZ read for micros.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -38,10 +45,44 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def _dir_ts_is_micros(directory: str) -> bool:
+    """True if the first parquet file in ``directory`` stores ts as a
+    microsecond timestamp (new-world testdata). Raw int64 / nanosecond
+    files — and an empty directory, where the synthetic raw-nanos writers
+    are the only producers — take the nanos path."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(os.path.join(directory, "*.parquet"))):
+        t = pq.ParquetFile(f).schema_arrow.field("ts").type
+        return pa.types.is_timestamp(t) and t.unit == "us"
+    return False
+
+
 def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files. The
-    explicit LONG schema reads TIMESTAMP(NANOS) raw — no session conf
-    mutation (cf. io.load_table)."""
+    """File-source stream over a directory of events parquet files, unit-
+    adaptive per ``_dir_ts_is_micros`` — no session conf mutation."""
+    if _dir_ts_is_micros(directory):
+        micros_schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampNTZType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
+        raw = (
+            spark.readStream.schema(micros_schema)
+            .format("parquet")
+            .load(directory)
+        )
+        # cast NTZ → LTZ (session tz pinned UTC): watermarks require LTZ
+        # event time ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE])
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
