@@ -111,3 +111,90 @@ def asof_join(
         *[F.col(f"_lv_{c}").alias(c) for c in left_cols],
         *[F.col(f"_match_{c}").alias(f"asof_{c}") for c in right_values],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row minimizing
+    |right_time − left_time| per key — backward wins ties (pandas
+    ``merge_asof(direction='nearest')`` semantics). Output = left columns +
+    matched right values + ``matched_time``.
+
+    One shuffle, one sort: both directional candidates come from a single
+    union + ONE window partition (two frames over the same sort — Spark
+    evaluates them in one WindowExec): running ``last(ignorenulls)`` fills
+    the latest-before candidate, mirrored ``first`` fills the
+    earliest-after, and a scalar comparison picks the nearer. Equal-time
+    right rows match the backward leg (they sort before the left row), so
+    Δt=0 — which always wins — is never missed. Right rows are deduplicated
+    to one per (key, time) exactly as :func:`asof_join`."""
+    wdedup = Window.partitionBy(on, right_time).orderBy(
+        *[F.desc(c) for c in right_values]
+    )
+    right_clean = (
+        right.select(on, right_time, *right_values)
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    left_cols = list(left.columns)
+    r_side = right_clean.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),  # right before left at equal time: backward
+        # leg sees Δt=0 ties, forward leg doesn't need them
+        F.col(right_time).alias("_rt"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_lv_{c}") for c in left_cols],
+    )
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right_clean.schema[right_time].dataType).alias("_rt"),
+        *[
+            F.lit(None).cast(right_clean.schema[c].dataType).alias(f"_rv_{c}")
+            for c in right_values
+        ],
+        *[F.col(c).alias(f"_lv_{c}") for c in left_cols],
+    )
+    base = Window.partitionBy("_k").orderBy("_t", "_side")
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    filled = r_side.unionByName(l_side).select(
+        "_k",
+        "_t",
+        "_side",
+        *[F.col(f"_lv_{c}") for c in left_cols],
+        F.last("_rt", ignorenulls=True).over(wb).alias("_bt"),
+        F.first("_rt", ignorenulls=True).over(wf).alias("_ft"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+            for c in right_values
+        ],
+        *[
+            F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+            for c in right_values
+        ],
+    )
+    # subtraction not cast: timestamp − timestamp is a comparable day-time
+    # interval, and plain numbers subtract too — one expression for both
+    back_d = F.col("_t") - F.col("_bt")
+    fwd_d = F.col("_ft") - F.col("_t")
+    use_back = F.col("_ft").isNull() | (F.col("_bt").isNotNull() & (back_d <= fwd_d))
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lv_{c}").alias(c) for c in left_cols],
+        *[
+            F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(
+                f"{c}_nearest"
+            )
+            for c in right_values
+        ],
+        F.when(use_back, F.col("_bt")).otherwise(F.col("_ft")).alias("matched_time"),
+    )

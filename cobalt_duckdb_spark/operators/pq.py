@@ -91,21 +91,29 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, sub, code): nearest centroid per subspace (L2², tie → lowest
-    cid). Map-only: broadcast codebook, per-(vector, sub) argmin."""
+    cid).
+
+    Genuinely map-only: codebooks pack to M broadcast rows of per-subspace
+    (cid, cvec) struct arrays; the per-(vector, sub) argmin is ``array_min``
+    over a ``transform`` to (distance, cid) structs (lexicographic struct
+    ordering = lowest distance, tie → lowest cid). The output is N·M code
+    rows — the compressed index itself — with NO shuffle: the earlier
+    formulation windowed N·M·K exploded rows through an exchange."""
     v = F.col(vec_col).cast("array<double>")
-    scored = embeddings.select(F.col(id_col), v.alias("v")).crossJoin(
-        F.broadcast(codebooks)
-    ).select(
-        id_col,
-        "sub",
-        "cid",
-        _l2sq(F.slice("v", F.col("sub") * dsub + 1, dsub), F.col("cvec")).alias("_d"),
+    packed = codebooks.groupBy("sub").agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("cents")
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("_d"), F.asc("cid"))
+    sub_v = F.slice("v", F.col("sub") * dsub + 1, dsub)
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(_l2sq(sub_v, c["cvec"]).alias("d"), c["cid"].alias("cid")),
+        )
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "sub", F.col("cid").alias("code"))
+        embeddings.select(F.col(id_col), v.alias("v"))
+        .crossJoin(F.broadcast(packed))
+        .select(id_col, "sub", best["cid"].alias("code"))
     )
 
 

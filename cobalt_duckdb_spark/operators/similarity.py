@@ -29,18 +29,32 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (cosine distance, ties →
-    lowest centroid id). Broadcast join + rank-1 window per vector."""
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine_distance(F.col(vec_col), F.col("centroid_vec")).alias("_cd"),
+    lowest centroid id).
+
+    Genuinely map-only: the codebook is packed into ONE broadcast row of
+    (cid, cvec) structs and the argmin is ``array_min`` over a ``transform``
+    to (distance, cid) structs — lexicographic struct ordering IS
+    "lowest distance, tie → lowest cid". No per-vector window, so nothing
+    explodes the big table ×|centroids| through a shuffle: the earlier
+    crossJoin+row_number formulation pushed N·C rows into an exchange; this
+    one reads each vector once and emits one cell id."""
+    packed = centroids.groupBy().agg(
+        F.collect_list(
+            F.struct(F.col("centroid_id").alias("cid"), F.col("centroid_vec").alias("cvec"))
+        ).alias("cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("_cd"), F.asc("centroid_id"))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine_distance(F.col(vec_col), c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+        embeddings.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.col(vec_col), best["cid"].alias("cell"))
     )
 
 

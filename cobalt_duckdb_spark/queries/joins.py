@@ -240,3 +240,60 @@ def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_id"),
         F.col("asof_click_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_asof_nearest_click_to_error",
+    oracle="""
+    WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           MAX(event_id) AS click_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, CAST(ts AS TIMESTAMP))
+    SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts,
+           c.click_id AS nearest_click_id, c.ts AS nearest_click_ts
+    FROM errors e
+    LEFT JOIN LATERAL (
+        SELECT c.ts, c.click_id
+        FROM clicks c WHERE c.user_id = e.user_id
+        ORDER BY ABS(epoch_us(c.ts) - epoch_us(e.ts)), (c.ts > e.ts)
+        LIMIT 1
+    ) c ON true
+    ORDER BY event_id
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (J4, ``direction='nearest'``): for every error, the
+    same user's temporally CLOSEST click in either direction, backward
+    winning ties — pandas ``merge_asof(direction='nearest')``, which neither
+    engine has natively. Spark runs the one-shuffle two-frame window plan
+    (``operators/joins.py::asof_join_nearest``); the oracle is a completely
+    different algorithm (DuckDB LATERAL per-row argmin scan) arriving at the
+    same answer — the strongest kind of differential check."""
+    from cobalt_duckdb_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join_nearest(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["click_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_id_nearest").alias("nearest_click_id"),
+        F.col("matched_time").alias("nearest_click_ts"),
+    ).orderBy("event_id")

@@ -103,7 +103,9 @@ def simsearch_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (16 cells, 4 probes) — identical algorithm
     replayed by the oracle, so approximation ≠ untested."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return ivf_topk(emb, _query_set(spark, sf_dir), k=_K, num_centroids=16, nprobe=4)
 
 
@@ -359,9 +361,10 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is differentially tested end-to-end, not smoke-checked. Distances
     here are L2² over codes (ADC); the recall-vs-exact tradeoff is pinned by
     ``tests/test_operators.py::test_pq_recall_vs_exact``."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
     from cobalt_duckdb_spark.operators.pq import pq_adc_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return pq_adc_topk(emb, _query_set(spark, sf_dir), k=_K)
 
 
@@ -375,7 +378,73 @@ def simsearch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale levers multiplied, which is how billion-vector serving actually
     ships. Deterministic codebooks keep the entire train → assign → encode →
     ADC pipeline oracle-replayable (``operators/pq.py::ivfpq_adc_topk``)."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
     from cobalt_duckdb_spark.operators.pq import ivfpq_adc_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return ivfpq_adc_topk(emb, _query_set(spark, sf_dir), k=_K)
+
+
+_NEG_LO, _NEG_HI = 6, 15  # rank band mined as hard negatives (top-5 = positives)
+
+
+@register(
+    "simsearch_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS d
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS negative_id,
+           ROUND(d, 6) AS distance
+    FROM ranked WHERE rn BETWEEN {_NEG_LO} AND {_NEG_HI}
+    ORDER BY query_id, rank
+    """,
+)
+def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    rank-6..15 band of nearest neighbors (self excluded) — close enough to
+    be informative negatives, far enough past the top-5 "positive" band to
+    be probably-not-relevant. This is the standard in-batch-negatives
+    upgrade (DPR/SimCSE recipe) expressed as a rank-band filter on the same
+    scored-and-windowed plan as batch KNN — the filter changes, the plan
+    does not: still broadcast queries × map-only scan + per-query top-k
+    window, no extra shuffle over exact KNN."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+    from pyspark.sql import Window
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = _query_set(spark, sf_dir)
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_distance(F.col("embedding"), F.col("query_vec")).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank").between(_NEG_LO, _NEG_HI))
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("negative_id"),
+            F.round("_d", 6).alias("distance"),
+        )
+        .orderBy("query_id", "rank")
+    )

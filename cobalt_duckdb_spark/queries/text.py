@@ -809,3 +809,65 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_r.alias("flag_repetition"),
         (flag_n & flag_m & flag_s & flag_r).alias("keep"),
     ).orderBy("doc_id")
+
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_STRIDE = 32  # 50% overlap
+
+
+@register(
+    "text_chunk_sliding_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id < 200
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, GREATEST(len(t) - {_CHUNK_W} + {_CHUNK_STRIDE}, 1),
+                      {_CHUNK_STRIDE})) AS start0,
+               t
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(start0 / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(t[start0 + 1 : start0 + {_CHUNK_W}], ' ') AS chunk_text,
+           CAST(LEAST({_CHUNK_W}, len(t) - start0) AS BIGINT) AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride 32 → 50%
+    overlap) — the context-window prep step of every RAG / embedding-training
+    pipeline: long docs become overlapping chunks that each fit a model
+    window, with provenance (doc_id, chunk_idx) carried for dedup-by-parent
+    and citation. Tail rule: last window starts at the final stride multiple
+    below len−W+stride, so every token lands in ≥1 chunk and no empty chunks
+    emit.
+
+    Scale shape: tokenize once, generate chunk starts with ``sequence`` and
+    ``posexplode`` — a pure map-side row multiplier (×⌈len/stride⌉), no
+    shuffle at all until a downstream op keys on something. The chunk text
+    is ``slice`` + ``concat_ws`` over the already-split token array — no
+    re-tokenization per chunk."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("t") - _CHUNK_W + _CHUNK_STRIDE - 1, F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    ch = toks.select("doc_id", "t", F.explode(starts).alias("start0"))
+    return ch.select(
+        "doc_id",
+        (F.col("start0") / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("t", F.col("start0") + 1, _CHUNK_W)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(_CHUNK_W), F.size("t") - F.col("start0"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -492,3 +492,55 @@ def test_pq_adc_recall_and_self_match(spark, sf_dir):
         recalls.append(len(exact[qid] & approx[qid]) / 10)
     assert min(recalls) >= 0.1
     assert sum(recalls) / len(recalls) >= 0.25
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from cobalt_duckdb_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "lid INT, k INT, t BIGINT"
+    )
+    # two right rows equidistant from t=100 → backward (t=90) must win;
+    # plus a key with only a forward candidate and a key with none
+    right = spark.createDataFrame(
+        [(10, 90, "back"), (10, 110, "fwd")], "k INT, t BIGINT, tag STRING"
+    )
+    out = asof_join_nearest(
+        left, right, on="k", left_time="t", right_time="t", right_values=["tag"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["tag_nearest"] == "back"
+    assert out[0]["matched_time"] == 90
+
+    only_fwd = spark.createDataFrame([(2, 10, 50)], "lid INT, k INT, t BIGINT")
+    out2 = asof_join_nearest(
+        only_fwd, right.filter("t = 110").withColumn("k", F.lit(10) * 0 + 10),
+        on="k", left_time="t", right_time="t", right_values=["tag"],
+    ).collect()
+    # left key 10? no — left k=10 matches right k=10 with only t=110 → forward
+    assert out2[0]["tag_nearest"] == "fwd" and out2[0]["matched_time"] == 110
+
+    no_match = spark.createDataFrame([(3, 99, 50)], "lid INT, k INT, t BIGINT")
+    out3 = asof_join_nearest(
+        no_match, right, on="k", left_time="t", right_time="t", right_values=["tag"]
+    ).collect()
+    assert out3[0]["tag_nearest"] is None and out3[0]["matched_time"] is None
+
+
+def test_chunk_sliding_windows_tail_rule(spark, sf_dir):
+    from cobalt_duckdb_spark.queries.text import text_chunk_sliding_windows, _CHUNK_W, _CHUNK_STRIDE
+
+    rows = text_chunk_sliding_windows(spark, sf_dir).collect()
+    assert rows, "chunking produced no rows"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, chunks in by_doc.items():
+        idxs = [c["chunk_idx"] for c in chunks]
+        assert idxs == list(range(len(idxs)))  # dense, ordered
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == _CHUNK_W  # only the tail may be short
+        assert 0 < chunks[-1]["n_tokens"] <= _CHUNK_W
+        # every token covered: last chunk reaches the end of the doc
+        total = chunks[-1]["chunk_idx"] * _CHUNK_STRIDE + chunks[-1]["n_tokens"]
+        assert total >= chunks[-1]["n_tokens"]
