@@ -589,3 +589,59 @@ def unpivot_event_totals_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["user_id"], ["click", "purchase", "view"], "kind", "amount"
     ).orderBy("user_id", "kind")
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH mu AS (
+        SELECT o_orderstatus, AVG(o_totalprice) AS mean_price
+        FROM orders GROUP BY o_orderstatus
+    ),
+    dev AS (
+        SELECT o.o_orderstatus,
+               o.o_totalprice - m.mean_price AS d
+        FROM orders o JOIN mu m USING (o_orderstatus)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((SUM(d*d*d) / COUNT(*))
+                 / POW(SUM(d*d) / COUNT(*), 1.5), 4) AS skewness_pop,
+           ROUND((SUM(d*d*d*d) / COUNT(*))
+                 / POW(SUM(d*d) / COUNT(*), 2.0) - 3.0, 4) AS excess_kurtosis_pop
+    FROM dev GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped skewness and excess kurtosis — distribution-shape audit for
+    feature columns (a training pipeline flags heavy tails before
+    normalizing). Computed from explicit two-pass central moments rather
+    than the built-ins because Spark's ``skewness``/``kurtosis`` are
+    population-convention and DuckDB's are sample-convention — the raw
+    Σdᵏ formulation is convention-free and engines agree to the rounded
+    digit.
+
+    Scale shape: two aggregates over the same grouping key (means, then
+    deviation powers) with a broadcast join of the |groups|-row means table
+    between them — both map-side combine; the two-pass form also avoids the
+    catastrophic cancellation of one-pass raw power sums at large x."""
+    o = load_table(spark, sf_dir, "orders")
+    mu = o.groupBy("o_orderstatus").agg(F.avg("o_totalprice").alias("mean_price"))
+    d = F.col("o_totalprice") - F.col("mean_price")
+    dev = o.join(F.broadcast(mu), "o_orderstatus").select(
+        "o_orderstatus", d.alias("d")
+    )
+    n = F.count(F.lit(1))
+    m2 = F.sum(F.col("d") * F.col("d")) / n
+    m3 = F.sum(F.col("d") * F.col("d") * F.col("d")) / n
+    m4 = F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d")) / n
+    return (
+        dev.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness_pop"),
+            F.round(m4 / F.pow(m2, 2.0) - 3.0, 4).alias("excess_kurtosis_pop"),
+        )
+        .orderBy("o_orderstatus")
+    )

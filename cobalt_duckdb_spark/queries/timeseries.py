@@ -530,3 +530,143 @@ def events_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "events_latency_percentile_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 4) AS p99
+    FROM events
+    GROUP BY event_type, date_part('hour', ts)
+    ORDER BY event_type, hour_of_day
+    """,
+)
+def events_latency_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRE dashboard rollup: exact P50/P95/P99 of event value per
+    (event_type × hour-of-day) — tail percentiles are THE latency metric,
+    and hour-of-day grouping exposes diurnal load patterns. Exact
+    interpolated percentiles on both engines (Spark ``percentile`` ==
+    DuckDB ``percentile_cont``).
+
+    Scale shape: one shuffle on the (type, hour) grouping key — 5×24 = 120
+    groups, each holding a per-group sort: the honest cost of EXACT tail
+    percentiles. At 100 TB swap ``percentile_approx`` (mergeable KLL-style
+    sketch, map-side combinable) — same plan minus the per-group sort; the
+    exact query stays as the calibration twin."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.95), 4).alias("p95"),
+            F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+@register(
+    "events_time_weighted_avg_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events WHERE user_id < 60
+    ),
+    seg AS (
+        SELECT user_id,
+               value * (epoch_us(next_ts) - epoch_us(ts)) AS weighted,
+               epoch_us(next_ts) - epoch_us(ts) AS dur
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           ROUND(SUM(weighted) / SUM(dur), 6) AS time_weighted_avg,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg GROUP BY user_id
+    HAVING SUM(dur) > 0
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB's ``time_weight('LOCF')``
+    signature op): each observation holds until the next one, so the mean
+    weights every value by how LONG it was current, not how OFTEN it was
+    sampled — irregular telemetry averaged honestly. Last-observation
+    segments are open-ended and excluded (LOCF integral over closed
+    segments only).
+
+    Scale shape: one shuffle on user_id; ``lead`` and the segment integral
+    ride the same partitioning, and the final per-user aggregate reuses the
+    key — Spark collapses window + groupBy into one exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    seq = e.select(
+        "user_id", "ts", "value", F.lead("ts").over(w).alias("next_ts")
+    ).filter(F.col("next_ts").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (F.col("value") * (F.unix_micros(F.col("next_ts").cast("timestamp"))
+                           - F.unix_micros(F.col("ts").cast("timestamp")))).alias("weighted"),
+        (F.unix_micros(F.col("next_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))).alias("dur"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(F.sum("weighted") / F.sum("dur"), 6).alias("time_weighted_avg"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .filter(F.col("time_weighted_avg").isNotNull())
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_top_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+        FROM events
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE c IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 25
+    """,
+)
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user paths — the sequence-mining extension of the Markov
+    transition matrix (2-step): which click>view>purchase chains actually
+    happen, ranked. One user_id-keyed window produces both lookaheads (two
+    ``lead`` offsets share a WindowExec), then a map-side-combined count and
+    a TakeOrderedAndProject top-25 — two shuffles total, no self-joins (the
+    naive 3-way sequence join would shuffle the events table three times)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(25)
+    )

@@ -185,7 +185,8 @@ _HOUR0 = (1_700_000_000 // 3600) * 3600  # hour-aligned epoch base
 
 def _append_events(spark, d, rows):
     """rows: (event_id, minutes_after_hour0, user_id, event_type). Written as
-    raw nanos LONG — the same physical shape events.parquet has."""
+    raw nanos LONG — the round-1 physical shape of events.parquet, which the
+    unit-sniffing reader must keep supporting."""
     from cobalt_duckdb_spark.streaming.events import EVENTS_RAW_SCHEMA
 
     data = [
@@ -442,3 +443,34 @@ def test_left_outer_interval_join_emits_orphans(spark, tmp_path):
     }
     assert (21, 20) in pairs  # matched error emitted with its click
     assert (22, None) in pairs  # orphan emitted null-extended after watermark
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop duplicate event_ids arriving
+    in LATER micro-batches while the first occurrence is still in state —
+    the bounded-state guarantee T4 claims (state lives ~watermark, not
+    forever)."""
+    d = str(tmp_path / "dedup_stream")
+    # batch 1: id=1 plus an in-batch duplicate one minute later
+    _append_events(spark, d, [(1, 0, 1, "click"), (1, 1, 1, "click")])
+    stream = read_events_stream(spark, d)
+    q = (
+        dedup_within_watermark(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_dedup_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a cross-batch duplicate of id=1 (+2 min, well inside the
+        # watermark) and a fresh id=2 far ahead
+        _append_events(spark, d, [(1, 2, 1, "click"), (2, 90, 1, "view")])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT event_id, COUNT(*) AS n FROM t_dedup_late GROUP BY event_id"
+        ).collect()
+        counts = {r["event_id"]: r["n"] for r in rows}
+        assert counts == {1: 1, 2: 1}, counts
+    finally:
+        q.stop()

@@ -70,6 +70,36 @@ SHOWCASE = {
         "sum and the per-day max share that partitioning — no quadratic "
         "overlap join anywhere."
     ),
+    "simsearch_ivfpq_adc_topk": (
+        "IVF+PQ composed index (FAISS IVF16,PQ8 shape). Things to see: "
+        "cell assignment and PQ encode are pure Projects over a "
+        "BroadcastNestedLoopJoin with the one-row packed codebook — "
+        "array_min over (distance, cid) structs, NO per-vector window "
+        "exchange anywhere in the encode path; candidate pruning joins the "
+        "broadcast probe list before any distance work; the ADC sum is a "
+        "partial-aggregated hash aggregate."
+    ),
+    "join_asof_nearest_click_to_error": (
+        "Nearest as-of join (pandas merge_asof direction='nearest', which "
+        "neither engine has natively). Things to see: ONE Exchange "
+        "hashpartitioning(user_id) and ONE Window node evaluating BOTH "
+        "frames (running last for the backward candidate, mirrored first "
+        "for the forward) — two directions for the price of one shuffle; "
+        "the final pick is a scalar CASE, no second pass."
+    ),
+    "events_ewma_user_value": (
+        "EWMA as a sequential fold. Things to see: one Exchange "
+        "hashpartitioning(user_id) feeding a Window whose frame emits the "
+        "trailing-20 array; the recurrence itself is a Project (aggregate "
+        "higher-order function, codegen'd) — no UDF, no iterative joins."
+    ),
+    "graph_triangle_parts": (
+        "Oriented triangle counting. Things to see: the co-order pair "
+        "build partial-aggregates before its Exchange; the wedge and "
+        "closing joins are keyed shuffles on single part keys (low→high "
+        "orientation bounds each node's fan-out); the final per-part count "
+        "is TakeOrderedAndProject."
+    ),
 }
 
 
