@@ -871,3 +871,78 @@ def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# Cross-engine-safe PII patterns: plain character classes and counted
+# repetitions only — the subset where Java regex (Spark) and RE2 (DuckDB)
+# agree exactly. No backrefs, no lookaround.
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9]+[.][a-z]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH salted AS (
+        -- deterministic PII injection: the synthetic corpus carries no real
+        -- PII, so the differential test plants one email + one phone per
+        -- doc — the redaction path is then provably exercised on every row
+        SELECT doc_id,
+               text || ' contact u' || doc_id ||
+               '@mail.com tel 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+    FROM salted
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the redaction pass every public-corpus curation pipeline
+    runs before training: detect + mask emails and phone numbers, keeping
+    per-doc counts for the audit trail. Patterns are restricted to the
+    Java-regex ∩ RE2 common subset (plain classes, counted repetition) so
+    both engines provably apply identical semantics; the corpus carries no
+    real PII, so a deterministic salt plants one of each per row — the
+    differential check exercises the match/replace path on every document
+    instead of vacuously passing on zero matches.
+
+    Scale shape: pure map-side projection (regexp_extract_all + two
+    regexp_replace chains, all codegen'd) — zero shuffles; at 100 TB this
+    runs at scan speed, which is exactly what a redaction pass must do."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.com tel 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return salted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ).alias("redacted"),
+    ).orderBy("doc_id")
