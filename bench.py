@@ -7,10 +7,18 @@ Prints ONE JSON line:
 Execution is forced with ``collect()`` (what the driver does); each query is
 timed end-to-end including planning. A JVM/session warm-up query runs first
 so JIT/codegen startup isn't attributed to the first query.
+
+Iteration aid (driver behavior unchanged — it passes no args):
+  python bench.py --names name1 name2 ...   # time only these queries
+  python bench.py --names 'dedup_*'         # fnmatch patterns work too
+The warm-KNN throughput probe is skipped in subset mode so a targeted run
+measures only what you're iterating on.
 """
 
 from __future__ import annotations
 
+import argparse
+import fnmatch
 import json
 import os
 import sys
@@ -23,6 +31,10 @@ from cobalt_duckdb_spark.queries import queries
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--names", nargs="+", default=None)
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("cobalt-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,11 +45,22 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     next(iter(queries().values()))(spark, sf_dir).collect()
 
+    selected = queries()
+    if args.names:
+        selected = {
+            n: fn
+            for n, fn in selected.items()
+            if any(fnmatch.fnmatch(n, pat) for pat in args.names)
+        }
+        if not selected:
+            print(json.dumps({"error": "no queries match", "names": args.names}))
+            return
+
     # two passes per query, report the min: strips GC/JIT/compilation spikes
     # so numbers reflect steady-state throughput (what a resident service
     # like the reference's Gradio loop would see)
     timings: dict[str, float] = {}
-    for name, fn in queries().items():
+    for name, fn in selected.items():
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -46,6 +69,20 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    if args.names:  # targeted iteration run: skip the warm-KNN probe
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
 
     # Warm-path KNN throughput at the reference's operating point: repeated
     # queries against a resident (persisted, normalized) vector store —

@@ -135,7 +135,7 @@ def pq_adc_topk(
     collisions make exact distance ties COMMON (same codes ⇒ same lookup
     multiset), and summation order would otherwise make the tie order
     engine-dependent."""
-    books = pq_codebooks(embeddings, m, dsub, ksub, id_col).persist()
+    books = pq_codebooks(embeddings, m, dsub, ksub, id_col)
     codes = pq_encode(embeddings, books, m, dsub, id_col)
 
     qv = F.col(query_vec_col).cast("array<double>")
@@ -198,7 +198,7 @@ def ivfpq_adc_topk(
     centroids = make_centroids(embeddings, num_centroids, id_col)
     cells = ivf_assign(embeddings, centroids, id_col).select(id_col, "cell")
 
-    books = pq_codebooks(embeddings, m, dsub, ksub, id_col).persist()
+    books = pq_codebooks(embeddings, m, dsub, ksub, id_col)
     codes = pq_encode(embeddings, books, m, dsub, id_col)
 
     from cobalt_duckdb_spark.functions.vector import cosine_distance

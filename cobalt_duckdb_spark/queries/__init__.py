@@ -25,6 +25,16 @@ ORACLE: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
+    if oracle is not None and "--" in oracle:
+        # The driver flattens oracle SQL to one line, so a `--` line comment
+        # would swallow the rest of the statement (DuckDB parse error). Use
+        # /* */ block comments instead. This bit round 2
+        # (text_pii_redaction) — rejected structurally now.
+        raise ValueError(
+            f"oracle for {name!r} contains '--' line comment; "
+            "use /* */ (oracle SQL is whitespace-flattened)"
+        )
+
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = fn
         if oracle is not None:
@@ -110,20 +120,46 @@ def _load_all_modules() -> None:
 _load_all_modules()
 
 
-# Names the driver's truncated 50-entry gate already verified in round 1
-# (keys of CORRECTNESS_r01.json). The driver checks the FIRST 50 registry
-# entries per round, so the registry is rotated: flagship stays in slot 0
-# (it is the smoke-checked contract query), then every not-yet-driver-
-# verified query (including anything newly registered), then the round-1-
-# verified set. This cycles driver verification through the whole surface
-# instead of re-checking the same prefix forever.
+# Names the driver's truncated 50-entry gate already verified in rounds 1-2
+# (green keys of CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver
+# checks the FIRST 50 registry entries per round, so the registry is rotated:
+# flagship stays in slot 0 (it is the smoke-checked contract query), then
+# retries of previously-failed names, then every not-yet-driver-verified
+# query (including anything newly registered), then the verified set. This
+# cycles driver verification through the whole surface instead of re-checking
+# the same prefix forever.
 _DRIVER_VERIFIED = frozenset(
     {
-        # r01-green names only. Deliberately absent (must re-verify in r02):
-        # agg_collect_sorted_list + events_user_journey_prefix (r01 harness
-        # fail, output contract changed), dedup_simhash_pairs (r01 no_oracle,
-        # oracle added), dedup_embedding_cosine_pairs (implementation changed
-        # to blocked matmul).
+        # --- r02 greens (CORRECTNESS_r02.json). Deliberately absent (retry
+        # in r03 with fixes/new oracles): text_pii_redaction (oracle comment
+        # bug), udaf_label_centroids (array output), udtf_sentence_split +
+        # multimodal_feature_extract (oracles added this round).
+        "agg_collect_sorted_list", "agg_higher_moments",
+        "join_asof_next_click_after_error", "join_asof_nearest_click_to_error",
+        "events_user_journey_prefix", "events_value_zscore_outliers",
+        "events_windowed_topk_types", "events_latest_user_state",
+        "events_transition_matrix", "events_scd2_user_state",
+        "join_interval_error_click_left", "events_assoc_rules_types",
+        "text_bm25_topk", "text_repetition_scores", "text_bigram_lm_score",
+        "text_vocab_coverage", "text_bpe_merge_pairs", "text_pmi_collocations",
+        "text_tfidf_keywords", "text_gopher_quality_flags",
+        "text_chunk_sliding_windows", "dedup_simhash_pairs",
+        "dedup_embedding_cosine_pairs", "dedup_keep_best_resolution",
+        "dedup_eval_contamination", "dedup_incremental_new_batch",
+        "dedup_shared_span_report", "simsearch_ivf_topk",
+        "embedding_int8_quantization_audit", "hybrid_rrf_topk",
+        "cluster_kmeans_lloyd", "embedding_dim_variance_topk",
+        "simsearch_pq_adc_topk", "simsearch_ivfpq_adc_topk",
+        "simsearch_hard_negatives", "subq_correlated_above_avg_parts",
+        "subq_in_top_spenders", "subq_scalar_vs_global_avg",
+        "sql_api_q6_forecast_revenue", "multimodal_binary_stats",
+        "window_percent_rank_cume", "scalar_null_handling",
+        # Rows-only BY DESIGN (sketches are engine-specific; model in the
+        # loop): the driver recorded their weaker rows-only check in r02 —
+        # re-checking burns slots without new signal.
+        "agg_approx_sketches", "infer_embed_index_search_e2e",
+        "infer_tokenize_stats",
+        # --- r01 greens.
         "agg_corr_quantity_price",
         "agg_count_distinct", "agg_cube_lineitem", "agg_rollup_revenue",
         "agg_stats_orders", "dedup_connected_groups",
@@ -152,13 +188,25 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
+# Previously driver-RED names: fixed this round, so they jump the fresh
+# queue — a fix must be re-verified before never-checked work.
+_DRIVER_RETRY = (
+    "text_pii_redaction",
+    "udaf_label_centroids",
+    "udtf_sentence_split",
+    "multimodal_feature_extract",
+)
+
+
 def _rotate_registry() -> None:
     flagship = "flagship_knn_cosine_topk"
+    retries = [n for n in _DRIVER_RETRY if n in QUERIES]
+    skip = {flagship, *retries}
     fresh = [
-        n for n in QUERIES if n != flagship and n not in _DRIVER_VERIFIED
+        n for n in QUERIES if n not in skip and n not in _DRIVER_VERIFIED
     ]
-    stale = [n for n in QUERIES if n != flagship and n in _DRIVER_VERIFIED]
-    ordered = {n: QUERIES[n] for n in [flagship, *fresh, *stale]}
+    stale = [n for n in QUERIES if n not in skip and n in _DRIVER_VERIFIED]
+    ordered = {n: QUERIES[n] for n in [flagship, *retries, *fresh, *stale]}
     QUERIES.clear()
     QUERIES.update(ordered)
 

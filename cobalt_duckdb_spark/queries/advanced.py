@@ -105,13 +105,55 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udaf_label_centroids")
+@register(
+    "udaf_label_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    u AS (
+        SELECT label, vec_id,
+               generate_subscripts(emb, 1) AS dim_idx, unnest(emb) AS v
+        FROM e
+    ),
+    cent AS (
+        SELECT label, dim_idx, avg(v) AS c FROM u GROUP BY label, dim_idx
+    ),
+    cent_str AS (
+        SELECT label,
+               array_to_string(
+                   list(CAST(round(c * 1000, 0) AS BIGINT) ORDER BY dim_idx),
+                   '|') AS centroid_milli
+        FROM cent GROUP BY label
+    ),
+    dist AS (
+        SELECT u.label, u.vec_id, sqrt(sum((u.v - cent.c) * (u.v - cent.c))) AS d
+        FROM u JOIN cent ON u.label = cent.label AND u.dim_idx = cent.dim_idx
+        GROUP BY u.label, u.vec_id
+    ),
+    agg AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+               ROUND(avg(d), 6) AS mean_dist_to_centroid
+        FROM dist GROUP BY label
+    )
+    SELECT a.label, a.n_vectors, s.centroid_milli, a.mean_dist_to_centroid
+    FROM agg a JOIN cent_str s ON a.label = s.label
+    ORDER BY a.label
+    """,
+)
 def udaf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas UDAF via groupBy().applyInPandas (SURVEY.md §2.10 U5): per-label
     embedding centroid + dispersion with NumPy inside Arrow batches. This is
     the shape model-training feature aggregation takes when the kernel
-    genuinely needs NumPy (otherwise prefer built-ins). Rows-only check;
-    pytest verifies centroids against exact per-dimension averages."""
+    genuinely needs NumPy (otherwise prefer built-ins).
+
+    The centroid is serialized to a pipe-joined milli-unit integer string —
+    the driver's hash canonicalizer cannot sort ARRAY cells (the contract
+    that broke r1's collect_list queries AND r2's first registration of this
+    query; tests/test_registry_contract.py now enforces it structurally).
+    Rounding to SQL semantics happens JVM-side (F.round) so Python banker's
+    rounding never touches a compared value; the oracle unrolls the same
+    centroid with unnest + generate_subscripts."""
     import numpy as np
     import pandas as pd
 
@@ -121,30 +163,64 @@ def udaf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         c = mat.mean(axis=0)
         spread = float(np.linalg.norm(mat - c, axis=1).mean())
+        # DuckDB round() is half-away-from-zero; replicate exactly (Python's
+        # round() is banker's) for the milli quantization.
+        milli = "|".join(
+            str(int(np.sign(x) * np.floor(abs(x) * 1000 + 0.5))) for x in c
+        )
         return pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "n_vectors": [len(pdf)],
-                "centroid": [[round(float(x), 6) for x in c]],
-                "mean_dist_to_centroid": [round(spread, 6)],
+                "centroid_milli": [milli],
+                "_spread": [spread],
             }
         )
 
     out_schema = (
-        "label INT, n_vectors BIGINT, centroid ARRAY<DOUBLE>, "
-        "mean_dist_to_centroid DOUBLE"
+        "label INT, n_vectors BIGINT, centroid_milli STRING, _spread DOUBLE"
     )
-    return emb.groupBy("label").applyInPandas(centroid, out_schema).orderBy("label")
+    return (
+        emb.groupBy("label")
+        .applyInPandas(centroid, out_schema)
+        .select(
+            "label",
+            "n_vectors",
+            "centroid_milli",
+            F.round("_spread", 6).alias("mean_dist_to_centroid"),
+        )
+        .orderBy("label")
+    )
 
 
-@register("udtf_sentence_split")
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id < 20
+    ),
+    chunks AS (
+        SELECT doc_id, unnest(range(0, len(t), 32)) AS start0, t FROM toks
+    )
+    SELECT doc_id,
+           CAST(start0 / 32 AS INT) AS chunk_idx,
+           CAST(LEAST(32, len(t) - start0) AS INT) AS n_tokens,
+           array_to_string(t[start0 + 1 : start0 + 32], ' ') AS chunk
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
 def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4, §2.10 U5): one row per fixed-size token chunk of
     each document — the table-function shape used for context-window chunking
     in LLM pipelines. Arrow-optimized (``useArrow=True``): rows cross the
     JVM↔Python boundary in Arrow batches (ArrowEvalPythonUDTF in the plan),
     not pickled row-at-a-time — tools/plan_audit.py flags the non-Arrow form.
-    Rows-only; pytest pins chunk arithmetic."""
+    The oracle unrolls the identical chunk arithmetic in pure SQL
+    (string_split + range/unnest — same pattern as text_chunk_sliding_windows
+    but stride == width, no overlap), so the UDTF output is differentially
+    checked, not just row-counted."""
     from pyspark.sql.functions import lit, udtf
 
     @udtf(returnType="chunk_idx INT, n_tokens INT, chunk STRING", useArrow=True)

@@ -152,7 +152,12 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("pa", "pb")
-        .persist()
+        # localCheckpoint, NOT persist: the edge table is read 3× (wedge ×2 +
+        # closing join) so it must be materialized once, but SQL-cache
+        # entries live until explicit unpersist and would accumulate across
+        # the driver's multi-query session. RDD-backed checkpoint blocks are
+        # freed by the ContextCleaner when the plan is GC'd.
+        .localCheckpoint(eager=False)
     )
     wedges = edges.alias("e1").join(
         edges.alias("e2"), F.col("e1.pb") == F.col("e2.pa")

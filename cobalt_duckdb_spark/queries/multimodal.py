@@ -55,10 +55,30 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_extract")
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash, /* md5(VARCHAR) hashes UTF-8 bytes ==
+                                         hashlib.md5(blob) over encode(text) */
+           CAST(8 AS BIGINT) AS feature_dim,
+           'stub-decoder' AS feature_note
+    FROM documents
+    ORDER BY media_id
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/feature pipeline (stub decoder — rows-only check;
-    the Arrow batch shape, lazy singleton and output schema are the real
-    distributed plumbing)."""
+    """mapInPandas decode/feature pipeline (stub decoder — the Arrow batch
+    shape, lazy singleton and output schema are the real distributed
+    plumbing). The stub decoder is deterministic byte math over the UTF-8
+    blob, so the observable outputs ARE oracle-expressible: n_bytes =
+    octet_length(encode(text)), content_hash = md5 of the same bytes,
+    feature_dim = constant 8 (operators/multimodal.py:_decode_fake always
+    returns 8 features). The differential gate now checks the mapInPandas
+    path end-to-end instead of counting rows."""
     media = synth_media_from_documents(load_table(spark, sf_dir, "documents"))
     return extract_features(media).orderBy("media_id")

@@ -619,10 +619,13 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("nb"))
-        .persist()
+        # localCheckpoint, not persist: blocks are ContextCleaner-freed when
+        # the plan is GC'd; SQL cache would outlive the query in the
+        # driver's long-running session
+        .localCheckpoint(eager=False)
     )
     # total bigram mass folded from the count table — the corpus-sized
-    # explode runs ONCE and both consumers read the persisted vocab table
+    # explode runs ONCE and both consumers read the materialized vocab table
     btot_df = bcnt_all.agg(F.sum("nb").cast("double").alias("btot"))
     bcnt = bcnt_all.filter(F.col("nb") >= 5)
     u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
@@ -884,12 +887,12 @@ _PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
     "text_pii_redaction",
     oracle=f"""
     WITH salted AS (
-        -- deterministic PII injection: the synthetic corpus carries no real
-        -- PII, so the differential test plants one email + one phone per
-        -- doc — the redaction path is then provably exercised on every row
+        /* deterministic PII injection: the synthetic corpus carries no real
+           PII, so the differential test plants one email + one phone per
+           doc — the redaction path is then provably exercised on every row */
         SELECT doc_id,
                text || ' contact u' || doc_id ||
-               '@mail.com tel 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               '@mail.com tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
                '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
         FROM documents WHERE doc_id < 150
     )
@@ -926,8 +929,8 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.lit(" contact u"), F.col("doc_id").cast("string"),
-            F.lit("@mail.com tel 555-01"),
-            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("@mail.com tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
             F.lit("-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ).alias("text"),

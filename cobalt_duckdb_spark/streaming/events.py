@@ -80,9 +80,21 @@ def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
             .format("parquet")
             .load(directory)
         )
-        # cast NTZ → LTZ (session tz pinned UTC): watermarks require LTZ
-        # event time ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE])
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # NTZ → LTZ interpreting the wall time as UTC *explicitly* —
+        # a bare cast('timestamp') would read the wall clock in the session
+        # timezone, silently shifting streaming event times relative to the
+        # tz-independent batch loader on any non-UTC session.
+        # convert_timezone('UTC', session, ntz) renders the UTC instant in
+        # session-local wall time, so the final cast reconstructs exactly
+        # that instant whatever the session tz is. Watermarks require LTZ
+        # event time ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts)"
+                " as timestamp)"
+            ),
+        )
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")

@@ -532,15 +532,24 @@ def test_chunk_sliding_windows_tail_rule(spark, sf_dir):
 
     rows = text_chunk_sliding_windows(spark, sf_dir).collect()
     assert rows, "chunking produced no rows"
+    # independent token counts straight off the corpus (same split rule)
+    n_tokens_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens_by_doc)  # every doc chunked
     for doc, chunks in by_doc.items():
         idxs = [c["chunk_idx"] for c in chunks]
         assert idxs == list(range(len(idxs)))  # dense, ordered
         for c in chunks[:-1]:
             assert c["n_tokens"] == _CHUNK_W  # only the tail may be short
         assert 0 < chunks[-1]["n_tokens"] <= _CHUNK_W
-        # every token covered: last chunk reaches the end of the doc
-        total = chunks[-1]["chunk_idx"] * _CHUNK_STRIDE + chunks[-1]["n_tokens"]
-        assert total >= chunks[-1]["n_tokens"]
+        # every token covered: the last chunk must reach the END of the doc
+        last_end = chunks[-1]["chunk_idx"] * _CHUNK_STRIDE + chunks[-1]["n_tokens"]
+        assert last_end == n_tokens_by_doc[doc]

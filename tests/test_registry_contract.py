@@ -1,0 +1,65 @@
+"""Structural contracts every registered query must satisfy.
+
+The driver's correctness gate canonicalizes results with pandas
+``sort_values`` over all columns and hashes the sorted rows. That makes two
+things hard requirements, both of which have bitten before (r1:
+``agg_collect_sorted_list``; r2: ``udaf_label_centroids``):
+
+1. No registered query may return a top-level ArrayType / MapType /
+   StructType column — pandas cannot sort list cells
+   (``TypeError: unhashable type: 'list'``) and the driver extracts ZERO
+   signal, not even a row count. Serialize complex values to strings
+   (``scalar_array_serialization`` / ``udaf_label_centroids`` patterns).
+2. No oracle may contain a ``--`` line comment — oracle SQL is flattened to
+   one line before the driver runs it, so ``--`` swallows the rest of the
+   statement (r2: ``text_pii_redaction``). ``register()`` raises on this;
+   the test pins the guard.
+
+Schema construction is lazy (no job runs for most queries), so this test
+covers the whole registry cheaply at sf0.001.
+"""
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from cobalt_duckdb_spark.queries import ORACLE, QUERIES, register
+from tests.conftest import SF_DIR
+
+_COMPLEX = (ArrayType, MapType, StructType)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_complex_top_level_columns(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)
+    ]
+    assert not bad, (
+        f"{name} returns complex top-level column(s) {bad} — the driver "
+        "canonicalizer cannot hash these; serialize to string "
+        "(see scalar_array_serialization)"
+    )
+
+
+def test_no_line_comments_in_registered_oracles():
+    offenders = {n for n, sql in ORACLE.items() if "--" in sql}
+    assert not offenders
+
+
+def test_register_rejects_line_comment_oracle():
+    with pytest.raises(ValueError, match="line comment"):
+        register("_doomed", oracle="SELECT 1 -- boom\nFROM documents")
+    assert "_doomed" not in QUERIES  # validation precedes registration
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    # The genuinely non-SQL-expressible set. Anything else registered
+    # without an oracle burns a driver slot as err=no_oracle — add an oracle
+    # or an explicit entry here with justification.
+    rows_only_by_design = {
+        "agg_approx_sketches",  # engine-specific sketch outputs
+        "infer_embed_index_search_e2e",  # model in the loop
+        "infer_tokenize_stats",  # model in the loop
+    }
+    missing = set(QUERIES) - set(ORACLE) - rows_only_by_design
+    assert not missing, f"queries without oracle or exemption: {missing}"
