@@ -113,6 +113,138 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    bucket_fn,
+) -> DataFrame:
+    """Skew-safe backward as-of join: hot keys no longer serialize their whole
+    history through one task.
+
+    :func:`asof_join` windows ``partitionBy(key)`` — one user_id holding 50%
+    of 100 TB funnels 50 TB through a single task's sort. This variant salts
+    the window with a TIME BUCKET (``bucket_fn`` maps a time column to a
+    bigint bucket id and MUST be monotone non-decreasing in time, e.g.
+    day/hour truncation):
+
+    1. local as-of within each (key, bucket) — the big union+window now
+       partitions on (key, bucket), so a hot key splits across
+       #buckets tasks and per-task volume is bounded by bucket width;
+    2. per-(key, bucket) LAST right row → a spine table of one row per
+       distinct (key, bucket) — tiny relative to the data;
+    3. running ``last(ignorenulls)`` over the spine per key, shifted one
+       bucket back (frame ``(-∞, -1)``) → the carry-in: the latest right row
+       from any strictly earlier bucket;
+    4. left rows whose local fill is null take the carry-in (join on
+       (key, bucket) — co-partitioned with step 1's shuffle).
+
+    Exactly :func:`asof_join`'s backward semantics (ties at equal time match;
+    right deduplicated per (key, time) the same way) — asserted by
+    ``tests/test_scale.py`` on a synthetic distribution whose hottest key
+    owns half the table, and driver-checked against DuckDB's native ASOF
+    JOIN by the ``join_asof_bucketed_click_before_error`` registry entry."""
+    wdedup = Window.partitionBy(on, right_time).orderBy(
+        *[F.desc(c) for c in right_values]
+    )
+    right_clean = (
+        right.select(on, right_time, *right_values)
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    left_cols = list(left.columns)
+    r_side = right_clean.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        bucket_fn(F.col(right_time)).cast("bigint").alias("_b"),
+        F.lit(0).alias("_side"),  # right before left at equal time: inclusive
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_lv_{c}")
+            for c in left_cols
+        ],
+    )
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        bucket_fn(F.col(left_time)).cast("bigint").alias("_b"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(right_clean.schema[c].dataType).alias(f"_rv_{c}")
+            for c in right_values
+        ],
+        *[F.col(c).alias(f"_lv_{c}") for c in left_cols],
+    )
+    unioned = r_side.unionByName(l_side)
+
+    # (1) local as-of: the ONLY full-data window, partitioned on (key, bucket)
+    wloc = Window.partitionBy("_k", "_b").orderBy("_t", "_side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = unioned.select(
+        "_k",
+        "_b",
+        "_side",
+        *[F.col(f"_lv_{c}") for c in left_cols],
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(wloc).alias(f"_loc_{c}")
+            for c in right_values
+        ],
+        # non-null marker of the local match so "no right row at-or-before
+        # me IN THIS BUCKET" is distinguishable from a null right value
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
+        ).over(wloc).alias("_loc_t"),
+    ).filter(F.col("_side") == 1)
+
+    # (2) spine: one row per distinct (key, bucket) seen on either side,
+    #     annotated with that bucket's last right row (if any)
+    last_per_bucket = r_side.groupBy("_k", "_b").agg(
+        F.max("_t").alias("_bt"),
+        *[
+            F.max_by(f"_rv_{c}", "_t").alias(f"_bv_{c}")  # (key,time) unique
+            for c in right_values
+        ],
+    )
+    spine = (
+        unioned.select("_k", "_b")
+        .distinct()
+        .join(last_per_bucket, ["_k", "_b"], "left")
+    )
+
+    # (3) carry-in per (key, bucket): latest right row of any EARLIER bucket —
+    #     a window over the tiny spine, never the data
+    wcarry = Window.partitionBy("_k").orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = spine.select(
+        "_k",
+        "_b",
+        F.last("_bt", ignorenulls=True).over(wcarry).alias("_ct"),
+        *[
+            F.last(f"_bv_{c}", ignorenulls=True).over(wcarry).alias(f"_cv_{c}")
+            for c in right_values
+        ],
+    )
+
+    # (4) local match wins when present, else the carried-in boundary row
+    out = filled.join(carry, ["_k", "_b"], "left")
+    use_local = F.col("_loc_t").isNotNull()
+    return out.select(
+        *[F.col(f"_lv_{c}").alias(c) for c in left_cols],
+        *[
+            F.when(use_local, F.col(f"_loc_{c}"))
+            .otherwise(F.col(f"_cv_{c}"))
+            .alias(f"asof_{c}")
+            for c in right_values
+        ],
+    )
+
+
 def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,

@@ -279,3 +279,98 @@ def test_zorder_layout_tightens_file_ranges_on_both_dims(spark, sf_dir, tmp_path
     assert z_price < 0.6 * lin_price
     # …while keeping custkey locality far below the global span
     assert z_ck < 0.6 * span["ck"]
+
+
+def test_asof_join_bucketed_equals_plain_on_hot_key(spark):
+    """One key owning 50% of all rows must not change as-of semantics when
+    the window is salted by time bucket (VERDICT r2 item 7). The bucketed
+    plan's heavy window partitions on (key, bucket): the hot key's rows
+    split across ~n_buckets tasks instead of one task's sort."""
+    import random
+
+    from cobalt_duckdb_spark.operators.joins import asof_join, asof_join_bucketed
+
+    rng = random.Random(7)
+    rows = []
+    # hot key 0: half the table, spread over 200 time units (≈20 buckets of
+    # width 10); cold keys 1..49 share the other half
+    for i in range(2000):
+        key = 0 if i % 2 == 0 else rng.randint(1, 49)
+        rows.append((i, key, rng.randint(0, 199)))
+    left = spark.createDataFrame(rows, "lid BIGINT, k BIGINT, t BIGINT")
+    right = spark.createDataFrame(
+        [
+            (rng.randint(0, 49) if j % 2 else 0, rng.randint(0, 199), j)
+            for j in range(600)
+        ],
+        "k BIGINT, t BIGINT, tag BIGINT",
+    )
+
+    plain = asof_join(
+        left, right, on="k", left_time="t", right_time="t", right_values=["tag"]
+    )
+    bucketed = asof_join_bucketed(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        right_values=["tag"],
+        bucket_fn=lambda t: t / 10,  # monotone: 10-unit time buckets
+    )
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in bucketed.collect())
+    assert a == b
+    # exactly |left| output rows (no duplication through the carry join)
+    assert len(b) == 2000
+
+
+def test_embedder_knn_dim1024_arrow_batch_budget(spark):
+    """Reference embedding dim is 1024 (ruri-large); prior tests used dim 64.
+    Pin that the full embed → store → batch-KNN path works at the real width
+    AND that arrow.maxRecordsPerBatch bounds the per-batch byte volume the
+    Python workers see (VERDICT r2 item 5)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from cobalt_duckdb_spark.functions.inference import make_embedder_udf
+    from cobalt_duckdb_spark.operators.knn import knn_topk_batch
+
+    DIM, N, MAX_PER_BATCH = 1024, 512, 64
+    BYTE_BUDGET = 1 << 20  # 1 MiB of float32 vector payload per Arrow batch
+    assert MAX_PER_BATCH * DIM * 4 <= BYTE_BUDGET
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(MAX_PER_BATCH))
+    try:
+        docs = spark.range(N).select(
+            F.col("id").alias("vec_id"),
+            F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        ).coalesce(2)  # few, large input partitions → batching must split them
+
+        # observe actual batch sizes worker-side: every row reports the
+        # length of the Arrow batch it arrived in
+        @pandas_udf("int")
+        def batch_len(s: pd.Series) -> pd.Series:
+            return pd.Series([len(s)] * len(s))
+
+        sizes = [r["bl"] for r in docs.select(batch_len("text").alias("bl")).collect()]
+        assert max(sizes) <= MAX_PER_BATCH
+        assert max(sizes) * DIM * 4 <= BYTE_BUDGET
+
+        embed = make_embedder_udf(dim=DIM)  # no ST package here → fallback
+        emb = docs.select("vec_id", embed("text").alias("embedding"))
+        first = emb.head()
+        assert len(first["embedding"]) == DIM
+
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = knn_topk_batch(emb, queries, k=5).collect()
+        assert len(top) == 15
+        for r in top:
+            if r["rank"] == 1:  # each query's nearest neighbor is itself
+                assert r["vec_id"] == r["query_id"]
+                assert abs(r["distance"]) < 1e-6
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
