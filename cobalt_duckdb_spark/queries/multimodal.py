@@ -82,3 +82,34 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     path end-to-end instead of counting rows."""
     media = synth_media_from_documents(load_table(spark, sf_dir, "documents"))
     return extract_features(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample_plan",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    offsets AS (
+        SELECT media_id, unnest(range(0, n, 1024)) AS byte_offset FROM media
+    )
+    SELECT media_id, CAST(byte_offset AS BIGINT) AS byte_offset
+    FROM offsets ORDER BY media_id, byte_offset
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (SURVEY.md multimodal pack): emit the
+    (media_id, byte_offset) sample points a real decoder would seek — the
+    sampling plan itself is a pure JVM sequence+explode row multiplier, so
+    planning 100 TB of video costs a map-only scan of blob lengths; only
+    decoding the sampled offsets is expensive (and stubbed here, like all
+    codec work in this container)."""
+    media = synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    from cobalt_duckdb_spark.operators.multimodal import frame_sample_plan
+
+    return (
+        frame_sample_plan(media, every_n_bytes=1024)
+        .select("media_id", F.col("byte_offset").cast("bigint").alias("byte_offset"))
+        .orderBy("media_id", "byte_offset")
+    )

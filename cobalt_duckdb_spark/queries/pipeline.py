@@ -331,3 +331,65 @@ def sample_per_user_event_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_CURR_PHASES = 4
+
+
+@register(
+    "curriculum_quality_phases",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        FROM documents
+    ),
+    phased AS (
+        SELECT doc_id, score,
+               ntile({_CURR_PHASES}) OVER (ORDER BY score ASC, doc_id ASC)
+                   AS phase
+        FROM scored
+    )
+    SELECT CAST(phase AS INT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(min(score), 6) AS min_score,
+           ROUND(max(score), 6) AS max_score,
+           ROUND(avg(score), 6) AS avg_score
+    FROM phased GROUP BY phase ORDER BY phase
+    """,
+)
+def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: rank every document by a quality
+    proxy (mean token length = chars per whitespace token) and cut the
+    corpus into ordered phases — easy-to-hard scheduling feeds phase 1
+    first. ntile gives exactly-balanced phase sizes, the property curriculum
+    schedules want.
+
+    Scale note: ntile over an UNPARTITIONED window is a single-reducer sort
+    — fine for the phase *audit* here (output is {_CURR_PHASES} rows), but
+    at 100 TB the assignment step would swap in approx-quantile boundaries
+    (``approxQuantile`` / ``dq_equidepth_deciles``'s plan) + a broadcast
+    range lookup, which keeps the same phase semantics modulo boundary
+    rounding without the global sort. The oracle pins the exact-ntile
+    semantics at test scale."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = d.select(
+        "doc_id",
+        (F.col("n_chars") / F.size(F.split("text", " "))).alias("score"),
+    )
+    w = Window.orderBy(F.asc("score"), F.asc("doc_id"))
+    phased = scored.withColumn("phase", F.ntile(_CURR_PHASES).over(w))
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .select(F.col("phase").cast("int").alias("phase"), "n_docs",
+                "min_score", "max_score", "avg_score")
+        .orderBy("phase")
+    )

@@ -448,3 +448,97 @@ def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+_MRL_K = 10
+_MRL_PREFIX = 16  # Matryoshka prefix dims audited against the full 64
+_MRL_NQ = 5
+
+
+@register(
+    "matryoshka_recall_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {_MRL_NQ}
+    ),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    full_topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, b.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY 1.0 - list_cosine_similarity(b.v, q.qv) ASC,
+                                b.vec_id ASC) AS rn
+            FROM base b CROSS JOIN q)
+        WHERE rn <= {_MRL_K}
+    ),
+    pref_topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, b.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY 1.0 - list_cosine_similarity(
+                                    b.v[1:{_MRL_PREFIX}], q.qv[1:{_MRL_PREFIX}]) ASC,
+                                b.vec_id ASC) AS rn
+            FROM base b CROSS JOIN q)
+        WHERE rn <= {_MRL_K}
+    )
+    SELECT f.query_id,
+           CAST({_MRL_K} AS BIGINT) AS k,
+           CAST(count(p.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(count(p.vec_id) / {_MRL_K}.0, 6) AS recall_at_k
+    FROM full_topk f
+    LEFT JOIN pref_topk p ON f.query_id = p.query_id AND f.vec_id = p.vec_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al., MRL): how much top-k
+    recall survives keeping only the first 16 of 64 embedding dims? The
+    production question behind serving truncated vectors: a prefix index is
+    4x smaller and 4x faster per comparison, and this measures the quality
+    bill. recall@k = |topk_full ∩ topk_prefix| / k per query.
+
+    Scale shape: two batch-KNN passes (broadcast queries x map-only scan +
+    per-query top-k window — same plan as ``simsearch_batch_knn``) over full
+    and sliced vectors, then a join of two k-row-per-query sets. The slice
+    is a Catalyst expression at scan time, so the prefix pass reads the same
+    column without a second materialized table."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < _MRL_NQ)
+    full_top = knn_topk_batch(
+        emb,
+        q.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        k=_MRL_K,
+    )
+    pref_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_PREFIX).alias("embedding")
+    )
+    pref_top = knn_topk_batch(
+        pref_emb,
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.slice("embedding", 1, _MRL_PREFIX).alias("query_vec"),
+        ),
+        k=_MRL_K,
+    )
+    hits = pref_top.select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    return (
+        full_top.select("query_id", "vec_id")
+        .join(hits, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_overlap"))
+        .select(
+            "query_id",
+            F.lit(_MRL_K).cast("bigint").alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / _MRL_K, 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

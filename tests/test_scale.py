@@ -374,3 +374,46 @@ def test_embedder_knn_dim1024_arrow_batch_budget(spark):
                 assert abs(r["distance"]) < 1e-6
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_ivfpq_lake_layout_partition_pruning(spark, sf_dir, tmp_path):
+    """The compressed index written partitionBy(cell) turns probing into
+    partition pruning — the physical scan must carry a PartitionFilters
+    entry on cell, and serving from the pruned on-disk layout must return
+    exactly the in-memory IVF-PQ pipeline's answer."""
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+    from cobalt_duckdb_spark.operators.pq import (
+        adc_topk_from_index,
+        ivfpq_adc_topk,
+        write_ivfpq_index,
+    )
+    from cobalt_duckdb_spark.plans import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_index")
+    centroids, books = write_ivfpq_index(emb, path)
+
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # serving-side probe planning: nearest nprobe=4 coarse cells (tiny)
+    probes = [
+        r["centroid_id"]
+        for r in q.crossJoin(F.broadcast(centroids))
+        .select(
+            "centroid_id",
+            cosine_distance(F.col("query_vec"), F.col("centroid_vec")).alias("d"),
+        )
+        .orderBy("d", "centroid_id")
+        .limit(4)
+        .collect()
+    ]
+
+    idx = spark.read.parquet(path).filter(F.col("cell").isin([int(p) for p in probes]))
+    plan = formatted_plan(idx)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    got = adc_topk_from_index(spark, path, books, q, probes, k=5).collect()
+    want = ivfpq_adc_topk(emb, q, k=5, num_centroids=16, nprobe=4).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5
