@@ -206,7 +206,13 @@ def test_udaf_centroids_match_exact_average(spark, sf_dir):
     for label, grp in pdf.groupby("label"):
         want = np.vstack(grp["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
         assert got[label]["n_vectors"] == len(grp)
-        assert np.allclose(got[label]["centroid"], want, atol=1e-5)
+        # centroid is serialized (driver hash contract): pipe-joined
+        # milli-unit ints — decode and compare against the exact average
+        decoded = np.array(
+            [int(x) / 1000.0 for x in got[label]["centroid_milli"].split("|")]
+        )
+        assert decoded.shape == want.shape
+        assert np.allclose(decoded, want, atol=5e-4)  # half-milli quantization
 
 
 def test_udtf_chunks_cover_document(spark, sf_dir):
