@@ -167,3 +167,49 @@ def test_inverted_jaccard_matches_naive(spark, token_docs):
                 ta,
                 tb,
             )
+
+
+@given(asof_case(), st.integers(1, 25))
+@settings(**SETTINGS)
+def test_asof_join_bucketed_matches_pandas(spark, case, width):
+    """The time-bucketed skew-safe variant must agree with pandas merge_asof
+    for EVERY monotone bucket width — including width 1 (every row its own
+    bucket ⇒ all matches come from the carry spine) and widths larger than
+    the time domain (single bucket ⇒ pure local path)."""
+    from cobalt_duckdb_spark.operators.joins import asof_join_bucketed
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k BIGINT, t BIGINT, lid BIGINT",
+    )
+    rmap = {}
+    for k, t, v in right_rows:
+        rmap[(k, t)] = max(v, rmap.get((k, t), -1))
+    rrows = [(k, t, v) for (k, t), v in rmap.items()]
+    right = spark.createDataFrame(rrows or [], "k BIGINT, t BIGINT, v BIGINT")
+
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join_bucketed(
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["v"], bucket_fn=lambda t: F.floor(t / width),
+        ).collect()
+    }
+
+    if rrows:
+        lpdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+            columns=["k", "t", "lid"],
+        ).sort_values("t", kind="stable")
+        rpdf = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values(
+            "t", kind="stable"
+        )
+        merged = pd.merge_asof(lpdf, rpdf, on="t", by="k", direction="backward")
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {i: None for i in range(len(left_rows))}
+    assert got == want

@@ -417,3 +417,74 @@ def test_ivfpq_lake_layout_partition_pruning(spark, sf_dir, tmp_path):
     want = ivfpq_adc_topk(emb, q, k=5, num_centroids=16, nprobe=4).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 5
+
+
+def test_dynamic_partition_pruning_day_partitioned_events(spark, sf_dir, tmp_path):
+    """Fact table partitioned by day joined to a filtered dim must plan a
+    DPP subquery: the fact scan's partition filter is fed from the dim's
+    build side at runtime, so only the dim-selected days are listed/read.
+    At 100 TB of day-partitioned events this is the difference between
+    scanning the lake and scanning the days a dimension filter names."""
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.plans import formatted_plan
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+
+    days = [
+        r["day"]
+        for r in fact.select("day").distinct().orderBy("day").limit(3).collect()
+    ]
+    dim = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(days)], "day DATE, idx INT"
+    )
+    j = fact.join(dim.filter(F.col("idx") < 2), "day").groupBy("day").count()
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned result only covers the two selected days
+    got = {r["day"] for r in j.collect()}
+    assert got == set(days[:2])
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join must actually activate on a hot-key sort-merge join
+    (thresholds scaled down to test size): the executed plan carries
+    SortMergeJoin(skew=true) and a skewed AQEShuffleRead. This is the
+    runtime half of the skew story — the salted/bucketed operators cover
+    the cases AQE can't see (windows, as-of)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        jj = left.join(right, "k").select(F.sum("v").alias("s"))
+        [row] = jj.collect()  # finalize the adaptive plan
+        executed = jj._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:3000]
+        # sanity: the join answered correctly despite the split — evens all
+        # match right k=0, odds match their own id only below 2000
+        want = sum(i for i in range(0, 300000, 2)) + sum(i for i in range(1, 2000, 2))
+        assert row["s"] == want
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
