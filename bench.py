@@ -59,6 +59,8 @@ def main() -> None:
     # two passes per query, report the min: strips GC/JIT/compilation spikes
     # so numbers reflect steady-state throughput (what a resident service
     # like the reference's Gradio loop would see)
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in selected.items():
         best = float("inf")
@@ -67,6 +69,11 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Release py4j-held plan/RDD references so the ContextCleaner can
+        # drop lingering checkpoint/cache blocks between queries — without
+        # this, late-in-run queries inherit ~100 queries of accumulated
+        # block-manager state and measure 2-4x slower than in isolation.
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
 

@@ -247,3 +247,54 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "LessThan(doc_id,50)" in plan
     assert "n_chars" in plan.split("ReadSchema")[1][:200]
     assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_binaryfile_media_ingest_to_multimodal_ops(spark, tmp_path):
+    """Files → MEDIA_SCHEMA rows → existing multimodal operators, end to
+    end: the binaryFile source is the raw-lake ingest boundary, and its
+    listing-time filters (glob, length) must prune before content is read."""
+    from cobalt_duckdb_spark.operators.multimodal import binary_stats, extract_features
+    from cobalt_duckdb_spark.sources.binary import read_media_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {
+        "a.png": b"\x89PNG" + b"x" * 100,
+        "b.wav": b"RIFF" + b"y" * 200,
+        "c.mp4": b"\x00\x00ftyp" + b"z" * 300,
+        "huge.png": b"\x89PNG" + b"h" * 5000,
+        "notes.txt": b"not media",
+    }
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+
+    media = read_media_files(
+        spark, str(d), glob="*.{png,wav,mp4}", max_bytes=1000
+    )
+    rows = {r["format"]: r for r in media.collect()}
+    assert set(rows) == {"png", "wav", "mp4"}  # txt glob-pruned, huge size-pruned
+    assert rows["png"]["kind"] == "image"
+    assert rows["wav"]["kind"] == "audio"
+    assert rows["mp4"]["kind"] == "video"
+    assert bytes(rows["wav"]["blob"]) == payloads["b.wav"]
+    assert len({r["media_id"] for r in rows.values()}) == 3  # distinct stable ids
+
+    # the ingested frame feeds the existing multimodal operators unchanged
+    stats = {r["format"]: r["n_bytes"] for r in binary_stats(media).collect()}
+    assert stats == {"png": 104, "wav": 204, "mp4": 306}
+    feats = extract_features(media).collect()
+    assert len(feats) == 3 and all(r["feature_dim"] == 8 for r in feats)
+
+
+def test_wholetext_corpus_one_doc_per_file(spark, tmp_path):
+    from cobalt_duckdb_spark.sources.binary import read_wholetext_corpus
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.md").write_text("first doc\nwith two lines")
+    (d / "b.md").write_text("second doc")
+    got = {r["file_name"]: r for r in read_wholetext_corpus(spark, str(d)).collect()}
+    assert set(got) == {"a.md", "b.md"}
+    # wholetext: the newline does NOT split the document
+    assert got["a.md"]["text"] == "first doc\nwith two lines"
+    assert got["a.md"]["doc_id"] != got["b.md"]["doc_id"]
