@@ -495,3 +495,101 @@ def dedup_shared_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("span"))
         .limit(25)
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+        /* deterministic URL synthesis: the corpus carries no URL column, so
+           the differential test plants one per doc with the noise a crawler
+           actually sees — uppercase scheme/host, tracking params, fragments,
+           trailing slashes; doc_id % 40 collides docs onto shared pages */
+        SELECT doc_id,
+               'HTTPS://WWW.' || source || '.Example.COM/page/' ||
+               CAST(doc_id % 40 AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&utm_campaign=x&ref=' ||
+                         CAST(doc_id AS VARCHAR)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN '#section-' ||
+                    CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#[a-z0-9_-]*$', ''),
+                     '[?&](utm_[a-z]+|ref)=[a-z0-9]*', '', 'g'),
+                   '[?]$', ''),
+                 '/$', '') AS curl
+        FROM raw
+    ),
+    grouped AS (
+        SELECT curl, MIN(doc_id) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dupes
+        FROM canon GROUP BY curl
+    )
+    SELECT curl, keeper_id, n_dupes
+    FROM grouped
+    ORDER BY n_dupes DESC, curl ASC
+    LIMIT 40
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup pass of every web-crawl
+    curation pipeline (before any content hashing): lowercase scheme/host,
+    strip fragments, tracking params (utm_*, ref) and trailing slashes, then
+    collapse to one keeper per canonical URL. The synthetic URLs plant every
+    noise class on a modulo-colliding page space so the strip/collapse path
+    is provably exercised (same salting discipline as text_pii_redaction).
+
+    Regexes stay in the Java-regex ∩ RE2 common subset. Scale shape: pure
+    map-side canonicalization + ONE shuffle on the canonical key — at crawl
+    scale this is the cheapest dedup there is, which is why it runs first."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM/page/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&utm_campaign=x&ref="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("#section-"), (F.col("doc_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("url"), "#[a-z0-9_-]*$", ""),
+                "[?&](utm_[a-z]+|ref)=[a-z0-9]*",
+                "",
+            ),
+            "[?]$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+        )
+        .orderBy(F.desc("n_dupes"), F.asc("curl"))
+        .limit(40)
+    )

@@ -1,0 +1,51 @@
+"""Diff two bench JSON lines and flag per-query regressions.
+
+    python tools/bench_compare.py OLD.json NEW.json [threshold]
+
+Prints queries whose time changed by more than ``threshold``× (default 1.5)
+in either direction, plus totals — the guard that keeps a perf regression
+from hiding inside a 140-query total. Single-node local timings are noisy
+(±20% run-to-run is normal); treat one-off flags as re-run candidates, and
+only sustained flags as regressions.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    oq, nq = old["queries"], new["queries"]
+
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+
+    flags = []
+    for name in sorted(set(oq) & set(nq)):
+        a, b = oq[name], nq[name]
+        if a <= 0 or b <= 0:
+            continue
+        ratio = b / a
+        # ignore sub-100ms blips — ratio means nothing at timer resolution
+        if (ratio > threshold or ratio < 1 / threshold) and max(a, b) >= 0.1:
+            flags.append((ratio, name, a, b))
+    for ratio, name, a, b in sorted(flags, reverse=True):
+        tag = "SLOWER" if ratio > 1 else "faster"
+        print(f"{tag}  {ratio:5.2f}x  {a:7.3f}s -> {b:7.3f}s  {name}")
+    if not flags:
+        print(f"no per-query change beyond {threshold}x")
+    return 1 if any(r > threshold for r, *_ in flags) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

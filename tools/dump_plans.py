@@ -100,6 +100,23 @@ SHOWCASE = {
         "orientation bounds each node's fan-out); the final per-part count "
         "is TakeOrderedAndProject."
     ),
+    "join_asof_bucketed_click_before_error": (
+        "Skew-safe as-of join (r3). Things to see: the heavy Window "
+        "partitions on (user_id, BUCKET) — a hot user's history splits "
+        "across buckets instead of one task's sort; the carry path is a "
+        "per-(key, bucket) hash aggregate plus a window over the tiny "
+        "spine (rows = distinct key×bucket, not data); the final carry "
+        "join is keyed on the same (key, bucket) the local pass shuffled "
+        "on."
+    ),
+    "matryoshka_recall_audit": (
+        "Matryoshka truncation audit (r3). Things to see: BOTH KNN passes "
+        "are broadcast-query map-only scans over the SAME embeddings "
+        "column — the 16-dim prefix is a slice() Project at scan time, "
+        "not a second materialized table; each pass ends in its own "
+        "per-query top-k window; the overlap join moves only 2×k rows "
+        "per query."
+    ),
 }
 
 
