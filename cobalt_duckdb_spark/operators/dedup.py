@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram-shingle Jaccard ≥ threshold via an
     inverted-index set-similarity join — no blocking, no recall loss.
@@ -108,25 +109,36 @@ def ngram_jaccard_pairs(
     naive cross product, and every per-pair step is O(1) (no array
     intersection in the pair loop).
 
-    At 100 TB: add prefix filtering (index only each doc's τ-determined
-    rarest-shingle prefix) to cap hot-shingle fan-out; the join stays the
-    same shape. A length-bucket pre-blocked variant of this operator was
-    measured 10× slower here because per-pair array intersections dominate.
+    ``max_df`` is the hot-shingle guard for corpus scale: shingles appearing
+    in more than ``max_df`` documents (boilerplate, stop-phrases) are dropped
+    from the INDEX side before the self-join, capping its fan-out at
+    max_df² per shingle instead of freq². Per-doc shingle totals keep the
+    original counts, so surviving pairs still score true Jaccard with
+    ``common`` undercounted by at most the dropped shingles — a lower
+    bound; pairs whose overlap is mostly boilerplate (the ones a near-dup
+    pass SHOULD ignore) fall below threshold, everything else is unchanged
+    (tested). Default None = exact (the oracle-checked configuration).
 
-    The (id, ns, hash) shingle table is persisted: the self-join consumes it
-    twice, and recomputing the interpreted shingling per branch doubles the
-    dominant cost.
+    The (id, ns, hash) shingle table is consumed twice by the self-join:
+    materialized via ``localCheckpoint`` (blocks are ContextCleaner-freed
+    when the plan is GC'd, unlike SQL-cache entries, which would accumulate
+    across a long multi-query session).
     """
-    from pyspark import StorageLevel
-
-    ex = shingle_hashes(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ex = shingle_hashes(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    idx = ex
+    if max_df is not None:
+        keep = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("h")
+        )
+        idx = ex.join(keep, "h")
 
     pairs = (
-        ex.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
+        idx.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
         .join(
-            ex.select(F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns"), "h"),
+            idx.select(F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns"), "h"),
             "h",
         )
         .filter(F.col("a_id") < F.col("b_id"))

@@ -914,3 +914,60 @@ def dq_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("decile").cast("bigint").alias("decile"), "n", "lo", "hi")
         .orderBy("decile")
     )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+    SELECT d AS first_digit,
+           n,
+           ROUND(n / (SELECT t FROM tot), 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS benford_p,
+           ROUND(ABS(n / (SELECT t FROM tot) - log10(1.0 + 1.0 / d)), 6)
+               AS abs_dev
+    FROM counts ORDER BY first_digit
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / pipeline-corruption screen: naturally occurring
+    multi-scale amounts follow P(d) = log10(1 + 1/d); a synthetic or
+    truncated column deviates visibly. Emitted per digit: observed vs
+    expected probability and absolute deviation (TPC-H prices are uniform,
+    so the HIGH deviation here is itself the correct, pinned answer).
+
+    First digit is taken textually from the FLOORED integer part —
+    explicit floor because DuckDB's double→BIGINT cast rounds while
+    Spark's truncates, which flips the digit for prices just under a
+    decade boundary. Scale shape: map-side digit
+    extraction + one 9-group aggregate; the probability normalization is a
+    broadcast single-row frame, no second scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.abs(F.col("n") / F.col("t") - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("first_digit")
+    )

@@ -559,3 +559,34 @@ def test_chunk_sliding_windows_tail_rule(spark, sf_dir):
         # every token covered: the last chunk must reach the END of the doc
         last_end = chunks[-1]["chunk_idx"] * _CHUNK_STRIDE + chunks[-1]["n_tokens"]
         assert last_end == n_tokens_by_doc[doc]
+
+
+def test_jaccard_max_df_guard_drops_boilerplate_only_pairs(spark):
+    from cobalt_duckdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter now"  # hot shingles, every doc
+    rows = []
+    for i in range(12):
+        body = f"unique body text number {i} with words w{i} x{i} y{i} z{i}"
+        rows.append((i, f"{body} {boiler}"))
+    # one true near-dup pair: 100 and 101 share their body
+    rows.append((100, "the quick brown fox jumps over the lazy dog " + boiler))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.3)
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_df=5)
+    exact_pairs = {(r["a_id"], r["b_id"]) for r in exact.collect()}
+    capped_pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+
+    # the true near-dup survives the guard; boilerplate-only pairs never
+    # reached threshold in the exact pass and are gone from the capped
+    # candidate set entirely
+    assert (100, 101) in exact_pairs
+    assert (100, 101) in capped_pairs
+    assert capped_pairs == exact_pairs
+    # capped jaccard is a lower bound of the exact score
+    exact_j = {(r["a_id"], r["b_id"]): r["jaccard"] for r in exact.collect()}
+    capped_j = {(r["a_id"], r["b_id"]): r["jaccard"] for r in capped.collect()}
+    for pair, j in capped_j.items():
+        assert j <= exact_j[pair] + 1e-9
