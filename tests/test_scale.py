@@ -488,3 +488,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_write_balanced_shards_bytes_not_rows(spark, sf_dir, tmp_path):
+    """Size-descending round-robin sharding must balance BYTES under a
+    heavy-tailed length distribution where row-count balancing doesn't."""
+    import glob
+
+    from cobalt_duckdb_spark.operators.scale import write_balanced_shards
+
+    # heavy tail: a few huge docs, many small ones
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.rpad(
+            F.lit("x"),
+            F.when(F.col("id") % 97 == 0, 50000).otherwise(
+                (F.col("id") % 37 + 1) * 20
+            ).cast("int"),
+            "x",
+        ).alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+
+    path = str(tmp_path / "shards")
+    write_balanced_shards(docs, path, num_shards=4, size_col="n_chars")
+
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    per_shard = {
+        r["shard"]: r["b"]
+        for r in back.groupBy("shard").agg(F.sum("n_chars").alias("b")).collect()
+    }
+    assert set(per_shard) == {0, 1, 2, 3}
+    mean_b = sum(per_shard.values()) / 4
+    # LPT greedy bound is 4/3 x OPT; with this tail it lands much closer
+    assert max(per_shard.values()) <= 1.34 * mean_b, per_shard
+    # exactly one data file per shard directory
+    for k in range(4):
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        assert len(files) == 1, files
