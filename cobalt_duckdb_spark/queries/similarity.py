@@ -542,3 +542,124 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_RERANK_CANDIDATES = 50
+
+
+def _pq_rerank_oracle() -> str:
+    """Coarse-retrieve (PQ-ADC top-N) → exact-rerank oracle: wraps the full
+    PQ pipeline twin as a derived table, then re-scores its candidate set
+    with exact cosine and cuts to the final k."""
+    base = pq_adc_oracle_sql(k=_RERANK_CANDIDATES, query_ids=(0, 1, 2))
+    return f"""
+    WITH cand AS (
+        SELECT query_id, vec_id FROM ({base})
+    ),
+    exact AS (
+        SELECT c.query_id, c.vec_id,
+               1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) AS d
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings q ON q.vec_id = c.query_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, ROUND(d, 6) AS distance
+    FROM (
+        SELECT query_id, vec_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+        FROM exact
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("simsearch_pq_rerank_exact", oracle=_pq_rerank_oracle())
+def simsearch_pq_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the shape every production vector search runs:
+    a COMPRESSED first stage (PQ-ADC over 8-byte codes) retrieves a
+    candidate pool (50 per query), then an exact cosine pass re-scores only
+    that pool and emits the final top-k. Quality ≈ exact search wherever the
+    candidate pool covers the true top-k; cost ≈ compressed scan +
+    k·pool-size full-width distance evaluations — at 100 TB the exact stage
+    touches 50 vectors per query instead of N.
+
+    Plan shape: stage 1 is the oracle-checked ADC pipeline; stage 2
+    broadcasts the tiny (query, candidate) pool against the embeddings scan
+    — no second full-table shuffle."""
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+    from cobalt_duckdb_spark.operators.pq import pq_adc_topk
+    from pyspark.sql import Window
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = _query_set(spark, sf_dir)
+    cand = pq_adc_topk(emb, qs, k=_RERANK_CANDIDATES).select("query_id", "vec_id")
+    exact = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(
+                qs.select(
+                    "query_id", F.col("query_vec").cast("array<double>").alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "vec_id", cosine_distance(F.col("v"), F.col("qv")).alias("d")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "rank", "vec_id", F.round("d", 6).alias("distance"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_FILTER_LABEL = 3
+
+
+@register(
+    "simsearch_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS d
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label = {_FILTER_LABEL}
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+           CAST(label AS BIGINT) AS label, ROUND(d, 6) AS distance
+    FROM (
+        SELECT query_id, vec_id, label, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {{k}}
+    ORDER BY query_id, rank
+    """.format(k=10),
+)
+def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the "filtered ANN" every vector DB
+    advertises): top-k restricted to rows satisfying a predicate
+    (label = 3). In Spark the filter is just a WHERE on the scan — pushed
+    to parquet, composed BEFORE any distance work, and at 100 TB it
+    combines with partition/file pruning on the filter column. (Contrast
+    with post-filtering a fixed top-k, which silently returns fewer than k
+    when the predicate is selective.)"""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label") == _FILTER_LABEL
+    )
+    out = knn_topk_batch(emb, _query_set(spark, sf_dir), k=10)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    return out.join(F.broadcast(lab), "vec_id").select(
+        "query_id", "rank", "vec_id", "label", "distance"
+    ).orderBy("query_id", "rank")
