@@ -330,3 +330,61 @@ def asof_join_nearest(
         ],
         F.when(use_back, F.col("_bt")).otherwise(F.col("_ft")).alias("matched_time"),
     )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    bucket_fn,
+    how: str = "inner",
+) -> DataFrame:
+    """Scalable point-in-interval range join WITHOUT an equi key.
+
+    A bare ``l.t BETWEEN r.start AND r.end`` join has no equi condition, so
+    Catalyst plans BroadcastNestedLoopJoin — fine when one side broadcasts,
+    quadratic disaster when both sides are big. This manufactures the equi
+    key: ``bucket_fn`` (monotone, same as :func:`asof_join_bucketed`) maps
+    times to coarse buckets; each right interval is EXPLODED into every
+    bucket it covers (sequence(start_bucket, end_bucket) — cost = interval
+    length / bucket width), the join runs as a hash join on the bucket, and
+    the exact BETWEEN predicate filters residually. Each (point, interval)
+    match meets in exactly ONE bucket — the point's — so no dedup pass is
+    needed. Pick the bucket width ≥ typical interval length so the explode
+    multiplier stays ~2×.
+
+    ``how='left'`` keeps unmatched left rows (interval columns NULL) via an
+    anti-join complement on the same bucketed plan — still no nested loop.
+    """
+    lb = left.withColumn("_b", bucket_fn(F.col(left_time)).cast("bigint"))
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                bucket_fn(F.col(right_start)).cast("bigint"),
+                bucket_fn(F.col(right_end)).cast("bigint"),
+            )
+        ),
+    )
+    cond = (F.col(left_time) >= F.col(right_start)) & (
+        F.col(left_time) <= F.col(right_end)
+    )
+    matched = lb.join(rb, "_b").filter(cond).drop("_b")
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right_cols = [c for c in right.columns]
+    unmatched = lb.join(
+        rb.select("_b", right_start, right_end), ["_b"], "left"
+    ).groupBy(*[F.col(c) for c in left.columns], "_b").agg(
+        F.max(cond.cast("int")).alias("_hit")
+    ).filter(
+        (F.col("_hit").isNull()) | (F.col("_hit") == 0)
+    ).select(
+        *left.columns,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    return matched.select(*left.columns, *right_cols).unionByName(unmatched)

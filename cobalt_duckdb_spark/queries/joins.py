@@ -350,3 +350,64 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_id_nearest").alias("nearest_click_id"),
         F.col("matched_time").alias("nearest_click_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_range_bucketed_incident_clicks",
+    oracle="""
+    WITH incidents AS (
+        SELECT event_id AS incident_id, CAST(ts AS TIMESTAMP) AS t0,
+               CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS t1
+        FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+    ),
+    clicks AS (
+        SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS ct
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT i.incident_id,
+           CAST(COUNT(c.click_id) AS BIGINT) AS n_clicks,
+           MIN(c.click_id) AS first_click_id,
+           MAX(c.click_id) AS last_click_id
+    FROM incidents i JOIN clicks c ON c.ct >= i.t0 AND c.ct <= i.t1
+    GROUP BY i.incident_id
+    ORDER BY i.incident_id
+    """,
+)
+def join_range_bucketed_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join with NO equi key — any clicks (all
+    users) during any incident window. DuckDB's planner handles the bare
+    BETWEEN join natively (IEJoin); Spark would fall back to
+    BroadcastNestedLoopJoin, which dies when neither side broadcasts — so
+    this runs :func:`range_join_bucketed`: intervals explode into the
+    15-minute buckets they cover (≤2 rows each at this width), the join
+    becomes a hash join on the bucket, and the exact BETWEEN filters
+    residually. Same answer, shuffle-join scaling."""
+    from cobalt_duckdb_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t1"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("ct")
+    )
+    bucket = lambda t: F.floor(  # noqa: E731 — 15-min buckets == interval width
+        F.unix_timestamp(t.cast("timestamp")) / 900
+    )
+    joined = range_join_bucketed(
+        clicks, incidents, left_time="ct", right_start="t0", right_end="t1",
+        bucket_fn=bucket,
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count("click_id").cast("bigint").alias("n_clicks"),
+            F.min("click_id").alias("first_click_id"),
+            F.max("click_id").alias("last_click_id"),
+        )
+        .orderBy("incident_id")
+    )

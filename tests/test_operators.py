@@ -590,3 +590,45 @@ def test_jaccard_max_df_guard_drops_boilerplate_only_pairs(spark):
     capped_j = {(r["a_id"], r["b_id"]): r["jaccard"] for r in capped.collect()}
     for pair, j in capped_j.items():
         assert j <= exact_j[pair] + 1e-9
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    import random
+
+    from cobalt_duckdb_spark.operators.joins import range_join_bucketed
+
+    rng = random.Random(11)
+    points = spark.createDataFrame(
+        [(i, rng.randint(0, 300)) for i in range(200)], "pid BIGINT, t BIGINT"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, s, s + rng.randint(0, 40))
+            for j, s in ((j, rng.randint(0, 300)) for j in range(60))
+        ],
+        "iid BIGINT, t0 BIGINT, t1 BIGINT",
+    )
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.t >= intervals.t0) & (points.t <= intervals.t1),
+        ).collect()
+    }
+    got_rows = range_join_bucketed(
+        points, intervals, "t", "t0", "t1",
+        bucket_fn=lambda t: F.floor(t / 25),  # narrower than max interval: multi-bucket explode exercised
+    ).collect()
+    got = {(r["pid"], r["iid"]) for r in got_rows}
+    assert got == naive
+    assert len(got_rows) == len(naive)  # one output row per match — no dups
+
+    left = range_join_bucketed(
+        points, intervals, "t", "t0", "t1",
+        bucket_fn=lambda t: F.floor(t / 25), how="left",
+    ).collect()
+    matched_pids = {r["pid"] for r in left if r["iid"] is not None}
+    null_pids = {r["pid"] for r in left if r["iid"] is None}
+    assert matched_pids == {p for p, _ in naive}
+    assert null_pids == {r["pid"] for r in points.collect()} - matched_pids
+    assert {(r["pid"], r["iid"]) for r in left if r["iid"] is not None} == naive
