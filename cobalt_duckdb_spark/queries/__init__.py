@@ -212,6 +212,8 @@ _DRIVER_DEFER = (
     "dq_benford_first_digit",
     "simsearch_pq_rerank_exact",
     "simsearch_filtered_topk",
+    "profile_corpus_datacard",
+    "sample_epoch_shuffle",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -393,3 +393,184 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_score", "max_score", "avg_score")
         .orderBy("phase")
     )
+
+
+@register(
+    "profile_corpus_datacard",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, text, n_chars, md5(text) AS fp FROM documents
+    ),
+    vol AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+               COUNT(DISTINCT fp) AS n_distinct
+        FROM base
+    ),
+    lang_rows AS (
+        SELECT 'lang' AS section, lang AS metric,
+               ROUND(COUNT(*) / (SELECT n_docs FROM vol), 6) AS value
+        FROM base GROUP BY lang
+    ),
+    pct AS (
+        SELECT ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50,
+               ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90,
+               ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 4) AS p99
+        FROM base
+    ),
+    scalar_rows AS (
+        SELECT 'volume' AS section, 'n_docs' AS metric, n_docs AS value FROM vol
+        UNION ALL
+        SELECT 'volume', 'total_chars', total_chars FROM vol
+        UNION ALL
+        SELECT 'volume', 'avg_chars',
+               ROUND(total_chars / n_docs, 6) FROM vol
+        UNION ALL
+        SELECT 'dedup', 'exact_dup_rate',
+               ROUND(1.0 - n_distinct / n_docs, 6) FROM vol
+        UNION ALL
+        SELECT 'length', 'p50_chars', p50 FROM pct
+        UNION ALL
+        SELECT 'length', 'p90_chars', p90 FROM pct
+        UNION ALL
+        SELECT 'length', 'p99_chars', p99 FROM pct
+    )
+    SELECT section, metric, value FROM scalar_rows
+    UNION ALL
+    SELECT section, metric, value FROM lang_rows
+    ORDER BY section, metric
+    """,
+)
+def profile_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card — the governance artifact a dataset release ships
+    with (volume, language mix, exact-dup rate, length percentiles) in one
+    long-format (section, metric, value) frame, so downstream tooling reads
+    one stable schema however many metrics are added.
+
+    Scale shape: ONE pass builds fingerprints and lengths (map-side), the
+    volume/dedup numbers are a single aggregate, language shares one 4-group
+    aggregate, and the three exact percentiles share one sort — every piece
+    is a mergeable aggregate, so per-shard cards roll up to the corpus card
+    without re-scanning (the same property `dq_histogram_totalprice` pins)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("fp")
+    )
+    vol = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.countDistinct("fp").cast("double").alias("n_distinct"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+    )
+    scalars = vol.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("volume").alias("section"),
+                    F.lit("n_docs").alias("metric"),
+                    F.col("n_docs").alias("value"),
+                ),
+                F.struct(
+                    F.lit("volume").alias("section"),
+                    F.lit("total_chars").alias("metric"),
+                    F.col("total_chars").alias("value"),
+                ),
+                F.struct(
+                    F.lit("volume").alias("section"),
+                    F.lit("avg_chars").alias("metric"),
+                    F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("dedup").alias("section"),
+                    F.lit("exact_dup_rate").alias("metric"),
+                    F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6).alias(
+                        "value"
+                    ),
+                ),
+                F.struct(
+                    F.lit("length").alias("section"),
+                    F.lit("p50_chars").alias("metric"),
+                    F.round("p50", 4).alias("value"),
+                ),
+                F.struct(
+                    F.lit("length").alias("section"),
+                    F.lit("p90_chars").alias("metric"),
+                    F.round("p90", 4).alias("value"),
+                ),
+                F.struct(
+                    F.lit("length").alias("section"),
+                    F.lit("p99_chars").alias("metric"),
+                    F.round("p99", 4).alias("value"),
+                ),
+            )
+        ).alias("row")
+    ).select("row.section", "row.metric", "row.value")
+    langs = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(F.broadcast(vol.select("n_docs")))
+        .select(
+            F.lit("lang").alias("section"),
+            F.col("lang").alias("metric"),
+            F.round(F.col("n") / F.col("n_docs"), 6).alias("value"),
+        )
+    )
+    return scalars.unionByName(langs).orderBy("section", "metric")
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+                   AS shuffle_key
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(pos AS BIGINT) AS pos,
+           doc_id
+    FROM (
+        SELECT epoch, doc_id,
+               row_number() OVER (PARTITION BY epoch ORDER BY shuffle_key, doc_id)
+                   AS pos
+        FROM keyed
+    )
+    WHERE pos <= 10
+    ORDER BY epoch, pos
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch shuffle — the dataloader-order primitive for
+    multi-epoch training: order epoch e by md5(e:doc_id), giving an
+    independent, deterministic permutation per epoch with NO data movement
+    (only sort keys are computed; any worker can reconstruct its slice from
+    (epoch, doc_id) alone — resumable mid-epoch by position). Emits the
+    first 10 positions of 3 epochs as the auditable head.
+
+    Scale shape: the permutation never materializes — consumers sort their
+    own shard by the key expression; the cross-epoch explode here is just
+    the audit query's bounded output."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 10)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
