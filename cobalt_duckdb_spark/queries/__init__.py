@@ -214,6 +214,8 @@ _DRIVER_DEFER = (
     "simsearch_filtered_topk",
     "profile_corpus_datacard",
     "sample_epoch_shuffle",
+    "stats_entropy_event_types",
+    "text_zipf_law_fit",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

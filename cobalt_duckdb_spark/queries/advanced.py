@@ -971,3 +971,105 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "stats_entropy_event_types",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id % 10 AS cohort, event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY user_id % 10, event_type
+    ),
+    tot AS (
+        SELECT cohort, SUM(n) AS t, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM counts GROUP BY cohort
+    )
+    SELECT c.cohort,
+           t.n_types,
+           ROUND(-SUM((c.n / t.t) * ln(c.n / t.t)), 6) AS entropy_nats,
+           ROUND(-SUM((c.n / t.t) * ln(c.n / t.t)) / ln(t.n_types), 6)
+               AS normalized
+    FROM counts c JOIN tot t ON c.cohort = t.cohort
+    GROUP BY c.cohort, t.n_types
+    ORDER BY c.cohort
+    """,
+)
+def stats_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution per user cohort — the
+    behavioral-diversity audit (bot cohorts collapse toward 0; uniform
+    browsing approaches ln(n_types)); `normalized` divides by the max so
+    cohorts with different type supports compare. Two grouped aggregates,
+    both mergeable — the same shard-rollup property as the data card."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    )
+    counts = e.groupBy("cohort", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = counts.groupBy("cohort").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    p = F.col("n") / F.col("t")
+    return (
+        counts.join(tot, "cohort")
+        .groupBy("cohort", "n_types")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.first("n_types").cast("double")), 6
+            ).alias("normalized"),
+        )
+        .select("cohort", "n_types", "entropy_nats", "normalized")
+        .orderBy("cohort")
+    )
+
+
+@register(
+    "text_zipf_law_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(COUNT(*) AS DOUBLE) AS f FROM tok
+        WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS r FROM freq
+    ),
+    top AS (SELECT ln(r) AS lr, ln(f) AS lf FROM ranked WHERE r <= 500)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(lf, lr), 6) AS zipf_slope,
+           ROUND(regr_intercept(lf, lr), 6) AS zipf_intercept,
+           ROUND(regr_r2(lf, lr), 6) AS r2
+    FROM top
+    """,
+)
+def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency table: OLS slope of log(freq)
+    on log(rank) for the top 500 tokens, via the SQL regression aggregates
+    (regr_slope / regr_intercept / regr_r2 — identical definitions in both
+    engines). Natural text lands near slope −1 with r² ≈ 0.9+; corpora that
+    don't are synthetic, templated, or spam-heavy — a one-row corpus-health
+    screen next to the Benford audit for numerics.
+
+    Scale shape: one explode + one token aggregate (partial-aggregated),
+    one 500-row top-k window, one single-row regression aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w")))
+    ).filter(F.col("r") <= 500)
+    top = ranked.select(F.log("r").alias("lr"), F.log("f").alias("lf"))
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.regr_slope("lf", "lr"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2("lf", "lr"), 6).alias("r2"),
+    )
