@@ -576,3 +576,51 @@ def simhash_oracle_sql(max_hamming: int = 3, bucket_width: int = 64) -> str:
     WHERE {ham} <= {max_hamming}
     ORDER BY a_id, b_id
     """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric near-dup: containment C = |A∩B| / min(|A|, |B|) ≥ threshold.
+
+    Jaccard misses the quote/boilerplate case — a short document embedded
+    verbatim inside a much longer one scores j = |A|/|B| ≈ 0 but containment
+    ≈ 1. This is the detector for doc-in-doc duplication (syndicated
+    articles inside aggregator pages, eval questions pasted into training
+    docs — the same math as ``eval_contamination`` but corpus-internal).
+
+    Same inverted-index set-similarity join shape (and scale behavior) as
+    :func:`ngram_jaccard_pairs`; jaccard is emitted alongside so consumers
+    see both symmetric and asymmetric overlap per pair."""
+    ex = shingle_hashes(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    pairs = (
+        ex.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
+        .join(
+            ex.select(F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns"), "h"),
+            "h",
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("common"),
+            F.first("a_ns").alias("a_ns"),
+            F.first("b_ns").alias("b_ns"),
+        )
+    )
+    containment = F.col("common") / F.least("a_ns", "b_ns")
+    jaccard = F.col("common") / (F.col("a_ns") + F.col("b_ns") - F.col("common"))
+    return (
+        pairs.filter(containment >= threshold)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(containment, round_to).alias("containment"),
+            F.round(jaccard, round_to).alias("jaccard"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -216,6 +216,7 @@ _DRIVER_DEFER = (
     "sample_epoch_shuffle",
     "stats_entropy_event_types",
     "text_zipf_law_fit",
+    "dedup_containment_pairs",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

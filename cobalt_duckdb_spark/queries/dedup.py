@@ -593,3 +593,44 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dupes"), F.asc("curl"))
         .limit(40)
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS s
+        FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    sizes AS (SELECT doc_id, len(s) * 1.0 AS ns FROM shf),
+    ex AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(s) AS shingle FROM shf)
+    ),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) * 1.0 AS common
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.a_id AS a_id, c.b_id AS b_id,
+           ROUND(c.common / LEAST(sa.ns, sb.ns), 6) AS containment,
+           ROUND(c.common / (sa.ns + sb.ns - c.common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a_id
+    JOIN sizes sb ON sb.doc_id = c.b_id
+    WHERE c.common / LEAST(sa.ns, sb.ns) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc duplication: shingle containment ≥ 0.8 w.r.t. the smaller
+    document — catches verbatim embedding (quotes, syndication, pasted eval
+    items) that symmetric Jaccard scores near zero. Jaccard emitted
+    alongside for contrast. Same inverted-index join as the Jaccard pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, threshold=0.8)
