@@ -121,9 +121,10 @@ def asof_join_bucketed(
     right_time: str,
     right_values: list[str],
     bucket_fn,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Skew-safe backward as-of join: hot keys no longer serialize their whole
-    history through one task.
+    """Skew-safe as-of join (backward or forward): hot keys no longer
+    serialize their whole history through one task.
 
     :func:`asof_join` windows ``partitionBy(key)`` — one user_id holding 50%
     of 100 TB funnels 50 TB through a single task's sort. This variant salts
@@ -142,11 +143,19 @@ def asof_join_bucketed(
     4. left rows whose local fill is null take the carry-in (join on
        (key, bucket) — co-partitioned with step 1's shuffle).
 
-    Exactly :func:`asof_join`'s backward semantics (ties at equal time match;
-    right deduplicated per (key, time) the same way) — asserted by
+    ``direction='forward'`` mirrors every step: local fill is ``first`` over
+    the following frame, the spine keeps each bucket's EARLIEST right row,
+    and the carry comes from strictly LATER buckets (frame ``(+1, ∞)``).
+
+    Exactly :func:`asof_join`'s semantics per direction (ties at equal time
+    match; right deduplicated per (key, time) the same way) — asserted by
     ``tests/test_scale.py`` on a synthetic distribution whose hottest key
-    owns half the table, and driver-checked against DuckDB's native ASOF
+    owns half the table, hypothesis-tested vs pandas merge_asof across
+    random bucket widths, and driver-checked against DuckDB's native ASOF
     JOIN by the ``join_asof_bucketed_click_before_error`` registry entry."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     wdedup = Window.partitionBy(on, right_time).orderBy(
         *[F.desc(c) for c in right_values]
     )
@@ -161,7 +170,8 @@ def asof_join_bucketed(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         bucket_fn(F.col(right_time)).cast("bigint").alias("_b"),
-        F.lit(0).alias("_side"),  # right before left at equal time: inclusive
+        F.lit(1 if fwd else 0).alias("_side"),  # right on the inclusive side
+        # of left at equal time: BEFORE left (backward) / AFTER (forward)
         *[F.col(c).alias(f"_rv_{c}") for c in right_values],
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"_lv_{c}")
@@ -172,7 +182,7 @@ def asof_join_bucketed(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         bucket_fn(F.col(left_time)).cast("bigint").alias("_b"),
-        F.lit(1).alias("_side"),
+        F.lit(0 if fwd else 1).alias("_side"),
         *[
             F.lit(None).cast(right_clean.schema[c].dataType).alias(f"_rv_{c}")
             for c in right_values
@@ -182,31 +192,37 @@ def asof_join_bucketed(
     unioned = r_side.unionByName(l_side)
 
     # (1) local as-of: the ONLY full-data window, partitioned on (key, bucket)
-    wloc = Window.partitionBy("_k", "_b").orderBy("_t", "_side").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    base = Window.partitionBy("_k", "_b").orderBy("_t", "_side")
+    if fwd:
+        wloc = base.rowsBetween(0, Window.unboundedFollowing)
+        fill = F.first
+    else:
+        wloc = base.rowsBetween(Window.unboundedPreceding, 0)
+        fill = F.last
+    r_marker = F.when(F.col("_side") == (1 if fwd else 0), F.col("_t"))
     filled = unioned.select(
         "_k",
         "_b",
         "_side",
         *[F.col(f"_lv_{c}") for c in left_cols],
         *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(wloc).alias(f"_loc_{c}")
+            fill(f"_rv_{c}", ignorenulls=True).over(wloc).alias(f"_loc_{c}")
             for c in right_values
         ],
-        # non-null marker of the local match so "no right row at-or-before
-        # me IN THIS BUCKET" is distinguishable from a null right value
-        F.last(
-            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
-        ).over(wloc).alias("_loc_t"),
-    ).filter(F.col("_side") == 1)
+        # non-null marker of the local match so "no right row on my side IN
+        # THIS BUCKET" is distinguishable from a null right value
+        fill(r_marker, ignorenulls=True).over(wloc).alias("_loc_t"),
+    ).filter(F.col("_side") == (0 if fwd else 1))
 
     # (2) spine: one row per distinct (key, bucket) seen on either side,
-    #     annotated with that bucket's last right row (if any)
+    #     annotated with that bucket's boundary right row (if any):
+    #     last for backward carry, first for forward carry
+    bt_agg = F.min("_t") if fwd else F.max("_t")
+    bv_agg = F.min_by if fwd else F.max_by
     last_per_bucket = r_side.groupBy("_k", "_b").agg(
-        F.max("_t").alias("_bt"),
+        bt_agg.alias("_bt"),
         *[
-            F.max_by(f"_rv_{c}", "_t").alias(f"_bv_{c}")  # (key,time) unique
+            bv_agg(f"_rv_{c}", "_t").alias(f"_bv_{c}")  # (key,time) unique
             for c in right_values
         ],
     )
@@ -216,17 +232,22 @@ def asof_join_bucketed(
         .join(last_per_bucket, ["_k", "_b"], "left")
     )
 
-    # (3) carry-in per (key, bucket): latest right row of any EARLIER bucket —
-    #     a window over the tiny spine, never the data
-    wcarry = Window.partitionBy("_k").orderBy("_b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # (3) carry-in per (key, bucket): boundary right row of any EARLIER
+    #     (backward) / LATER (forward) bucket — a window over the tiny
+    #     spine, never the data
+    wspine = Window.partitionBy("_k").orderBy("_b")
+    if fwd:
+        wcarry = wspine.rowsBetween(1, Window.unboundedFollowing)
+        cfill = F.first
+    else:
+        wcarry = wspine.rowsBetween(Window.unboundedPreceding, -1)
+        cfill = F.last
     carry = spine.select(
         "_k",
         "_b",
-        F.last("_bt", ignorenulls=True).over(wcarry).alias("_ct"),
+        cfill("_bt", ignorenulls=True).over(wcarry).alias("_ct"),
         *[
-            F.last(f"_bv_{c}", ignorenulls=True).over(wcarry).alias(f"_cv_{c}")
+            cfill(f"_bv_{c}", ignorenulls=True).over(wcarry).alias(f"_cv_{c}")
             for c in right_values
         ],
     )

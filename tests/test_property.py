@@ -169,9 +169,9 @@ def test_inverted_jaccard_matches_naive(spark, token_docs):
             )
 
 
-@given(asof_case(), st.integers(1, 25))
+@given(asof_case(), st.integers(1, 25), st.sampled_from(["backward", "forward"]))
 @settings(**SETTINGS)
-def test_asof_join_bucketed_matches_pandas(spark, case, width):
+def test_asof_join_bucketed_matches_pandas(spark, case, width, direction):
     """The time-bucketed skew-safe variant must agree with pandas merge_asof
     for EVERY monotone bucket width — including width 1 (every row its own
     bucket ⇒ all matches come from the carry spine) and widths larger than
@@ -194,6 +194,7 @@ def test_asof_join_bucketed_matches_pandas(spark, case, width):
         for r in asof_join_bucketed(
             left, right, on="k", left_time="t", right_time="t",
             right_values=["v"], bucket_fn=lambda t: F.floor(t / width),
+            direction=direction,
         ).collect()
     }
 
@@ -205,7 +206,7 @@ def test_asof_join_bucketed_matches_pandas(spark, case, width):
         rpdf = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values(
             "t", kind="stable"
         )
-        merged = pd.merge_asof(lpdf, rpdf, on="t", by="k", direction="backward")
+        merged = pd.merge_asof(lpdf, rpdf, on="t", by="k", direction=direction)
         want = {
             int(r.lid): (None if pd.isna(r.v) else int(r.v))
             for r in merged.itertuples()
