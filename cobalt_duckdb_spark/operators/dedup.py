@@ -624,3 +624,182 @@ def containment_pairs(
         )
         .orderBy("a_id", "b_id")
     )
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental NEAR-dup screen: arriving batch docs vs the existing
+    corpus via MinHash-LSH — the continuous-ingest complement of the exact
+    fingerprint screen (``dedup_incremental_new_batch``). Candidates come
+    ONLY from corpus-band × batch-band bucket joins: corpus-internal pairs
+    are never generated, so per-batch cost is |batch| + matched buckets, not
+    a corpus re-dedup. (At 100 TB the corpus band table is a persisted lake
+    table keyed by (band, bkey); each batch probes it like an index.)
+
+    Returns one row per flagged batch doc: (doc_id, n_corpus_dups,
+    best_jaccard, best_corpus_id) with Jaccard verified exactly on the
+    shingle tables; ties on best resolve to the lowest corpus id."""
+    from pyspark.sql import Window
+
+    def bands_of(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        ex = shingle_hashes(docs, id_col, text_col, n).localCheckpoint(
+            eager=False
+        )
+        aggs = [
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"sig{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+        sig = ex.groupBy(id_col).agg(*aggs)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"sig{band * LSH_ROWS + r}")
+                                for r in range(LSH_ROWS)
+                            ],
+                        )
+                    ).alias("bkey"),
+                )
+                for band in range(LSH_BANDS)
+            ]
+        )
+        buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+            id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+        )
+        return ex, buckets
+
+    c_ex, c_buckets = bands_of(corpus)
+    b_ex, b_buckets = bands_of(batch)
+
+    cand = (
+        b_buckets.select(F.col(id_col).alias("doc_id"), "band", "bkey")
+        .join(
+            c_buckets.select(F.col(id_col).alias("corpus_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    b_side = b_ex.select(
+        F.col(id_col).alias("doc_id"), F.col("ns").alias("b_ns"), "h"
+    ).join(cand, "doc_id")
+    verified = (
+        b_side.join(
+            c_ex.select(
+                F.col(id_col).alias("corpus_id"), F.col("ns").alias("c_ns"), "h"
+            ),
+            ["corpus_id", "h"],
+        )
+        .groupBy("doc_id", "corpus_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("common"),
+            F.first("b_ns").alias("b_ns"),
+            F.first("c_ns").alias("c_ns"),
+        )
+        .select(
+            "doc_id",
+            "corpus_id",
+            (
+                F.col("common") / (F.col("b_ns") + F.col("c_ns") - F.col("common"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("j"), F.asc("corpus_id"))
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corpus_dups"),
+            F.round(F.max("j"), round_to).alias("best_jaccard"),
+            F.min_by("corpus_id", F.col("_rn")).alias("best_corpus_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def minhash_lsh_incremental_oracle_sql(
+    threshold: float = 0.5, n: int = 3, corpus_source: str = "src0"
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_incremental` over the documents
+    table split by source (corpus_source = corpus, everything else = batch)."""
+    tok = TOKEN_HASH_SQL_DUCKDB.format(col="sh")
+    sig_exprs = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_PRIME}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bkey': md5(concat_ws('_', %s))}"
+        % (band, ", ".join(f"sig{band * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+        for band in range(LSH_BANDS)
+    )
+    shingle_expr = (
+        f"list_distinct(list_transform(range(1, len(string_split(text,' ')) - {n - 2}), "
+        + "i -> "
+        + " || ' ' || ".join(f"string_split(text,' ')[i+{j}]" for j in range(n))
+        + "))"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, source, {shingle_expr} AS s FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    ex AS (
+        SELECT doc_id, source, {tok} AS x
+        FROM (SELECT doc_id, source, unnest(s) AS sh FROM shf)
+    ),
+    sig AS (SELECT doc_id, source, {sig_exprs} FROM ex GROUP BY doc_id, source),
+    buckets AS (
+        SELECT doc_id, source, b.band AS band, b.bkey AS bkey
+        FROM (SELECT doc_id, source, unnest([{band_structs}]) AS b FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS corpus_id
+        FROM buckets b JOIN buckets c
+          ON b.band = c.band AND b.bkey = c.bkey
+        WHERE b.source <> '{corpus_source}' AND c.source = '{corpus_source}'
+    ),
+    sizes AS (SELECT doc_id, len(s) * 1.0 AS ns FROM shf),
+    verified AS (
+        SELECT cd.doc_id, cd.corpus_id, COUNT(*) * 1.0 AS common
+        FROM cand cd
+        JOIN ex eb ON eb.doc_id = cd.doc_id
+        JOIN ex ec ON ec.doc_id = cd.corpus_id AND ec.x = eb.x
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT v.doc_id, v.corpus_id,
+               v.common / (sb.ns + sc.ns - v.common) AS j
+        FROM verified v
+        JOIN sizes sb ON sb.doc_id = v.doc_id
+        JOIN sizes sc ON sc.doc_id = v.corpus_id
+        WHERE v.common / (sb.ns + sc.ns - v.common) >= {threshold}
+    ),
+    ranked AS (
+        SELECT doc_id, corpus_id, j,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY j DESC, corpus_id ASC) AS rn
+        FROM scored
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_dups,
+           ROUND(MAX(s.j), 6) AS best_jaccard,
+           MAX(CASE WHEN r.rn = 1 THEN r.corpus_id END) AS best_corpus_id
+    FROM scored s JOIN ranked r
+      ON r.doc_id = s.doc_id AND r.corpus_id = s.corpus_id
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """

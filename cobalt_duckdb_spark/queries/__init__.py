@@ -217,6 +217,7 @@ _DRIVER_DEFER = (
     "stats_entropy_event_types",
     "text_zipf_law_fit",
     "dedup_containment_pairs",
+    "dedup_incremental_lsh_near",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

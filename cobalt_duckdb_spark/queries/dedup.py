@@ -634,3 +634,20 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside for contrast. Same inverted-index join as the Jaccard pass."""
     d = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(d, threshold=0.8)
+
+
+@register(
+    "dedup_incremental_lsh_near",
+    oracle=D.minhash_lsh_incremental_oracle_sql(threshold=0.5),
+)
+def dedup_incremental_lsh_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screen (the LSH complement of
+    ``dedup_incremental_new_batch``'s exact fingerprints): arriving batches
+    (source ≠ src0) probe the corpus's (src0's) persisted band table —
+    corpus-internal candidate pairs are never generated, so screening a
+    batch costs the batch, not a corpus re-dedup. Per flagged doc: how many
+    corpus near-dups, the best Jaccard, and the best-matching corpus id."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") == "src0")
+    batch = d.filter(F.col("source") != "src0")
+    return D.minhash_lsh_incremental(corpus, batch, threshold=0.5)
