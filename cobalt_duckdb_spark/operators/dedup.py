@@ -578,6 +578,163 @@ def simhash_oracle_sql(max_hamming: int = 3, bucket_width: int = 64) -> str:
     """
 
 
+def semdedup_dropped(
+    emb: DataFrame,
+    k: int = 8,
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
+    then prune semantic duplicates WITHIN each cluster — the clustering bounds
+    the quadratic comparison work that makes naive embedding dedup infeasible.
+
+    Semantics (deterministic variant):
+      1. Assign every vector to its nearest of k seed centroids (the vectors
+         with id < k — same reproducible init as ``operators/clustering``;
+         L2 distance rounded 6 dp, ties → smallest cid).
+      2. Within a cluster, order members by (distance-to-centroid, id): the
+         earlier member of any ε-similar pair is canonical.
+      3. A doc is DROPPED if some canonically-earlier cluster-mate has
+         cosine similarity ≥ eps with it. Output = the dropped rows with
+         their chosen keeper (the qualifying keeper closest to the
+         centroid, tie → smallest id) and the cosine to that keeper.
+
+    The paper keeps the member FARTHEST from the centroid; this variant keeps
+    the CLOSEST (the canonical prototype) because it makes the keeper rule a
+    strict total order — one deterministic pass, no connected-components
+    closure — and is exactly replayable in the SQL oracle.
+
+    Scale shape: the k-row seed table broadcasts; assignment is a map-only
+    cross product + struct-min combine (no window); ONE shuffle on cid; the
+    per-cluster pairwise step is an Arrow batch whose peak memory is bounded
+    at O(block × cluster_size) by ``cosine_block_pairs``. At 100 TB you grow
+    k with n (k ≈ n/target_cluster_size) so per-cluster cost stays constant —
+    the same knob the paper turns (50k clusters for LAION).
+    """
+    from cobalt_duckdb_spark.operators.clustering import assign_clusters
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeds = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assigned = assign_clusters(vecs, seeds)  # vec_id, v, cid, dist
+
+    def prune_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"doc_id": [], "cid": [], "keeper_id": [], "cos_sim": []}
+        ).astype(
+            {
+                "doc_id": "int64",
+                "cid": "int64",
+                "keeper_id": "int64",
+                "cos_sim": "float64",
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        dist = pdf["dist"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        pos = {int(i): p for p, i in enumerate(ids)}
+        rows = []
+        # threshold slightly below eps, then re-filter on the ROUNDED value —
+        # the oracle compares ROUND(cos, 6) >= eps, so boundary sims can't
+        # flip between engines.
+        for a_ids, b_ids, sims in cosine_block_pairs(
+            ids, nm, threshold=eps - 1e-9
+        ):
+            sims = np.round(sims, 6)
+            m = sims >= eps
+            for a, b, s in zip(a_ids[m], b_ids[m], sims[m]):
+                da, db = dist[pos[int(a)]], dist[pos[int(b)]]
+                # canonical order: (dist, id) — a < b already by id
+                if (da, int(a)) < (db, int(b)):
+                    keeper, dropped, kd = int(a), int(b), da
+                else:
+                    keeper, dropped, kd = int(b), int(a), db
+                rows.append((dropped, cid, keeper, kd, float(s)))
+        if not rows:
+            return empty
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "cid", "keeper_id", "k_dist", "cos_sim"]
+        )
+        out = (
+            out.sort_values(["doc_id", "k_dist", "keeper_id"])
+            .groupby("doc_id", as_index=False)
+            .first()
+        )
+        return out[["doc_id", "cid", "keeper_id", "cos_sim"]]
+
+    return (
+        assigned.groupBy("cid")
+        .applyInPandas(
+            prune_fn, "doc_id BIGINT, cid BIGINT, keeper_id BIGINT, cos_sim DOUBLE"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def semdedup_oracle_sql(k: int = 8, eps: float = 0.4) -> str:
+    """DuckDB twin of ``semdedup_dropped``: identical seed init, 6-dp
+    distance rounding, struct-min tiebreaks, rounded-cosine threshold, and
+    (dist, id) canonical order — the dropped set hash-matches."""
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k}),
+    a1 AS (
+        SELECT e.vec_id, e.v, e.nrm, s.cid,
+               ROUND(list_distance(e.v, s.c), 6) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_distance(e.v, s.c), 6), s.cid
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+    ),
+    m AS (SELECT vec_id, v, nrm, cid, dist FROM a1 WHERE rn = 1),
+    pairs AS (
+        SELECT a.cid,
+               CASE WHEN a.dist < b.dist
+                         OR (a.dist = b.dist AND a.vec_id < b.vec_id)
+                    THEN b.vec_id ELSE a.vec_id END AS doc_id,
+               CASE WHEN a.dist < b.dist
+                         OR (a.dist = b.dist AND a.vec_id < b.vec_id)
+                    THEN a.vec_id ELSE b.vec_id END AS keeper_id,
+               CASE WHEN a.dist < b.dist
+                         OR (a.dist = b.dist AND a.vec_id < b.vec_id)
+                    THEN a.dist ELSE b.dist END AS k_dist,
+               ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                   AS cos_sim
+        FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+              >= {eps}
+    ),
+    ranked AS (
+        SELECT doc_id, cid, keeper_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY k_dist, keeper_id) AS rn
+        FROM pairs
+    )
+    SELECT doc_id, CAST(cid AS BIGINT) AS cid, keeper_id, cos_sim
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

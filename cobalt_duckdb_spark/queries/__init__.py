@@ -218,6 +218,7 @@ _DRIVER_DEFER = (
     "text_zipf_law_fit",
     "dedup_containment_pairs",
     "dedup_incremental_lsh_near",
+    "dedup_semdedup_dropped",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -651,3 +651,18 @@ def dedup_incremental_lsh_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("source") == "src0")
     batch = d.filter(F.col("source") != "src0")
     return D.minhash_lsh_incremental(corpus, batch, threshold=0.5)
+
+
+@register("dedup_semdedup_dropped", oracle=D.semdedup_oracle_sql(k=8, eps=0.4))
+def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-style cluster assignment bounds
+    the pairwise cosine work, then each cluster prunes members ε-similar to a
+    canonically-earlier member (closest-to-centroid keeper, deterministic
+    total order — no connected-components pass). Returns the DROPPED docs
+    with keeper id and cosine. The companion to
+    ``dedup_embedding_cosine_pairs``: that one blocks on a given label,
+    this one LEARNS the blocking from the embedding geometry itself, which
+    is what you run when no label exists. Oracle replays seed assignment,
+    rounding, and the keeper order exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.semdedup_dropped(e, k=8, eps=0.4)

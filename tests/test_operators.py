@@ -632,3 +632,31 @@ def test_range_join_bucketed_matches_naive(spark):
     assert matched_pids == {p for p, _ in naive}
     assert null_pids == {r["pid"] for r in points.collect()} - matched_pids
     assert {(r["pid"], r["iid"]) for r in left if r["iid"] is not None} == naive
+
+
+def test_semdedup_planted_duplicate_dropped(spark):
+    """Two near-identical vectors land in the same cluster; the one farther
+    from the centroid is dropped with the closer one as keeper. A distant
+    singleton is never flagged."""
+    from cobalt_duckdb_spark.operators.dedup import semdedup_dropped
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # seed / centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),      # seed / centroid 1
+        (10, [0.9, 0.1, 0.0, 0.0]),     # near centroid 0
+        (11, [0.89, 0.11, 0.0, 0.0]),   # near-dup of 10, slightly farther
+        (20, [0.0, 0.9, 0.4, 0.0]),     # cluster 1, dissimilar direction
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in semdedup_dropped(emb, k=2, eps=0.99).collect()
+    }
+    # planted pair: cos(10, 11) ≈ 0.9998 ≥ 0.99; keeper must be the one
+    # closer to centroid 0 (vec 0 itself is closest; 10 beats 11).
+    assert 11 in out and out[11]["keeper_id"] in (0, 10)
+    assert out[11]["cos_sim"] >= 0.99
+    # the dissimilar cluster-1 member is not dropped
+    assert 20 not in out
