@@ -684,6 +684,190 @@ def semdedup_dropped(
     )
 
 
+def _srp_hyperplanes(n_bits: int = 64, dims: int = 64):
+    """Deterministic 'random' hyperplane family: W[j][i] = first-8-hex of
+    md5(f"{j}:{i}") as unsigned 32-bit, centered at 0 (− 2³¹). Replayable in
+    DuckDB as ('0x' || substr(md5(j || ':' || i), 1, 8))::BIGINT −
+    2147483648, so the SRP signature is cross-engine identical."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((n_bits, dims), dtype=np.float64)
+    for j in range(n_bits):
+        for i in range(dims):
+            h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+            w[j, i] = h - 2147483648
+    return w
+
+
+def srp_lsh_pairs(
+    emb: DataFrame,
+    eps: float = 0.4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH (Charikar 2002):
+    64 sign bits (bit j = dot(v, hyperplane_j) > 0), banded 8 × 8 bits;
+    vectors sharing any band bucket become candidates; candidates are
+    verified with exact cosine ≥ eps.
+
+    This is the TRUE-scale path for embedding dedup — no label and no
+    learned clustering needed, candidate generation is a bucket equi-join:
+    P(band hit) = (1 − θ/π)⁸ concentrates collisions on near-parallel pairs.
+    Scale shape: signature is a map-only Arrow batch (one (n,64) matmul per
+    batch against a broadcast 64×64 constant); explode ×8 bands; ONE shuffle
+    on (band, key); verification touches only candidates. Knob at 100 TB:
+    widen bands (e.g. 4 × 16 bits) so chance collisions — which grow with
+    n²/2^band_bits — stay bounded; 8-bit bands fit the test corpus.
+
+    Sign-bit determinism: a bit can differ across engines only if
+    |dot| / Σ|terms| ≲ 1e-13 (sum-order ulps); weights are ~1e9 so this
+    needs |dot| < ~1e-4 against typical |dot| ~1e8 — vanishing, and the
+    differential gate would surface it.
+    """
+    import pandas as pd
+
+    w = _srp_hyperplanes(64, dims)
+    wt = w.T  # (dims, 64)
+
+    def _srp_sig(v):
+        import numpy as np
+
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dims)
+        bits = (mat @ wt) > 0  # (n, 64)
+        pow32 = (1 << np.arange(32, dtype=np.int64))
+        hi = (bits[:, :32].astype(np.int64) * pow32).sum(axis=1)
+        lo = (bits[:, 32:].astype(np.int64) * pow32).sum(axis=1)
+        return pd.DataFrame({"hi": hi, "lo": lo})
+
+    # real-object annotations (the module's `from __future__ import
+    # annotations` would stringify inline hints beyond pyspark's resolver)
+    _srp_sig.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    srp_sig = F.pandas_udf(_srp_sig, "hi bigint, lo bigint")
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sig = e.select("vec_id", "v", srp_sig("v").alias("s")).select(
+        "vec_id", "v", F.col("s.hi").alias("hi"), F.col("s.lo").alias("lo")
+    )
+    band = F.explode(F.array(*[F.lit(b) for b in range(8)]))
+    # band key: byte b of the 64-bit signature (hi holds bits 0-31).
+    bands = sig.select(
+        "vec_id", "v", "hi", "lo", band.alias("band_id")
+    ).select(
+        "vec_id",
+        "v",
+        "band_id",
+        # hi/lo are unsigned-32 in a bigint, so plain >> never sign-extends
+        F.expr(
+            "CASE WHEN band_id < 4 THEN shiftright(hi, band_id * 8) "
+            "ELSE shiftright(lo, (band_id - 4) * 8) END & 255"
+        ).alias("bkey"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("v").alias("bv"),
+                "band_id",
+                "bkey",
+            ).alias("b"),
+            ["band_id", "bkey"],
+        )
+        .filter(F.col("vec_id") < F.col("b_id"))
+        .groupBy(
+            F.col("vec_id").alias("a_id"),
+            "b_id",
+            F.col("v").alias("av"),
+            F.col("bv"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_bands"))
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    out = cand.withColumn(
+        "cos_sim", F.round(dot / (norm("av") * norm("bv")), 6)
+    )
+    return (
+        out.filter(F.col("cos_sim") >= eps)
+        .select("a_id", "b_id", "n_bands", "cos_sim")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def srp_lsh_oracle_sql(eps: float = 0.4) -> str:
+    """DuckDB twin of ``srp_lsh_pairs``: same md5-derived hyperplanes, sign
+    rule, byte bands, candidate join, and rounded-cosine verification."""
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    hp AS (
+        SELECT j, i,
+               ('0x' || substr(md5(j || ':' || i), 1, 8))::BIGINT
+                   - 2147483648 AS w
+        FROM range(0, 64) t(j) CROSS JOIN range(0, 64) u(i)
+    ),
+    dots AS (
+        SELECT e.vec_id, hp.j,
+               SUM(e.v[CAST(hp.i AS INT) + 1] * hp.w) AS dot
+        FROM e CROSS JOIN hp
+        GROUP BY e.vec_id, hp.j
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN j < 32 AND dot > 0
+                             THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN j >= 32 AND dot > 0
+                             THEN 1::BIGINT << (j - 32) ELSE 0 END)
+                    AS BIGINT) AS lo
+        FROM dots GROUP BY vec_id
+    ),
+    bands AS (
+        SELECT vec_id, b AS band_id,
+               CASE WHEN b < 4 THEN (hi >> CAST(8 * b AS INT)) & 255
+                    ELSE (lo >> CAST(8 * (b - 4) AS INT)) & 255
+               END AS bkey
+        FROM sig CROSS JOIN range(0, 8) t(b)
+    ),
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bands
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey
+                     AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT c.a_id, c.b_id, c.n_bands,
+           ROUND(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+               AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.a_id
+    JOIN e eb ON eb.vec_id = c.b_id
+    WHERE ROUND(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+          >= {eps}
+    ORDER BY a_id, b_id
+    """
+
+
 def semdedup_oracle_sql(k: int = 8, eps: float = 0.4) -> str:
     """DuckDB twin of ``semdedup_dropped``: identical seed init, 6-dp
     distance rounding, struct-min tiebreaks, rounded-cosine threshold, and

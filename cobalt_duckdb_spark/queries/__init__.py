@@ -219,6 +219,7 @@ _DRIVER_DEFER = (
     "dedup_containment_pairs",
     "dedup_incremental_lsh_near",
     "dedup_semdedup_dropped",
+    "dedup_embedding_srp_lsh",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

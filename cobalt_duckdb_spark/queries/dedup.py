@@ -666,3 +666,16 @@ def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding, and the keeper order exactly."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.semdedup_dropped(e, k=8, eps=0.4)
+
+
+@register("dedup_embedding_srp_lsh", oracle=D.srp_lsh_oracle_sql(eps=0.4))
+def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH: 64 md5-derived
+    sign bits, 8 byte-wide bands, bucket-join candidates, exact-cosine
+    verification ≥ 0.4. The labelless / clusterless true-scale screen next
+    to ``dedup_embedding_cosine_pairs`` (label blocking) and
+    ``dedup_semdedup_dropped`` (learned clustering): candidate cost is the
+    bucket-join, never n². Oracle replays hyperplanes, sign rule, byte
+    bands, and verification exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.srp_lsh_pairs(e, eps=0.4)

@@ -660,3 +660,21 @@ def test_semdedup_planted_duplicate_dropped(spark):
     assert out[11]["cos_sim"] >= 0.99
     # the dissimilar cluster-1 member is not dropped
     assert 20 not in out
+
+
+def test_srp_lsh_planted_identical_pair_all_bands(spark):
+    """Identical vectors share the whole 64-bit signature, so they collide
+    in all 8 bands and verify at cosine 1.0; an orthogonal singleton is
+    never paired with them."""
+    from cobalt_duckdb_spark.operators.dedup import srp_lsh_pairs
+
+    base = [0.3, -1.2, 0.7, 2.0] * 16  # 64-dim
+    ortho = [(-1.0) ** i * (1.0 + i) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, ortho)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = srp_lsh_pairs(emb, eps=0.9, dims=64).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["n_bands"] == 8
+    assert rows[0]["cos_sim"] == 1.0
