@@ -220,6 +220,7 @@ _DRIVER_DEFER = (
     "dedup_incremental_lsh_near",
     "dedup_semdedup_dropped",
     "dedup_embedding_srp_lsh",
+    "text_corpus_drift_kl",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -949,3 +949,120 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "[PHONE]",
         ).alias("redacted"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_corpus_drift_kl",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (SELECT source, w, COUNT(*) * 1.0 AS c FROM tok GROUP BY 1, 2),
+    base AS (SELECT w, c AS cb FROM counts WHERE source = 'src0'),
+    oth AS (SELECT * FROM counts WHERE source <> 'src0'),
+    vocab AS (
+        SELECT source, w FROM oth
+        UNION
+        SELECT s.source, b.w
+        FROM (SELECT DISTINCT source FROM oth) s CROSS JOIN base b
+    ),
+    jj AS (
+        SELECT v.source, v.w, COALESCE(o.c, 0) AS cs, COALESCE(b.cb, 0) AS cb
+        FROM vocab v
+        LEFT JOIN oth o ON o.source = v.source AND o.w = v.w
+        LEFT JOIN base b ON b.w = v.w
+    ),
+    tt AS (
+        SELECT source, cs, cb,
+               SUM(cs) OVER (PARTITION BY source) AS ns,
+               SUM(cb) OVER (PARTITION BY source) AS nb,
+               COUNT(*) OVER (PARTITION BY source) AS vu
+        FROM jj
+    ),
+    pq AS (
+        SELECT source, cs, cb,
+               (cs + 1) / (ns + vu) AS p,
+               (cb + 1) / (nb + vu) AS q
+        FROM tt
+    )
+    SELECT source,
+           CAST(SUM(cs) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_union,
+           ROUND(SUM(CASE WHEN cs > 0 AND cb > 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS overlap_ratio,
+           ROUND(SUM(p * ln(p / q)), 6) AS kl_vs_base,
+           ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)))
+                 + 0.5 * SUM(q * ln(q / ((p + q) / 2))), 6) AS js_vs_base
+    FROM pq GROUP BY source ORDER BY source
+    """,
+)
+def text_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift audit: per-source unigram KL and Jensen-Shannon
+    divergence against the baseline slice (source = 'src0') with Laplace
+    smoothing over the pairwise union vocab, plus vocab overlap — the
+    distribution-shift monitor a training pipeline runs when a new crawl
+    batch or source lands (is this slice "the same language" as what the
+    model trained on?).
+
+    Shape: one (source, token) count shuffle; the per-pair union vocab is an
+    equi-join on token (hot tokens hash-spread; baseline vocab is a
+    candidate for broadcast when one source dominates); divergences are
+    plain mergeable sums. JS is bounded [0, ln 2] and symmetric — the
+    reported pair (kl, js) separates "new words" (overlap) from "reweighted
+    words" (divergence on shared vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("source", "w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    base = counts.filter(F.col("source") == "src0").select(
+        "w", F.col("c").alias("cb")
+    )
+    oth = counts.filter(F.col("source") != "src0")
+    vocab = (
+        oth.select("source", "w")
+        .union(oth.select("source").distinct().crossJoin(base.select("w")))
+        .distinct()
+    )
+    jj = (
+        vocab.join(oth, ["source", "w"], "left")
+        .join(base, "w", "left")
+        .select(
+            "source",
+            "w",
+            F.coalesce("c", F.lit(0.0)).alias("cs"),
+            F.coalesce("cb", F.lit(0.0)).alias("cb"),
+        )
+    )
+    w = Window.partitionBy("source")
+    pq = jj.select(
+        "source",
+        "cs",
+        "cb",
+        ((F.col("cs") + 1) / (F.sum("cs").over(w) + F.count("*").over(w))).alias("p"),
+        ((F.col("cb") + 1) / (F.sum("cb").over(w) + F.count("*").over(w))).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return (
+        pq.groupBy("source")
+        .agg(
+            F.sum("cs").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab_union"),
+            F.round(
+                F.sum(
+                    F.when((F.col("cs") > 0) & (F.col("cb") > 0), 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("overlap_ratio"),
+            F.round(
+                F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6
+            ).alias("kl_vs_base"),
+            F.round(
+                0.5 * F.sum(F.col("p") * F.log(F.col("p") / m))
+                + 0.5 * F.sum(F.col("q") * F.log(F.col("q") / m)),
+                6,
+            ).alias("js_vs_base"),
+        )
+        .orderBy("source")
+    )
