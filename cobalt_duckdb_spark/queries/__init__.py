@@ -221,6 +221,8 @@ _DRIVER_DEFER = (
     "dedup_semdedup_dropped",
     "dedup_embedding_srp_lsh",
     "text_corpus_drift_kl",
+    "sql_api_recursive_reachability",
+    "sql_api_lateral_topk_per_group",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -142,3 +142,68 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE reach (dst, hop) AS (
+    SELECT 'signup' AS dst, 0 AS hop
+    UNION ALL
+    SELECT e.dst, r.hop + 1
+    FROM reach r JOIN (
+        SELECT DISTINCT event_type AS src, next_type AS dst
+        FROM (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ) seq
+        WHERE next_type IS NOT NULL AND next_type <> event_type
+    ) e ON e.src = r.dst
+    WHERE r.hop < 4
+)
+SELECT dst AS event_type, CAST(MIN(hop) AS BIGINT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths_le4
+FROM reach GROUP BY dst ORDER BY event_type
+"""
+
+
+@register("sql_api_recursive_reachability", oracle=_RECURSIVE_REACH_SQL)
+def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) BFS over the event-type transition graph:
+    which event types are reachable from 'signup', at what minimum hop
+    count, and how many distinct ≤4-hop paths reach them. The SAME SQL text
+    runs on both engines — recursion is UNION ALL with an explicit hop
+    guard, so the path multiset (not just the reachable set) is
+    deterministic and cross-engine identical.
+
+    Scale shape: each recursion step is one hash join of the frontier
+    against the |types|² edge list (tiny, broadcast); the guard bounds the
+    iteration count the way ``operators/graph.py`` bounds PageRank."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.bal
+FROM nation n,
+LATERAL (
+    SELECT c_name, ROUND(c_acctbal, 2) AS bal
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+ORDER BY n.n_name, t.bal DESC, t.c_name
+"""
+
+
+@register("sql_api_lateral_topk_per_group", oracle=_LATERAL_TOPK_SQL)
+def sql_api_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (Spark 3.2+/4): top-3 customers by
+    account balance PER NATION, written as the SQL-standard lateral join
+    rather than a window + filter. Same SQL text on both engines.
+    Catalyst decorrelates this into the window/top-k plan — asserting the
+    declarative form is planner-supported matters for users porting DuckDB
+    SQL directly."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
