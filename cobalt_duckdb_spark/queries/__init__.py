@@ -223,6 +223,7 @@ _DRIVER_DEFER = (
     "text_corpus_drift_kl",
     "sql_api_recursive_reachability",
     "sql_api_lateral_topk_per_group",
+    "sample_dsir_importance",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -574,3 +574,112 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "pos", "doc_id")
         .orderBy("epoch", "pos")
     )
+
+
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_TOPN = 50
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % {_DSIR_B} AS b
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    tgt AS (
+        SELECT b, COUNT(*) * 1.0 AS c FROM tok WHERE source = 'src0'
+        GROUP BY b
+    ),
+    raw AS (
+        SELECT b, COUNT(*) * 1.0 AS c FROM tok WHERE source <> 'src0'
+        GROUP BY b
+    ),
+    grid AS (
+        SELECT g.b,
+               (COALESCE(t.c, 0) + 1)
+                   / ((SELECT SUM(c) FROM tgt) + {_DSIR_B}) AS p,
+               (COALESCE(r.c, 0) + 1)
+                   / ((SELECT SUM(c) FROM raw) + {_DSIR_B}) AS q
+        FROM range(0, {_DSIR_B}) g(b)
+        LEFT JOIN tgt t ON t.b = g.b
+        LEFT JOIN raw r ON r.b = g.b
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(ln(grid.p / grid.q)), 6) AS log_w
+        FROM tok JOIN grid ON grid.b = tok.b
+        WHERE tok.source <> 'src0'
+        GROUP BY tok.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id, n_tokens, log_w
+    FROM scored
+    ORDER BY log_w DESC, doc_id
+    LIMIT {_DSIR_TOPN}
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed-unigram importance weights. The target distribution is the
+    trusted slice (source 'src0'); every raw doc scores
+    log w(x) = Σ_tokens ln(p_target(bucket)/q_raw(bucket)) over {_DSIR_B}
+    md5-hashed feature buckets (Laplace-smoothed); the top-{_DSIR_TOPN}
+    raw docs by weight are the ones importance resampling would promote
+    into the training mix.
+
+    Scale shape: the two bucket histograms are {_DSIR_B}-row aggregates →
+    broadcast; scoring is explode → broadcast map join → one doc_id-keyed
+    sum; top-k is TakeOrderedAndProject. Nothing quadratic, no UDFs; the
+    hash family is the repo-standard md5 slice so the oracle replays it
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "source", (D.token_hash("w") % _DSIR_B).alias("b"))
+    tgt = tok.filter(F.col("source") == "src0").groupBy("b").agg(
+        F.count("*").cast("double").alias("ct")
+    )
+    raw = tok.filter(F.col("source") != "src0").groupBy("b").agg(
+        F.count("*").cast("double").alias("cr")
+    )
+    grid = (
+        spark.range(_DSIR_B).select(F.col("id").alias("b"))
+        .join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .crossJoin(
+            F.broadcast(
+                tgt.agg(F.sum("ct").alias("nt")).crossJoin(
+                    raw.agg(F.sum("cr").alias("nr"))
+                )
+            )
+        )
+        .select(
+            "b",
+            ((F.coalesce("ct", F.lit(0.0)) + 1) / (F.col("nt") + _DSIR_B)).alias("p"),
+            ((F.coalesce("cr", F.lit(0.0)) + 1) / (F.col("nr") + _DSIR_B)).alias("q"),
+        )
+    )
+    scored = (
+        tok.filter(F.col("source") != "src0")
+        .join(F.broadcast(grid), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.log(F.col("p") / F.col("q"))), 6).alias("log_w"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("log_w"), F.asc("doc_id"))
+    )
+    return (
+        scored.select(rank.cast("bigint").alias("rank"), "doc_id", "n_tokens", "log_w")
+        .orderBy(F.desc("log_w"), "doc_id")
+        .limit(_DSIR_TOPN)
+    )
