@@ -224,6 +224,7 @@ _DRIVER_DEFER = (
     "sql_api_recursive_reachability",
     "sql_api_lateral_topk_per_group",
     "sample_dsir_importance",
+    "events_linear_attribution",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -743,3 +743,72 @@ def events_assoc_rules_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lhs", "rhs")
     )
+
+
+@register(
+    "events_linear_attribution",
+    oracle="""
+    WITH purch AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT p.event_id AS purchase_id, p.value, t.event_type,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+        FROM purch p
+        JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL '30 minutes'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value / n_touches), 4) AS attributed_revenue
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the same user's non-purchase touches in the preceding 30
+    minutes; per touch type, total attributed revenue — the allocation query
+    behind marketing-mix and funnel-credit reporting.
+
+    Scale shape: the purchase×touch meet is a double-bounded interval join
+    on user_id (the T6 stream-stream batch-twin shape — finite state in the
+    streaming form); per-purchase touch counts ride a window over the
+    already-shuffled purchase key, and the final per-type rollup is a 4-row
+    aggregate. The division happens before the sum so the allocation is
+    conserved: Σ attributed = Σ value of attributed purchases."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    touch = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("ts").alias("t_ts")
+    )
+    pairs = purch.join(
+        touch,
+        (purch.user_id == touch.user_id)
+        & (F.col("t_ts") <= F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "value", "event_type")
+    n_touch = F.count("*").over(Window.partitionBy("purchase_id"))
+    credited = pairs.withColumn("credit", F.col("value") / n_touch)
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+        )
+        .orderBy("event_type")
+    )
