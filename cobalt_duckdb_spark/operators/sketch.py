@@ -126,13 +126,35 @@ def heavy_hitters_with_cms(
     toks = fan_out(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("item")
     )
-    sketch = cms_build(toks)
-    exact = (
+    # ONE tokenize+shuffle pass: per-token exact counts. The sketch is then
+    # built from the WEIGHTED counts — increment-by-count ≡ increment-per-
+    # occurrence because a token's (row, bucket) cells are fixed — so the
+    # d·w grid aggregates vocab-sized input instead of re-hashing the full
+    # token stream, and the md5 runs once per distinct token, not per
+    # occurrence. counts is vocab-sized; persisting it serves the sketch,
+    # the top-k, and the estimate probe from one materialization (the
+    # build_vector_store pattern).
+    counts = (
         toks.groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), F.asc("item"))
-        .limit(top_k)
+        .persist()
     )
+    x = token_hash(F.col("item"))
+    cells = counts.select(
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("row"), _bucket(x, j).alias("bucket"))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    )
+    sketch = cells.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.sum("exact_count").cast("bigint").alias("cnt"))
+    exact = counts.orderBy(F.desc("exact_count"), F.asc("item")).limit(top_k)
     est = cms_estimate(sketch, exact.select("item"))
     return (
         exact.join(est, "item")
