@@ -124,8 +124,12 @@ def extract_features(
                 }
             )
 
-    n = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n).mapInPandas(run, schema=FEATURE_SCHEMA)
+    # No repartition: the scan's own splits parallelize mapInPandas, and a
+    # pre-shuffle would move every blob byte through the exchange — at a
+    # 100 TB media lake that shuffle IS the job. If upstream collapsed the
+    # partitioning (e.g. a coalesced sink), repartition at the SOURCE, not
+    # here.
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
