@@ -225,6 +225,7 @@ _DRIVER_DEFER = (
     "sql_api_lateral_topk_per_group",
     "sample_dsir_importance",
     "events_linear_attribution",
+    "dedup_cross_source_matrix",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -679,3 +679,58 @@ def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, and verification exactly."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.srp_lsh_pairs(e, eps=0.4)
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({D.minhash_lsh_oracle_sql(threshold=0.5)}),
+    tagged AS (
+        SELECT LEAST(da.source, db.source) AS src_a,
+               GREATEST(da.source, db.source) AS src_b,
+               p.jaccard
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.a_id
+        JOIN documents db ON db.doc_id = p.b_id
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jaccard), 6) AS avg_jaccard,
+           ROUND(MAX(jaccard), 6) AS max_jaccard
+    FROM tagged
+    GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH near-dup pairs rolled up
+    by (source, source) — the governance artifact that tells a curation team
+    WHICH feeds are re-crawling each other (license leakage, mirror sites,
+    syndication) rather than just that duplicates exist. Diagonal rows =
+    within-source redundancy; off-diagonal = cross-feed contamination.
+
+    Shape: the pair set is the already-bucketed LSH join; the rollup adds
+    two doc_id-keyed hash joins to fetch sources (broadcastable dimension
+    at real scale if the doc→source map is a slim sidecar) and a |sources|²
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, threshold=0.5)
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "sa"), "a_id")
+        .join(src.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "sb"), "b_id")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "jaccard",
+        )
+    )
+    return (
+        tagged.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
