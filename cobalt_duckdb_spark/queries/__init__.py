@@ -226,6 +226,7 @@ _DRIVER_DEFER = (
     "sample_dsir_importance",
     "events_linear_attribution",
     "dedup_cross_source_matrix",
+    "features_quantile_normalize",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -1073,3 +1073,79 @@ def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("lf", "lr"), 6).alias("zipf_intercept"),
         F.round(F.regr_r2("lf", "lr"), 6).alias("r2"),
     )
+
+
+@register(
+    "features_quantile_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    s AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn_s,
+               COUNT(*) OVER (PARTITION BY source) AS cnt_s,
+               COUNT(*) OVER () AS n_total
+        FROM d
+    ),
+    g AS (
+        SELECT n_chars AS gval,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn_g
+        FROM d
+    ),
+    t AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN cnt_s = 1 THEN 1
+                    ELSE ((rn_s - 1) * (n_total - 1)) // (cnt_s - 1) + 1
+               END AS tgt
+        FROM s
+    )
+    SELECT t.doc_id, t.source, t.n_chars,
+           CAST(g.gval AS BIGINT) AS norm_chars
+    FROM t JOIN g ON g.rn_g = t.tgt
+    ORDER BY doc_id
+    """,
+)
+def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile normalization: each doc's length score is replaced by
+    the GLOBAL distribution's value at the doc's within-source quantile —
+    the calibration step that makes a single "keep if score > τ" threshold
+    mean the same thing across sources whose raw score scales differ
+    (crawl A's chars ≠ crawl B's chars). All rank math is integer
+    (floor-division target index), so both engines pick identical values.
+
+    Scale shape: one shuffle per window key (source, then the global
+    order). The global row_number is the exact-math form; at 100 TB swap it
+    for approx_percentile boundaries exactly as ``curriculum_quality_phases``
+    documents — the per-source side is unchanged."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rn_s"),
+        F.count("*").over(Window.partitionBy("source")).alias("cnt_s"),
+        F.count("*").over(Window.partitionBy()).alias("n_total"),
+    )
+    g = d.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rn_g"),
+    )
+    t = s.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("cnt_s") == 1, F.lit(1))
+        .otherwise(
+            F.expr("CAST((rn_s - 1) * (n_total - 1) AS BIGINT) div (cnt_s - 1)")
+            + 1
+        )
+        .alias("tgt"),
+    )
+    return (
+        t.join(g, t.tgt == g.rn_g)
+        .select("doc_id", "source", "n_chars", F.col("gval").cast("bigint").alias("norm_chars"))
+        .orderBy("doc_id")
+    )
