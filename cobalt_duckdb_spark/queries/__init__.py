@@ -227,6 +227,7 @@ _DRIVER_DEFER = (
     "events_linear_attribution",
     "dedup_cross_source_matrix",
     "features_quantile_normalize",
+    "events_sessionization",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

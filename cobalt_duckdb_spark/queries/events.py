@@ -812,3 +812,95 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS ts,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('microsecond', prev_ts, ts)
+                            > 1800000000
+                       THEN 1 ELSE 0 END AS is_start
+        FROM seq
+    ),
+    sess AS (
+        SELECT *, SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess_n
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(sess_n AS BIGINT) AS session_n,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_us,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END), 2) AS revenue
+    FROM sess
+    GROUP BY user_id, sess_n
+    ORDER BY user_id, session_n
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session starts at the
+    first event or after a >30-min silence; running-sum of start markers
+    assigns the per-user session number, then each session rolls up to the
+    canonical session-stats row (events, duration, conversions, revenue) —
+    the batch twin of ``stream_session_windows``'s session_window, exposing
+    the session IDS rather than only the aggregate.
+
+    Scale shape: ONE user_id shuffle serves both windows (lag + running
+    sum — same key, same ordering, one sort), then the rollup re-uses the
+    same partitioning. No inter-user dependency, so hot users are the only
+    skew and they bound at events-per-user."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_id", "event_type", "value", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    marked = seq.withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_n",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", F.col("sess_n").cast("bigint").alias("session_n"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, MIN(ts), MAX(ts)) AS BIGINT)"
+            ).alias("duration_us"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("user_id", "session_n")
+    )
