@@ -228,6 +228,7 @@ _DRIVER_DEFER = (
     "dedup_cross_source_matrix",
     "features_quantile_normalize",
     "events_sessionization",
+    "mix_waterfill_budget",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

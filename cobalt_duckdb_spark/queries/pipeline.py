@@ -683,3 +683,107 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("log_w"), "doc_id")
         .limit(_DSIR_TOPN)
     )
+
+
+@register(
+    "mix_waterfill_budget",
+    oracle="""
+    WITH tok AS (
+        SELECT source, SUM(len(string_split(text, ' '))) AS n
+        FROM documents GROUP BY source
+    ),
+    b AS (
+        SELECT (SUM(n) * 3) // 10 AS budget, COUNT(*) AS m FROM tok
+    ),
+    ranked AS (
+        SELECT source, n,
+               ROW_NUMBER() OVER (ORDER BY n, source) AS rn,
+               SUM(n) OVER (ORDER BY n, source
+                            ROWS UNBOUNDED PRECEDING) AS pre
+        FROM tok
+    ),
+    kk AS (
+        SELECT COALESCE(MAX(r.rn), 0) AS k, COALESCE(MAX(r.pre), 0) AS pre_k
+        FROM ranked r, b
+        WHERE r.pre + (b.m - r.rn) * r.n <= b.budget
+    )
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n_tokens,
+           CAST(CASE
+                WHEN kk.k = b.m OR r.rn <= kk.k THEN r.n
+                ELSE (b.budget - kk.pre_k) // (b.m - kk.k)
+                     + CASE WHEN r.rn - kk.k
+                                 <= (b.budget - kk.pre_k) % (b.m - kk.k)
+                            THEN 1 ELSE 0 END
+           END AS BIGINT) AS allocated,
+           ROUND(CASE
+                WHEN kk.k = b.m OR r.rn <= kk.k THEN r.n
+                ELSE (b.budget - kk.pre_k) // (b.m - kk.k)
+                     + CASE WHEN r.rn - kk.k
+                                 <= (b.budget - kk.pre_k) % (b.m - kk.k)
+                            THEN 1 ELSE 0 END
+           END * 1.0 / r.n, 6) AS fill_ratio
+    FROM ranked r, kk, b
+    ORDER BY source
+    """,
+)
+def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation: given a global budget (30% of
+    corpus tokens), find the per-source cap c with Σ min(nᵢ, c) = budget —
+    small sources keep everything, oversized sources are clipped to the
+    common water level. This is the fair-share allocator behind "no single
+    crawl may dominate the mix" policies, the closed-form complement of
+    ``mix_temperature_sample``'s nᵢ^(1/T) reweighting.
+
+    All arithmetic is integer (floor-division cap, remainder spread to the
+    smallest capped sources in (size, name) order), so the allocation is
+    exact and cross-engine identical. Scale shape: per-source token counts
+    are one mergeable aggregate over the corpus; everything after runs on
+    the |sources|-row table — window prefix sums + a prefix-property max,
+    no per-doc work at all."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    )
+    b = F.broadcast(
+        tok.agg(
+            F.expr("CAST(SUM(n) * 3 AS BIGINT) div 10").alias("budget"),
+            F.count("*").alias("m"),
+        )
+    )
+    w_ord = Window.orderBy("n", "source")
+    ranked = tok.select(
+        "source",
+        "n",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("n").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("pre"),
+    )
+    kk = F.broadcast(
+        ranked.crossJoin(b)
+        .filter(
+            F.col("pre") + (F.col("m") - F.col("rn")) * F.col("n")
+            <= F.col("budget")
+        )
+        .agg(
+            F.coalesce(F.max("rn"), F.lit(0)).alias("k"),
+            F.coalesce(F.max("pre"), F.lit(0)).cast("bigint").alias("pre_k"),
+        )
+    )
+    full = (F.col("k") == F.col("m")) | (F.col("rn") <= F.col("k"))
+    capped = F.expr(
+        "(budget - pre_k) div (m - k) + CASE WHEN rn - k <= (budget - pre_k) % (m - k) THEN 1 ELSE 0 END"
+    )
+    alloc = F.when(full, F.col("n")).otherwise(capped)
+    return (
+        ranked.crossJoin(kk)
+        .crossJoin(b)
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            alloc.cast("bigint").alias("allocated"),
+            F.round(alloc / F.col("n"), 6).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
