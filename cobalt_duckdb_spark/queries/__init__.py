@@ -229,6 +229,7 @@ _DRIVER_DEFER = (
     "features_quantile_normalize",
     "events_sessionization",
     "mix_waterfill_budget",
+    "pack_padding_waste_audit",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -1149,3 +1149,81 @@ def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", F.col("gval").cast("bigint").alias("norm_chars"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pack_padding_waste_audit",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tc FROM documents
+    ),
+    naive AS (
+        SELECT tc, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS b
+        FROM d
+    ),
+    srt AS (
+        SELECT tc, (ROW_NUMBER() OVER (ORDER BY tc, doc_id) - 1) // 32 AS b
+        FROM d
+    ),
+    nb AS (
+        SELECT b, COUNT(*) AS n, MAX(tc) AS mx, SUM(tc) AS s FROM naive
+        GROUP BY b
+    ),
+    sb AS (
+        SELECT b, COUNT(*) AS n, MAX(tc) AS mx, SUM(tc) AS s FROM srt
+        GROUP BY b
+    )
+    SELECT * FROM (
+        SELECT 'naive_by_id' AS policy,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(s) AS BIGINT) AS real_tokens,
+               CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
+               ROUND(1.0 - SUM(s) * 1.0 / SUM(n * mx), 6) AS waste_ratio
+        FROM nb
+        UNION ALL
+        SELECT 'length_sorted', COUNT(*), SUM(s), SUM(n * mx),
+               ROUND(1.0 - SUM(s) * 1.0 / SUM(n * mx), 6)
+        FROM sb
+    ) ORDER BY policy
+    """,
+)
+def pack_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit: fixed-size training batches (32 docs) padded to
+    the longest member — what fraction of compute is padding under arrival
+    order vs length-sorted batching? The measurement that justifies a
+    length-bucketed DataLoader (and the fixed-batch complement of
+    ``pack_sequences_budget``'s token-budget packing).
+
+    Scale shape: both policies are rank → integer-div batch assignment →
+    per-batch max/sum → 2-row rollup. The global row_number is exact-math
+    scaffolding for the audit; production assignment at 100 TB uses
+    range-partitioned sort (length-sorted) or the id hash (naive) with
+    per-partition batch numbering."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tc")
+    )
+
+    def policy(name: str, order_cols) -> DataFrame:
+        b = F.expr(
+            "CAST(rn - 1 AS BIGINT) div 32"
+        )
+        ranked = d.select(
+            "tc", F.row_number().over(Window.orderBy(*order_cols)).alias("rn")
+        ).select("tc", b.alias("b"))
+        per_batch = ranked.groupBy("b").agg(
+            F.count("*").alias("n"), F.max("tc").alias("mx"), F.sum("tc").alias("s")
+        )
+        return per_batch.agg(
+            F.lit(name).alias("policy"),
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.sum("s").cast("bigint").alias("real_tokens"),
+            F.sum(F.col("n") * F.col("mx")).cast("bigint").alias("padded_tokens"),
+            F.round(
+                1.0 - F.sum("s") / F.sum(F.col("n") * F.col("mx")), 6
+            ).alias("waste_ratio"),
+        )
+    naive = policy("naive_by_id", [F.asc("doc_id")])
+    srt = policy("length_sorted", [F.asc("tc"), F.asc("doc_id")])
+    return naive.unionAll(srt).orderBy("policy")
