@@ -230,6 +230,7 @@ _DRIVER_DEFER = (
     "events_sessionization",
     "mix_waterfill_budget",
     "pack_padding_waste_audit",
+    "simsearch_index_staleness",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -663,3 +663,118 @@ def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(F.broadcast(lab), "vec_id").select(
         "query_id", "rank", "vec_id", "label", "distance"
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "simsearch_index_staleness",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 5 <> 0
+    ),
+    batch AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 5 = 0
+    ),
+    centroids AS (
+        SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 16
+    ),
+    ac AS (
+        SELECT cell, d FROM (
+            SELECT c.cid AS cell,
+                   1.0 - list_cosine_similarity(e.v, c.cv) AS d,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY 1.0 - list_cosine_similarity(e.v, c.cv), c.cid
+                   ) AS rn
+            FROM corpus e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    ab AS (
+        SELECT cell, d FROM (
+            SELECT c.cid AS cell,
+                   1.0 - list_cosine_similarity(e.v, c.cv) AS d,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY 1.0 - list_cosine_similarity(e.v, c.cv), c.cid
+                   ) AS rn
+            FROM batch e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    gc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                  AVG(d) AS dc FROM ac GROUP BY cell),
+    gb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_batch,
+                  AVG(d) AS db FROM ab GROUP BY cell)
+    SELECT COALESCE(gc.cell, gb.cell) AS cell,
+           COALESCE(gc.n_corpus, 0) AS n_corpus,
+           COALESCE(gb.n_batch, 0) AS n_batch,
+           ROUND(gc.dc, 6) AS avg_dist_corpus,
+           ROUND(gb.db, 6) AS avg_dist_batch,
+           ROUND(gb.db - gc.dc, 6) AS drift
+    FROM gc FULL OUTER JOIN gb ON gc.cell = gb.cell
+    ORDER BY cell
+    """,
+)
+def simsearch_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-staleness audit: the corpus (vec_id % 5 ≠ 0) trains the
+    16-cell codebook; the arriving batch (vec_id % 5 = 0) is assigned with
+    the SAME frozen codebook. Per cell: member counts and average
+    assignment distance for both populations, plus the drift — rising batch
+    distances or a lopsided batch load factor are the retrain-the-codebook
+    signals an embedding lake monitors as new data lands.
+
+    Shape: both assignments are the packed-broadcast ``array_min`` argmin
+    (map-only over each population — no window through an exchange); the
+    audit is two 16-group aggregates full-outer-joined. At 100 TB this
+    runs per ingest batch at the cost of scanning the batch, never the
+    corpus (the corpus profile is incremental-aggregated once)."""
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+    from cobalt_duckdb_spark.operators.similarity import make_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    cents = make_centroids(corpus, 16)
+    packed = F.broadcast(
+        cents.groupBy().agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("centroid_vec").alias("cvec"),
+                )
+            ).alias("cents")
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine_distance(F.col("embedding"), c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+
+    def profile(pop: DataFrame, n_alias: str, d_alias: str) -> DataFrame:
+        assigned = pop.crossJoin(packed).select(
+            best["cid"].alias("cell"), best["d"].alias("d")
+        )
+        return assigned.groupBy("cell").agg(
+            F.count("*").cast("bigint").alias(n_alias),
+            F.avg("d").alias(d_alias),
+        )
+
+    gc = profile(corpus, "n_corpus", "dc")
+    gb = profile(batch, "n_batch", "db")
+    return (
+        gc.join(gb, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+            F.round("dc", 6).alias("avg_dist_corpus"),
+            F.round("db", 6).alias("avg_dist_batch"),
+            F.round(F.col("db") - F.col("dc"), 6).alias("drift"),
+        )
+        .orderBy("cell")
+    )
