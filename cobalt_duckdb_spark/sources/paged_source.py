@@ -16,7 +16,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -69,3 +74,44 @@ class PagedCorpusDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return PagedCorpusReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return PagedCorpusStreamReader(self.options)
+
+
+class PagedCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the cursor-paginated source (Spark 4
+    ``simpleStreamReader``): each micro-batch advances the cursor by
+    ``pages_per_batch`` pages; the offset IS the cursor, so restart/replay
+    re-fetches deterministically (``readBetweenOffsets``) and the sink sees
+    effectively-once rows. This is the reference's Notion cursor loop
+    (``/root/reference/model/data/notion_db.py:28-55``) as a continuous
+    ingest: new pages land as they are published, checkpointed by cursor.
+
+    When the cursor reaches ``total_rows`` the reader reports the same
+    offset with no rows — "caught up", which also lets
+    ``processAllAvailable``/availableNow terminate."""
+
+    def __init__(self, options: dict):
+        self.total_rows = int(options.get("total_rows", 100))
+        self.page_size = int(options.get("page_size", 20))
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+
+    def initialOffset(self) -> dict:
+        return {"cursor": 0}
+
+    def _rows(self, start: int, end: int):
+        for page in _fetch_range(start, end, self.page_size):
+            yield from page
+
+    def read(self, start: dict):
+        cur = int(start["cursor"])
+        nxt = min(cur + self.pages_per_batch * self.page_size, self.total_rows)
+        # list iterator, not a generator: Spark's prefetch wrapper
+        # copy.copy()s the returned iterator and generators don't pickle
+        return iter(list(self._rows(cur, nxt))), {"cursor": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["cursor"]), int(end["cursor"]))))
+
+

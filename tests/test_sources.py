@@ -298,3 +298,32 @@ def test_wholetext_corpus_one_doc_per_file(spark, tmp_path):
     # wholetext: the newline does NOT split the document
     assert got["a.md"]["text"] == "first doc\nwith two lines"
     assert got["a.md"]["doc_id"] != got["b.md"]["doc_id"]
+
+
+def test_python_datasource_paged_corpus_stream(spark, tmp_path):
+    """Streaming half of the paged source: cursor offsets advance per
+    micro-batch, all pages land exactly once, and the reader reports
+    caught-up (same offset, no rows) at the end so processAllAvailable
+    terminates."""
+    from cobalt_duckdb_spark.sources.paged_source import PagedCorpusDataSource
+
+    spark.dataSource.register(PagedCorpusDataSource)
+    q = (
+        spark.readStream.format("paged_corpus")
+        .option("total_rows", 130)
+        .option("page_size", 20)
+        .option("pages_per_batch", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName("paged_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id FROM paged_stream_sink").collect()
+    finally:
+        q.stop()
+    assert sorted(r.doc_id for r in rows) == list(range(130))
+    # 130 rows / (2 pages × 20 rows) per batch → at least 4 non-empty batches
+    assert q.lastProgress is not None
