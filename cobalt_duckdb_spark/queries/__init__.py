@@ -231,6 +231,7 @@ _DRIVER_DEFER = (
     "mix_waterfill_budget",
     "pack_padding_waste_audit",
     "simsearch_index_staleness",
+    "json_props_variant",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

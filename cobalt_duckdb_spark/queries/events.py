@@ -904,3 +904,41 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_n")
     )
+
+
+@register(
+    "json_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+               AS avg_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 via Spark 4 VARIANT: ``parse_json`` decodes the props string ONCE
+    into the binary semi-structured VARIANT encoding; ``try_variant_get``
+    then extracts typed paths without re-parsing, and
+    ``schema_of_variant_agg`` infers the corpus-wide shape (asserted against
+    the expected 'OBJECT<k: BIGINT>'). At 100 TB this is the
+    parse-at-ingest / extract-many pattern: store the VARIANT column in
+    Parquet and every later query skips string parsing entirely — the
+    string-path twin (``json_props_extract``) re-tokenizes JSON per access."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.sum(F.when(k >= 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
+            F.schema_of_variant_agg("v").alias("variant_schema"),
+        )
+        .orderBy("event_type")
+    )
