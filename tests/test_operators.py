@@ -678,3 +678,41 @@ def test_srp_lsh_planted_identical_pair_all_bands(spark):
     assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
     assert rows[0]["n_bands"] == 8
     assert rows[0]["cos_sim"] == 1.0
+
+
+def test_waterfill_allocation_invariants(spark, sf_dir):
+    """Water-filling: allocations sum to exactly the 30% budget, never
+    exceed a source's own tokens, and capped sources all sit within one
+    token of the common water level."""
+    from cobalt_duckdb_spark.queries.pipeline import mix_waterfill_budget
+
+    rows = mix_waterfill_budget(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * 3 // 10
+    assert sum(r["allocated"] for r in rows) == budget
+    assert all(r["allocated"] <= r["n_tokens"] for r in rows)
+    capped = [r["allocated"] for r in rows if r["allocated"] < r["n_tokens"]]
+    assert capped and max(capped) - min(capped) <= 1
+
+
+def test_sessionization_planted_gap_splits(spark):
+    """A 31-minute silence starts a new session; 29 minutes does not."""
+    import cobalt_duckdb_spark.queries.events as qe
+    from cobalt_duckdb_spark.queries.events import events_sessionization
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:29:00", 7, "click", 1.0, "{}"),   # same session
+        (3, "2024-01-01 11:00:30", 7, "purchase", 9.5, "{}"),  # 31.5 min gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = qe.load_table
+    qe.load_table = lambda spark_, sf_dir_, name: df
+    try:
+        out = events_sessionization(spark, "ignored").collect()
+    finally:
+        qe.load_table = orig
+    assert [(r["session_n"], r["n_events"]) for r in out] == [(1, 2), (2, 1)]
+    assert out[1]["n_purchases"] == 1 and out[1]["revenue"] == 9.5
