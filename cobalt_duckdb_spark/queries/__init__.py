@@ -232,6 +232,8 @@ _DRIVER_DEFER = (
     "pack_padding_waste_audit",
     "simsearch_index_staleness",
     "json_props_variant",
+    "events_winsorized_stats",
+    "text_normalization_audit",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

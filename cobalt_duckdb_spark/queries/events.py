@@ -942,3 +942,60 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_winsorized_stats",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(e.value), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, s.p01), s.p99)), 4)
+               AS mean_winsorized,
+           CAST(SUM(CASE WHEN e.value < s.p01 OR e.value > s.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: per-type values clipped to the exact
+    [p1, p99] band before averaging — the tail-taming cleaning step that
+    keeps a fat-fingered 10000× value from dragging a feature mean, without
+    dropping the row like the z-score filter does.
+
+    Scale shape: the per-type percentile table is |types| rows → broadcast
+    back onto the stream; clipping is map-only. Exact percentiles are the
+    audit form — at 100 TB swap ``percentile_approx`` into the stats CTE,
+    plan unchanged (the `events_mad_robust_outliers` pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p01"))
+                    | (F.col("value") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )

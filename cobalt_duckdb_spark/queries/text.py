@@ -1066,3 +1066,81 @@ def text_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_normalization_audit",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, text,
+               lower(text) AS s1,
+               trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS s2,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS s3
+        FROM documents
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN s1 <> text THEN 1 ELSE 0 END) AS BIGINT)
+            AS changed_by_lower,
+        CAST(SUM(CASE WHEN s2 <> s1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS changed_by_spacing,
+        CAST(SUM(CASE WHEN s3 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS changed_by_punct,
+        CAST(SUM(CASE WHEN trim(regexp_replace(
+                 regexp_replace(lower(s3), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g')) <> s3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS non_idempotent,
+        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+        CAST(COUNT(DISTINCT md5(s3)) AS BIGINT) AS distinct_normalized
+    FROM norm
+    """,
+)
+def text_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-cascade audit: how many docs each cleanup rule
+    (lowercase → whitespace collapse → punctuation strip) actually changes,
+    whether the full cascade is IDEMPOTENT (applying it twice must be a
+    no-op — the property that makes re-running a pipeline safe), and how
+    many exact-dup groups normalization newly collapses
+    (distinct_raw − distinct_normalized = dupes that only differ in case/
+    spacing/punctuation — run BEFORE ``dedup_exact_fingerprint`` to catch
+    them). Extends the reference's markdown cleanup chain
+    (``/root/reference/model/data/notion_db.py:163-168``) with the audit a
+    production pipeline wraps around it. Pure map-side expressions, one
+    global aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    s1 = F.lower(F.col("text"))
+    s2 = F.trim(F.regexp_replace(s1, " +", " "))
+    s3 = F.trim(
+        F.regexp_replace(F.regexp_replace(s1, "[^a-z0-9 ]", ""), " +", " ")
+    )
+    renorm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(s3), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    norm = d.select(
+        "text",
+        s1.alias("s1"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+        renorm.alias("s4"),
+    )
+    return norm.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("s1") != F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("changed_by_lower"),
+        F.sum(F.when(F.col("s2") != F.col("s1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("changed_by_spacing"),
+        F.sum(F.when(F.col("s3") != F.col("s2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("changed_by_punct"),
+        F.sum(F.when(F.col("s4") != F.col("s3"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("non_idempotent"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_raw"),
+        F.countDistinct(F.md5("s3")).cast("bigint").alias("distinct_normalized"),
+    )
