@@ -234,6 +234,7 @@ _DRIVER_DEFER = (
     "json_props_variant",
     "events_winsorized_stats",
     "text_normalization_audit",
+    "udtf_polymorphic_windows",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

@@ -1227,3 +1227,60 @@ def pack_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive = policy("naive_by_id", [F.asc("doc_id")])
     srt = policy("length_sorted", [F.asc("tc"), F.asc("doc_id")])
     return naive.unionAll(srt).orderBy("policy")
+
+
+@register(
+    "udtf_polymorphic_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id < 30
+    )
+    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           t[p] AS tok1, t[p + 1] AS tok2, t[p + 2] AS tok3
+    FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(t) - 1)) AS p
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_polymorphic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the OUTPUT SCHEMA is
+    computed at plan time from the literal window width — tok1..tokN columns
+    for sliding_tokens(text, N). This is the dynamic-schema half of §2.10 U5
+    (``udtf_sentence_split`` pins the fixed-schema half): schema-from-args is
+    what lets one table function serve any window width without codegen.
+    Registered at N=3 so the DuckDB oracle can replay the exact output
+    (list-index lateral unnest)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    try:
+        from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    except ImportError:  # pragma: no cover
+        from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+
+    class SlidingTokens:
+        @staticmethod
+        def analyze(text: "AnalyzeArgument", n: "AnalyzeArgument") -> "AnalyzeResult":
+            width = int(n.value)
+            fields = [StructField("pos", LongType())] + [
+                StructField(f"tok{i + 1}", StringType()) for i in range(width)
+            ]
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            for p in range(max(0, len(toks) - n + 1)):
+                yield (p, *toks[p : p + n])
+
+    spark.udtf.register("sliding_tokens", udtf(SlidingTokens, useArrow=True))
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    docs.createOrReplaceTempView("poly_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.pos, w.tok1, w.tok2, w.tok3
+        FROM poly_docs d, LATERAL sliding_tokens(d.text, 3) w
+        ORDER BY d.doc_id, w.pos
+        """
+    )
