@@ -235,6 +235,7 @@ _DRIVER_DEFER = (
     "events_winsorized_stats",
     "text_normalization_audit",
     "udtf_polymorphic_windows",
+    "udaf_arrow_source_stats",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

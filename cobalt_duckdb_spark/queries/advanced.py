@@ -1284,3 +1284,50 @@ def udtf_polymorphic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, w.pos
         """
     )
+
+
+@register(
+    "udaf_arrow_source_stats",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS mean_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE grouped map (Spark 4 ``applyInArrow``): per-source doc
+    stats computed with pyarrow.compute kernels directly on the Arrow batch —
+    no pandas materialization at all, the zero-copy sibling of
+    ``udaf_label_centroids``'s applyInPandas. Use this shape when the
+    per-group kernel is expressible in Arrow compute (or hands the buffers
+    to a C++/Rust lib); pandas only buys you numpy ergonomics and costs a
+    conversion. Oracle is the plain SQL aggregate — the point under test is
+    the Arrow path producing identical results."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        chars = tbl.column("n_chars")
+        return pa.table(
+            {
+                "source": pa.array([tbl.column("source")[0].as_py()], pa.string()),
+                "n_docs": pa.array([tbl.num_rows], pa.int64()),
+                "mean_chars": pa.array(
+                    [pc.mean(chars).as_py()], pa.float64()
+                ),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return (
+        d.groupBy("source")
+        .applyInArrow(
+            stats, schema="source string, n_docs bigint, mean_chars double, max_chars bigint"
+        )
+        # round JVM-side: SQL ROUND is half-up, Python round() is banker's
+        .withColumn("mean_chars", F.round("mean_chars", 4))
+        .orderBy("source")
+    )
