@@ -236,6 +236,7 @@ _DRIVER_DEFER = (
     "text_normalization_audit",
     "udtf_polymorphic_windows",
     "udaf_arrow_source_stats",
+    "events_incremental_rollup_merge",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

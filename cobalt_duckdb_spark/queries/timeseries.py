@@ -670,3 +670,97 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(25)
     )
+
+
+@register(
+    "events_incremental_rollup_merge",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day, event_type,
+               COUNT(*) AS n, SUM(value) AS s,
+               SUM(value * value) AS ss, MAX(value) AS mx
+        FROM events WHERE event_id % 10 <> 0
+        GROUP BY 1, 2
+    ),
+    delta AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day, event_type,
+               COUNT(*) AS n, SUM(value) AS s,
+               SUM(value * value) AS ss, MAX(value) AS mx
+        FROM events WHERE event_id % 10 = 0
+        GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT COALESCE(b.day, d.day) AS day,
+               COALESCE(b.event_type, d.event_type) AS event_type,
+               COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+               COALESCE(b.s, 0) + COALESCE(d.s, 0) AS s,
+               COALESCE(b.ss, 0) + COALESCE(d.ss, 0) AS ss,
+               GREATEST(COALESCE(b.mx, -1e18), COALESCE(d.mx, -1e18)) AS mx
+        FROM base b FULL OUTER JOIN delta d
+          ON b.day = d.day AND b.event_type = d.event_type
+    )
+    SELECT day, event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(s / n, 4) AS mean_value,
+           ROUND(sqrt(GREATEST(ss / n - (s / n) * (s / n), 0)), 4)
+               AS pop_stddev,
+           ROUND(mx, 2) AS max_value
+    FROM merged
+    ORDER BY day, event_type
+    """,
+)
+def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental summary-table maintenance: the daily rollup is kept as
+    MERGEABLE partial aggregates (n, Σx, Σx², max); when a delta batch
+    (event_id % 10 = 0 simulates the arriving 10%) lands, the new rollup is
+    partial ⊕ partial — a |days×types|-row merge — never a re-scan of
+    history. Mean/stddev/max are finalized from the merged partials and are
+    IDENTICAL to a from-scratch rollup (the oracle builds both sides the
+    same way; ``dq_histogram_totalprice`` applies the same law to
+    histograms). At 100 TB this is the difference between touching one
+    day's delta and touching a year of history on every refresh."""
+    day = F.date_trunc("day", F.col("ts"))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            day.alias("day"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+            F.max("value").alias("mx"),
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    base = partials(e.filter(F.col("event_id") % 10 != 0))
+    delta = partials(e.filter(F.col("event_id") % 10 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d,
+        (F.col("b.day") == F.col("d.day"))
+        & (F.col("b.event_type") == F.col("d.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce("b.day", "d.day").alias("day"),
+        F.coalesce("b.event_type", "d.event_type").alias("event_type"),
+        (F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))).alias("n"),
+        (F.coalesce("b.s", F.lit(0.0)) + F.coalesce("d.s", F.lit(0.0))).alias("s"),
+        (F.coalesce("b.ss", F.lit(0.0)) + F.coalesce("d.ss", F.lit(0.0))).alias("ss"),
+        F.greatest(
+            F.coalesce("b.mx", F.lit(-1e18)), F.coalesce("d.mx", F.lit(-1e18))
+        ).alias("mx"),
+    )
+    mean = F.col("s") / F.col("n")
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 4).alias("mean_value"),
+        F.round(
+            F.sqrt(F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))),
+            4,
+        ).alias("pop_stddev"),
+        F.round("mx", 2).alias("max_value"),
+    ).orderBy("day", "event_type")
