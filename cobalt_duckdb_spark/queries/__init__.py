@@ -237,6 +237,7 @@ _DRIVER_DEFER = (
     "udtf_polymorphic_windows",
     "udaf_arrow_source_stats",
     "events_incremental_rollup_merge",
+    "embedding_centroid_drift",
     "scalar_array_serialization",
     "dq_integrity_audit",
 )

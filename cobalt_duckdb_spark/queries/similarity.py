@@ -778,3 +778,101 @@ def simsearch_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH e AS (
+        SELECT label, vec_id % 2 AS half, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    u AS (
+        SELECT label, half, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM e
+    ),
+    cent AS (
+        SELECT label, half, i, AVG(x) AS c FROM u GROUP BY label, half, i
+    ),
+    paired AS (
+        SELECT a.label, a.i, a.c AS ca, b.c AS cb
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1
+    ),
+    sums AS (
+        SELECT label,
+               SUM(ca * cb) AS dot,
+               sqrt(SUM(ca * ca)) AS na,
+               sqrt(SUM(cb * cb)) AS nb
+        FROM paired GROUP BY label
+    ),
+    cnt AS (
+        SELECT label,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+        FROM e GROUP BY label
+    )
+    SELECT s.label,
+           CAST(c.n_a AS BIGINT) AS n_even,
+           CAST(c.n_b AS BIGINT) AS n_odd,
+           ROUND(s.dot / (s.na * s.nb), 6) AS centroid_cosine,
+           ROUND(s.nb - s.na, 6) AS norm_shift
+    FROM sums s JOIN cnt c ON c.label = s.label
+    ORDER BY s.label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SEMANTIC drift: split each label's vectors into two halves
+    (vec_id parity — stand-in for before/after an embedder upgrade or two
+    crawl epochs), compare the half-centroids by cosine and norm shift. A
+    centroid cosine well below 1 says the label's meaning moved — re-embed
+    or re-cluster before mixing epochs (the embedding-space companion of
+    ``text_corpus_drift_kl`` and the retrain trigger behind
+    ``simsearch_index_staleness``).
+
+    Shape: one (label, half, dim) mergeable average after a posexplode —
+    map-side combine does the heavy lifting; everything downstream runs on
+    |labels|×dims rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    u = e.select("label", "half", F.posexplode("v").alias("i", "x"))
+    cent = u.groupBy("label", "half", "i").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "i", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "i", F.col("c").alias("cb")
+    )
+    sums = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    cnt = e.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_even"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_odd"),
+    )
+    return (
+        sums.join(cnt, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+            F.round(F.col("nb") - F.col("na"), 6).alias("norm_shift"),
+        )
+        .orderBy("label")
+    )
