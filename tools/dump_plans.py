@@ -117,6 +117,30 @@ SHOWCASE = {
         "per-query top-k window; the overlap join moves only 2×k rows "
         "per query."
     ),
+    "dedup_embedding_srp_lsh": (
+        "SRP LSH over embeddings. Things to see: the signature is a "
+        "map-only ArrowEvalPython (pandas_udf matmul) projection — it "
+        "appears once per side of the bucket self-join because recomputing "
+        "a map-only stage is cheaper than materializing a vector-wide "
+        "table (persist would trade local-disk I/O for a BLAS matmul); no "
+        "shuffle until the (band, bkey) join; candidate verification (the "
+        "zip_with/aggregate cosine) runs AFTER the join, so exact math "
+        "touches only candidates; no CartesianProduct anywhere."
+    ),
+    "dedup_semdedup_dropped": (
+        "SemDeDup. Things to see: the k-row seed table broadcasts into a "
+        "BroadcastNestedLoopJoin (deliberate: k rows) followed by a "
+        "struct-min hash aggregate (partial_min before the exchange) — "
+        "assignment never sorts a window; the per-cluster prune is ONE "
+        "FlatMapGroupsInPandas (applyInPandas) on the cid shuffle."
+    ),
+    "events_incremental_rollup_merge": (
+        "Incremental view maintenance. Things to see: BOTH rollup branches "
+        "partial-aggregate map-side (partial_count/sum/max before their "
+        "exchanges) on disjoint pushed-down filters; the merge is a "
+        "SortMergeJoin over |days×types| rows of partials — history is "
+        "never re-scanned, which is the entire point at 100 TB."
+    ),
 }
 
 
