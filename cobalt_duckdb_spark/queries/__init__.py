@@ -240,6 +240,10 @@ _DRIVER_DEFER = (
     "embedding_centroid_drift",
     "scalar_array_serialization",
     "dq_integrity_audit",
+    # --- registered later in round 3 (locally hash-matched; rotate into the
+    # driver window in later rounds).
+    "events_autocorrelation_hourly",
+    "events_interval_coverage",
 )
 
 

@@ -764,3 +764,209 @@ def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("pop_stddev"),
         F.round("mx", 2).alias("max_value"),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "events_autocorrelation_hourly",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+               time_bucket(INTERVAL '1 hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+            FROM bounds
+        ) g
+    ),
+    counts AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT g.event_type, g.h,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) AS x
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.h = c.h
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER w AS x1,
+               lag(x, 2) OVER w AS x2,
+               lag(x, 3) OVER w AS x3
+        FROM series
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(corr(x, x1), 6) AS acf_1,
+           ROUND(corr(x, x2), 6) AS acf_2,
+           ROUND(corr(x, x3), 6) AS acf_3
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_autocorrelation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the hourly event-count series per type —
+    the seasonality/burstiness screen run before picking a forecast model or
+    an anomaly baseline (high acf_1 ⇒ bursty; acf_24 would test daily cycles).
+
+    The series is gap-filled first (hours with zero events are real zeros,
+    not missing rows): the hour grid comes from one ``sequence()`` over the
+    global min/max — a 2-row broadcast, never a driver round-trip — crossed
+    with the distinct types. ACF is then ``corr(x, lag(x, k))`` over the
+    ordered series: one small window per type (720 buckets/month regardless
+    of event volume — the window input is the AGGREGATED series, so at 100 TB
+    the shuffle carries |types|×|hours| rows, not events)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 hour"))
+            ).alias("h"),
+        )
+    )
+    counts = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    series = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("c", F.lit(0)).cast("double").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = series.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(F.corr("x", "x1"), 6).alias("acf_1"),
+            F.round(F.corr("x", "x2"), 6).alias("acf_2"),
+            F.round(F.corr("x", "x3"), 6).alias("acf_3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+        FROM events WHERE event_type = 'click' AND user_id < 40
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id,
+               MAX(e) - MIN(s) AS dur_us,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(SUM(dur_us) / 1e6, 6) AS covered_seconds
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage: every click opens a 5-minute activity
+    window; per user, how much wall-clock was covered by at least one open
+    window (and in how many contiguous activity islands). The
+    sibling of ``events_peak_concurrent_incidents`` — that one asks "how
+    many at once", this one "how long in total", and both replace the
+    quadratic overlap self-join with an O(n log n) order-based pass.
+
+    Gaps-and-islands merge: an interval starts a new island iff its start
+    exceeds the running max end of everything before it (running max, not
+    ``lag(e)`` — an earlier long interval can swallow a later short one).
+    Island durations then sum per user. ONE user_id shuffle serves both
+    windows and the final rollup; microsecond integer arithmetic end-to-end
+    so the oracle comparison is exact, no float drift."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 40)
+    )
+    # ts is TIMESTAMP_NTZ (UTC wall time, see io.load_table) — unix_micros
+    # wants LTZ, so take micros-since-epoch as an NTZ-safe timestampdiff.
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    iv = e.select(
+        "user_id", us.alias("s"), (us + F.lit(300_000_000)).alias("e")
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("dur_us"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("dur_us") / F.lit(1e6), 6).alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )

@@ -716,3 +716,34 @@ def test_sessionization_planted_gap_splits(spark):
         qe.load_table = orig
     assert [(r["session_n"], r["n_events"]) for r in out] == [(1, 2), (2, 1)]
     assert out[1]["n_purchases"] == 1 and out[1]["revenue"] == 9.5
+
+
+def test_interval_coverage_invariants(spark, sf_dir):
+    """Union-of-intervals coverage: per user, coverage is at least one
+    window (300 s) and at most n_events × 300 s; islands never outnumber
+    events; and a user with n islands covers ≥ n × 300 s (each island is
+    at least one full window)."""
+    from cobalt_duckdb_spark.queries.timeseries import events_interval_coverage
+
+    rows = events_interval_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_islands"] >= 1
+        assert r["n_islands"] <= r["n_events"]
+        assert r["covered_seconds"] >= 300.0 * r["n_islands"] - 1e-6
+        assert r["covered_seconds"] <= 300.0 * r["n_events"] + 1e-6
+
+
+def test_autocorrelation_bounds_and_gapfill(spark, sf_dir):
+    """ACF values are correlations (|acf| ≤ 1) and the gap-filled series
+    spans the same number of hours for every type (the grid is global)."""
+    from cobalt_duckdb_spark.queries.timeseries import (
+        events_autocorrelation_hourly,
+    )
+
+    rows = events_autocorrelation_hourly(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert len({r["n_hours"] for r in rows}) == 1
+    for r in rows:
+        for k in ("acf_1", "acf_2", "acf_3"):
+            assert r[k] is None or abs(r[k]) <= 1.0
