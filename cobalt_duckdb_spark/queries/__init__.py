@@ -244,6 +244,8 @@ _DRIVER_DEFER = (
     # driver window in later rounds).
     "events_autocorrelation_hourly",
     "events_interval_coverage",
+    "events_rolling_median",
+    "events_changepoint_cusum",
 )
 
 

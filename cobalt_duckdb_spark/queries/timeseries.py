@@ -970,3 +970,144 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           ROUND(value, 4) AS value,
+           ROUND(median(value) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_median
+    FROM events WHERE user_id < 10
+    ORDER BY event_type, CAST(ts AS TIMESTAMP), event_id
+    """,
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 exact rolling median of event value per type — the
+    robust sibling of ``events_ewma_user_value`` (a single spike moves an
+    EWMA but not a median; dashboards smooth latency/value series this
+    way). Spark has no windowed ``median``, so the frame is collected as a
+    bounded 20-element array and the median taken by sort + middle
+    element(s), interpolating for even counts exactly as DuckDB's
+    ``median`` window does. The frame bound (20 rows) caps per-row state,
+    so the window cost is O(n·20 log 20) within each type partition — the
+    same keyed shuffle every other per-type window here uses."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    # 1-based element_at; odd n → middle, even n → mean of the two middles
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round((lo + hi) / 2, 6).alias("rolling_median"),
+            "ts",
+        )
+        .orderBy("event_type", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               AVG(value) AS day_mean
+        FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+        SELECT event_type, day, day_mean,
+               day_mean - AVG(day_mean) OVER (PARTITION BY event_type)
+                   AS dev
+        FROM daily
+    ),
+    cusum AS (
+        SELECT event_type, day,
+               SUM(dev) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM centered
+    ),
+    ranked AS (
+        SELECT event_type, day, c,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ABS(c) DESC, day ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM cusum
+    )
+    SELECT event_type,
+           CAST(day AS VARCHAR) AS changepoint_day,
+           ROUND(c, 6) AS max_abs_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: cumulative sum of the
+    daily-mean deviations from the type's overall daily-mean level; the day
+    where |CUSUM| peaks is the single most likely level-shift point (Page's
+    CUSUM / binary-segmentation step 1 — the screen run before alerting on
+    a metric drift).
+
+    Scale shape: the event scan collapses to |types|×|days| rows in ONE
+    grouped aggregate; the centering, running sum, and argmax are three
+    windows over that tiny frame sharing one event_type partitioning.
+    Earliest day wins |CUSUM| ties so the answer is deterministic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.avg("value").alias("day_mean"))
+    byt = Window.partitionBy("event_type")
+    centered = daily.select(
+        "event_type",
+        "day",
+        (F.col("day_mean") - F.avg("day_mean").over(byt)).alias("dev"),
+    )
+    cusum = centered.select(
+        "event_type",
+        "day",
+        F.sum("dev")
+        .over(byt.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+    )
+    ranked = cusum.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number()
+        .over(byt.orderBy(F.abs("c").desc(), F.col("day").asc()))
+        .alias("rn"),
+        F.count("*").over(byt).alias("n_days"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.round("c", 6).alias("max_abs_cusum"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
