@@ -246,6 +246,8 @@ _DRIVER_DEFER = (
     "events_interval_coverage",
     "events_rolling_median",
     "events_changepoint_cusum",
+    "stats_key_skew_profiler",
+    "features_target_encoding",
 )
 
 

@@ -1331,3 +1331,124 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean_chars", F.round("mean_chars", 4))
         .orderBy("source")
     )
+
+
+@register(
+    "stats_key_skew_profiler",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    blocks AS (
+        SELECT cnt, CAST(COUNT(*) AS DOUBLE) AS m
+        FROM counts GROUP BY cnt
+    ),
+    cum AS (
+        SELECT cnt, m,
+               COALESCE(SUM(m) OVER (
+                   ORDER BY cnt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS keys_before
+        FROM blocks
+    ),
+    gini_terms AS (
+        SELECT SUM(cnt * (keys_before * m + m * (m + 1) / 2)) AS sum_rank_x
+        FROM cum
+    ),
+    top10 AS (
+        SELECT SUM(cnt) AS s FROM (
+            SELECT cnt FROM counts ORDER BY cnt DESC, user_id ASC LIMIT 10
+        )
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               SUM(cnt) AS n_rows,
+               MAX(cnt) AS max_cnt,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt) AS med,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt) AS p99
+        FROM counts
+    )
+    SELECT a.n_keys,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           ROUND(a.max_cnt / a.n_rows, 6) AS top1_share,
+           ROUND(t.s / a.n_rows, 6) AS top10_share,
+           ROUND(2.0 * g.sum_rank_x / (a.n_keys * a.n_rows)
+                 - (a.n_keys + 1.0) / a.n_keys, 6) AS gini,
+           ROUND(a.p99 / a.med, 6) AS p99_over_median
+    FROM agg a, gini_terms g, top10 t
+    """,
+)
+def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over ``events.user_id`` — the profile you
+    run BEFORE picking a join/agg strategy on a key: top-1/top-10 key share
+    (is one whale going to serialize a task?), the Gini coefficient of the
+    key-frequency distribution (0 = uniform, →1 = one key owns everything),
+    and p99/median of per-key row counts. These are the numbers that decide
+    between a plain shuffle, salting, and AQE skew-join.
+
+    Scale shape: the raw scan collapses to one row per key, then to one row
+    per DISTINCT COUNT VALUE — the Gini rank sum is computed over tied
+    blocks (rank range of a block = keys_before·m + m(m+1)/2), so the only
+    window runs over |distinct count values| rows, never a global sort of
+    all keys. Top-10 is TakeOrderedAndProject; percentiles are one exact
+    aggregate over the per-key table (swap approx_percentile in at 1e9+
+    keys, same plan)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    blocks = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("double").alias("m")
+    )
+    cum = blocks.select(
+        "cnt",
+        "m",
+        F.coalesce(
+            F.sum("m").over(
+                Window.orderBy("cnt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0.0),
+        ).alias("keys_before"),
+    )
+    gini_terms = cum.agg(
+        F.sum(
+            F.col("cnt")
+            * (
+                F.col("keys_before") * F.col("m")
+                + F.col("m") * (F.col("m") + 1) / 2
+            )
+        ).alias("sum_rank_x")
+    )
+    top10 = (
+        counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+        .agg(F.sum("cnt").alias("s"))
+    )
+    agg = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("med"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(gini_terms))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_keys",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top1_share"),
+            F.round(F.col("s") / F.col("n_rows"), 6).alias("top10_share"),
+            F.round(
+                2.0 * F.col("sum_rank_x") / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("p99") / F.col("med"), 6).alias("p99_over_median"),
+        )
+    )

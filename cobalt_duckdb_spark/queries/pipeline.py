@@ -787,3 +787,56 @@ def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "features_target_encoding",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               SUM(value) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_id < 500 GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           ROUND(e.value, 4) AS value,
+           CASE WHEN st.n > 1
+                THEN ROUND((st.s - e.value) / (st.n - 1), 6)
+           END AS loo_encoding,
+           st.n AS category_n
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    WHERE e.event_id < 500
+    ORDER BY e.event_id
+    """,
+)
+def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical (event_type → mean
+    value of the OTHER rows in the category) — the leakage-safe form of
+    mean encoding: a row never sees its own target, so the feature can be
+    trained on directly (Micci-Barreca 2001 shape). Singleton categories
+    yield NULL (no other rows to average) rather than a fabricated prior.
+
+    Scale shape: one grouped aggregate (|categories| rows) broadcast-joined
+    back to the fact scan — the encode step is map-side, no second shuffle,
+    and the same plan serves billions of rows because the only reduced state
+    is per-category (sum, count)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    stats = e.groupBy("event_type").agg(
+        F.sum("value").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.when(
+                F.col("n") > 1,
+                F.round((F.col("s") - F.col("value")) / (F.col("n") - 1), 6),
+            ).alias("loo_encoding"),
+            F.col("n").alias("category_n"),
+        )
+        .orderBy("event_id")
+    )

@@ -747,3 +747,52 @@ def test_autocorrelation_bounds_and_gapfill(spark, sf_dir):
     for r in rows:
         for k in ("acf_1", "acf_2", "acf_3"):
             assert r[k] is None or abs(r[k]) <= 1.0
+
+
+def test_key_skew_profiler_matches_numpy_gini(spark, sf_dir):
+    """The tied-block Gini rank-sum equals the textbook sorted-rank formula
+    computed in Python over the same per-key counts, and LOO target
+    encoding reconstructs the plain category mean when a row's own value
+    is added back."""
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.advanced import stats_key_skew_profiler
+
+    row = stats_key_skew_profiler(spark, sf_dir).collect()[0]
+    counts = sorted(
+        r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    )
+    n, s = len(counts), sum(counts)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(counts)) / (n * s) - (
+        n + 1
+    ) / n
+    assert abs(row["gini"] - round(gini, 6)) < 1e-9
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["top1_share"] >= 1.0 / row["n_keys"]
+    assert row["top10_share"] >= row["top1_share"]
+    assert row["p99_over_median"] >= 1.0
+
+
+def test_target_encoding_loo_reconstructs_mean(spark, sf_dir):
+    """(loo·(n−1) + own value) / n = the category mean, for every row."""
+    from cobalt_duckdb_spark.queries.pipeline import features_target_encoding
+
+    rows = features_target_encoding(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        mean = sum(r["value"] for r in rs) / len(rs)
+        for r in rs[:20]:
+            if r["loo_encoding"] is None:
+                assert r["category_n"] == 1
+                continue
+            recon = (r["loo_encoding"] * (r["category_n"] - 1) + r["value"]) / r[
+                "category_n"
+            ]
+            assert abs(recon - mean) < 1e-3
