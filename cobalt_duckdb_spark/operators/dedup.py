@@ -1144,3 +1144,175 @@ def minhash_lsh_incremental_oracle_sql(
     GROUP BY s.doc_id
     ORDER BY s.doc_id
     """
+
+
+def lsh_quality_audit(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Precision/recall of the banded MinHash-LSH candidate screen against
+    exact shingle-Jaccard ground truth — the parameter-tuning audit behind
+    every (bands, rows) choice: recall tells you what the screen MISSES
+    (near-dup pairs that never collide in any band), precision what it
+    wastes (candidate pairs the verifier then rejects). One row out.
+
+    Truth = pairs with exact Jaccard ≥ threshold, found via the
+    inverted-index set-similarity join (pairs sharing ≥1 shingle — pairs
+    sharing none have Jaccard 0 and can't be truth). Candidates = raw band
+    collisions, UNVERIFIED (that's the point — the audit measures the
+    screen itself, not screen+verify). tp/fp/fn are set-membership counts
+    off ONE full-outer join, so no per-candidate Jaccard is ever computed.
+
+    At 100 TB you run this on a sampled shard (the screen's collision
+    behavior is scale-free in the pair density); corpus-wide here. The one
+    shingle table is persisted and feeds signatures, truth, and sizes."""
+    from pyspark import StorageLevel
+
+    ex = shingle_hashes(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # --- truth: exact Jaccard via inverted index over shingle hashes
+    common = (
+        ex.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
+        .join(
+            ex.select(
+                F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns"), "h"
+            ),
+            "h",
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("common"),
+            F.first("a_ns").alias("a_ns"),
+            F.first("b_ns").alias("b_ns"),
+        )
+    )
+    truth = common.filter(
+        F.col("common") / (F.col("a_ns") + F.col("b_ns") - F.col("common"))
+        >= threshold
+    ).select("a_id", "b_id")
+    # --- candidates: raw band collisions (same family as minhash_lsh_pairs)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"sig{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"sig{band * LSH_ROWS + r}")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.select(F.col(id_col).alias("b_id"), "band", "bkey").alias(
+                "b"
+            ),
+            on=["band", "bkey"],
+        )
+        .filter(F.col(id_col) < F.col("b_id"))
+        .select(F.col(id_col).alias("a_id"), "b_id")
+        .distinct()
+    )
+    merged = truth.withColumn("is_truth", F.lit(1)).join(
+        cand.withColumn("is_cand", F.lit(1)), ["a_id", "b_id"], "full_outer"
+    )
+    t = F.coalesce("is_truth", F.lit(0))
+    c = F.coalesce("is_cand", F.lit(0))
+    return merged.agg(
+        F.sum(t).cast("bigint").alias("n_truth"),
+        F.sum(c).cast("bigint").alias("n_candidates"),
+        F.sum(t * c).cast("bigint").alias("tp"),
+        F.sum(c * (1 - t)).cast("bigint").alias("fp"),
+        F.sum(t * (1 - c)).cast("bigint").alias("fn"),
+        F.round(F.sum(t * c) / F.sum(c), 6).alias("precision"),
+        F.round(F.sum(t * c) / F.sum(t), 6).alias("recall"),
+    )
+
+
+def lsh_quality_audit_oracle_sql(threshold: float = 0.5, n: int = 3) -> str:
+    """DuckDB replica of lsh_quality_audit (same hash family + banding)."""
+    tok = TOKEN_HASH_SQL_DUCKDB.format(col="sh")
+    sig_exprs = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_PRIME}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bkey': md5(concat_ws('_', %s))}"
+        % (band, ", ".join(f"sig{band * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+        for band in range(LSH_BANDS)
+    )
+    shingle_expr = (
+        f"list_distinct(list_transform(range(1, len(string_split(text,' ')) - {n - 2}), "
+        + "i -> "
+        + " || ' ' || ".join(f"string_split(text,' ')[i+{j}]" for j in range(n))
+        + "))"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {shingle_expr} AS s FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    ex AS (
+        SELECT doc_id, {tok} AS x
+        FROM (SELECT doc_id, unnest(s) AS sh FROM shf)
+    ),
+    sizes AS (SELECT doc_id, len(s) * 1.0 AS ns FROM shf),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) * 1.0 AS common
+        FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT c.a_id, c.b_id
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE c.common / (sa.ns + sb.ns - c.common) >= {threshold}
+    ),
+    sig AS (SELECT doc_id, {sig_exprs} FROM ex GROUP BY doc_id),
+    buckets AS (
+        SELECT doc_id, b.band AS band, b.bkey AS bkey
+        FROM (SELECT doc_id, unnest([{band_structs}]) AS b FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    merged AS (
+        SELECT COALESCE(t.is_truth, 0) AS t, COALESCE(c.is_cand, 0) AS c
+        FROM (SELECT a_id, b_id, 1 AS is_truth FROM truth) t
+        FULL OUTER JOIN (SELECT a_id, b_id, 1 AS is_cand FROM cand) c
+          ON t.a_id = c.a_id AND t.b_id = c.b_id
+    )
+    SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+           CAST(SUM(c) AS BIGINT) AS n_candidates,
+           CAST(SUM(t * c) AS BIGINT) AS tp,
+           CAST(SUM(c * (1 - t)) AS BIGINT) AS fp,
+           CAST(SUM(t * (1 - c)) AS BIGINT) AS fn,
+           ROUND(SUM(t * c) * 1.0 / SUM(c), 6) AS precision,
+           ROUND(SUM(t * c) * 1.0 / SUM(t), 6) AS recall
+    FROM merged
+    """

@@ -248,6 +248,7 @@ _DRIVER_DEFER = (
     "events_changepoint_cusum",
     "stats_key_skew_profiler",
     "features_target_encoding",
+    "dedup_lsh_quality_audit",
 )
 
 

@@ -734,3 +734,14 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "dedup_lsh_quality_audit",
+    oracle=D.lsh_quality_audit_oracle_sql(threshold=0.5),
+)
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the raw MinHash-LSH band screen vs exact-Jaccard
+    ground truth (τ=0.5) — the (bands, rows) tuning audit. See
+    ``operators.dedup.lsh_quality_audit``."""
+    return D.lsh_quality_audit(load_table(spark, sf_dir, "documents"))
