@@ -203,3 +203,86 @@ def dedup_groups(pairs: DataFrame, src: str = "a_id", dst: str = "b_id") -> Data
         )
         .orderBy("doc_id")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "a",
+    dst: str = "b",
+    w: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection),
+    ``iters`` fixed rounds: every node starts as its own label; each round
+    every node simultaneously adopts the label with the highest total
+    neighbor edge weight (ties → smallest label). Fixed iteration count +
+    synchronous update + min-tie-break make the result a pure function of
+    the graph — replayable in SQL for differential testing, unlike
+    run-to-convergence LPA whose answer depends on visit order.
+
+    Input edges are one row per undirected edge (src < dst, weight); they
+    are mirrored internally. Returns (node, label) after the last round.
+
+    Scale shape: each round is one join (labels ⋈ edges on the node key) +
+    one (node, label) aggregate + one per-node argmax window — all
+    hash-partitioned on the node key, nothing on the driver. Rounds chain
+    lazily; on billion-edge graphs insert ``localCheckpoint`` every few
+    rounds exactly as :func:`connected_components` does."""
+    from pyspark.sql import Window
+
+    bidir = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w).alias("wt")
+    ).unionAll(
+        edges.select(
+            F.col(dst).alias("u"), F.col(src).alias("v"), F.col(w).alias("wt")
+        )
+    )
+    labels = (
+        bidir.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    for _ in range(iters):
+        scored = (
+            bidir.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.sum("wt").alias("s"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("node").orderBy(
+                F.col("s").desc(), F.col("label").asc()
+            )
+        )
+        labels = (
+            scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+def label_propagation_oracle_cte(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB CTE chain replaying label_propagation exactly. ``edges_cte``
+    must define ``edges(a, b, w)`` with a < b."""
+    parts = [
+        edges_cte,
+        """bidir AS (
+            SELECT a AS u, b AS v, w AS wt FROM edges
+            UNION ALL SELECT b, a, w FROM edges
+        )""",
+        """lp0 AS (
+            SELECT DISTINCT u AS node, u AS label FROM bidir
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""lp{i} AS (
+            SELECT node, label FROM (
+                SELECT e.u AS node, l.label, SUM(e.wt) AS s,
+                       row_number() OVER (
+                           PARTITION BY e.u
+                           ORDER BY SUM(e.wt) DESC, l.label ASC
+                       ) AS rn
+                FROM bidir e JOIN lp{i - 1} l ON l.node = e.v
+                GROUP BY e.u, l.label
+            ) WHERE rn = 1
+        )""")
+    return ",\n".join(parts) + f"\nSELECT node, label FROM lp{iters}"

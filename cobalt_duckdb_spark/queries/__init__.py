@@ -249,6 +249,7 @@ _DRIVER_DEFER = (
     "stats_key_skew_profiler",
     "features_target_encoding",
     "dedup_lsh_quality_audit",
+    "graph_lpa_communities",
 )
 
 

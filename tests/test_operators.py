@@ -796,3 +796,24 @@ def test_target_encoding_loo_reconstructs_mean(spark, sf_dir):
                 "category_n"
             ]
             assert abs(recon - mean) < 1e-3
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Two 4-cliques (heavy internal edges) joined by one weak bridge edge:
+    LPA puts each clique in its own community (labelled by its min node),
+    while connected components would merge all 8 nodes."""
+    from cobalt_duckdb_spark.operators.graph import label_propagation
+
+    cliques = [(0, 1, 2, 3), (10, 11, 12, 13)]
+    edges = [
+        (a, b, 5.0)
+        for nodes in cliques
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+    ] + [(3, 10, 1.0)]
+    df = spark.createDataFrame(edges, "a long, b long, w double")
+    got = {
+        r["node"]: r["label"] for r in label_propagation(df, iters=3).collect()
+    }
+    assert {got[n] for n in cliques[0]} == {0}
+    assert {got[n] for n in cliques[1]} == {10}
