@@ -250,6 +250,9 @@ _DRIVER_DEFER = (
     "features_target_encoding",
     "dedup_lsh_quality_audit",
     "graph_lpa_communities",
+    "window_ratio_to_report",
+    "agg_grouping_sets_custom",
+    "orders_abc_pareto",
 )
 
 

@@ -645,3 +645,143 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_grouping_sets_custom",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COALESCE(CAST(ship_year AS VARCHAR), 'ALL') AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                + GROUPING(ship_year) AS BIGINT) AS grouping_id
+    FROM (
+        SELECT l_returnflag, l_linestatus, l_extendedprice,
+               CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year
+        FROM lineitem
+    )
+    GROUP BY GROUPING SETS (
+        (l_returnflag, l_linestatus),
+        (ship_year),
+        ()
+    )
+    ORDER BY grouping_id, returnflag, linestatus, ship_year
+    """,
+)
+def agg_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form that rollup/cube are
+    shorthands for: (returnflag, linestatus) detail, a shipmode-only slice,
+    and the grand total, in ONE pass with GROUPING() disambiguating real
+    NULLs from subtotal rows. Spark expands grouping sets into a single
+    Expand + hash aggregate (one scan, one shuffle), exactly what you want
+    instead of three queries unioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COALESCE(CAST(ship_year AS STRING), 'ALL') AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(ship_year) AS BIGINT) AS grouping_id
+        FROM (
+            SELECT l_returnflag, l_linestatus, l_extendedprice,
+                   CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year
+            FROM _gs_lineitem
+        )
+        GROUP BY GROUPING SETS (
+            (l_returnflag, l_linestatus),
+            (ship_year),
+            ()
+        )
+        ORDER BY grouping_id, returnflag, linestatus, ship_year
+        """
+    )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, revenue,
+               SUM(revenue) OVER (
+                   ORDER BY revenue DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / SUM(revenue) OVER () AS cum_share
+        FROM cust
+    ),
+    classed AS (
+        SELECT o_custkey, revenue,
+               CASE WHEN cum_share <= 0.5 THEN 'A'
+                    WHEN cum_share <= 0.8 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(revenue), 2) AS revenue,
+           ROUND(SUM(revenue) / (SELECT SUM(revenue) FROM cust), 6)
+               AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: A = customers
+    covering the first 50% of cumulative revenue (ordered by spend), B to
+    80%, C the tail — the 80/20 concentration view purchasing and data-mix
+    planning both use (which sources/customers dominate the pile).
+
+    The cumulative-share window orders ALL customers in one unpartitioned
+    sort — fine at |customers| rows after the per-key aggregate; at 1e9+
+    keys swap the boundary detection to approx quantiles of the revenue
+    distribution, same downstream plan (the swap point is the documented
+    pattern from ``features_quantile_normalize``)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    cum = Window.orderBy(F.col("revenue").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = Window.partitionBy()
+    classed = cust.select(
+        "o_custkey",
+        "revenue",
+        (F.sum("revenue").over(cum) / F.sum("revenue").over(total)).alias(
+            "cum_share"
+        ),
+    ).select(
+        "o_custkey",
+        "revenue",
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    tot = cust.agg(F.sum("revenue").alias("t"))
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.sum("revenue").alias("_r"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_customers",
+            "revenue",
+            F.round(F.col("_r") / F.col("t"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

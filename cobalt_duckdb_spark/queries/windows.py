@@ -198,3 +198,54 @@ def window_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
         F.round(F.sum("value").over(w), 2).alias("value_trailing_1h"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               SUM(value) AS revenue
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(day AS VARCHAR) AS day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY event_type), 6)
+               AS share_of_type,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY day), 6)
+               AS share_of_day
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent-of-total) along two axes at once: each
+    (type, day) cell's share of its type's total and of its day's total —
+    the contribution-analysis window Oracle calls RATIO_TO_REPORT. Input is
+    the aggregated |types|×|days| frame, so both unbounded windows run over
+    a tiny table regardless of event volume; the two different partition
+    keys mean two exchanges of that tiny frame, not of raw events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("revenue"))
+    by_type = Window.partitionBy("event_type")
+    by_day = Window.partitionBy("day")
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(by_type), 6).alias(
+            "share_of_type"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(by_day), 6).alias(
+            "share_of_day"
+        ),
+    ).orderBy("event_type", "day")
