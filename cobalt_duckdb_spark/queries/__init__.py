@@ -253,6 +253,7 @@ _DRIVER_DEFER = (
     "window_ratio_to_report",
     "agg_grouping_sets_custom",
     "orders_abc_pareto",
+    "cluster_silhouette_audit",
 )
 
 

@@ -876,3 +876,111 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _silhouette_oracle() -> str:
+    # Same 2-iteration Lloyd twin as cluster_kmeans_lloyd, then simplified
+    # (centroid-based) silhouette from the rn=1 / rn=2 distances.
+    k, dims = 8, 64
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k}),
+    a1 AS (
+        SELECT e.vec_id, e.v, c1.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_distance(e.v, c1.c), 6), c1.cid
+               ) AS rn
+        FROM e CROSS JOIN c1
+    ),
+    p1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+    m2 AS (
+        SELECT cid, i, ROUND(AVG(v[CAST(i AS INT)]), 6) AS m
+        FROM p1 CROSS JOIN range(1, {dims + 1}) t(i)
+        GROUP BY cid, i
+    ),
+    c2 AS (SELECT cid, list(m ORDER BY i) AS c FROM m2 GROUP BY cid),
+    a2 AS (
+        SELECT e.vec_id, c2.cid,
+               ROUND(list_distance(e.v, c2.c), 6) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_distance(e.v, c2.c), 6), c2.cid
+               ) AS rn
+        FROM e CROSS JOIN c2
+    ),
+    sil AS (
+        SELECT a.vec_id, a.cid, a.dist AS a_dist, b.dist AS b_dist,
+               (b.dist - a.dist) / GREATEST(a.dist, b.dist) AS s
+        FROM a2 a JOIN a2 b ON a.vec_id = b.vec_id AND b.rn = 2
+        WHERE a.rn = 1
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(AVG(s), 4) AS avg_silhouette,
+           ROUND(MIN(s), 4) AS min_silhouette,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misassigned
+    FROM sil
+    GROUP BY cid ORDER BY cid
+    """
+
+
+@register("cluster_silhouette_audit", oracle=_silhouette_oracle())
+def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette per k-means cluster: for each
+    vector, a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]. The clustering-quality
+    bill that decides whether k was right before the codebook ships to the
+    IVF index — avg_s near 0 means overlapping clusters, negative s flags
+    points the next Lloyd round would move (`n_misassigned`).
+
+    Same deterministic 2-iteration Lloyd as ``cluster_kmeans_lloyd``
+    (seeded by vec_id < k, 6-dp fixed point), so the two queries audit the
+    SAME model. Scale: the all-centroid distance table is the broadcast
+    cross join k-means already builds; the rank window runs over k=8 rows
+    per vector — bounded by k, never by corpus size."""
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.operators.clustering import (
+        _sq_l2,
+        assign_clusters,
+        update_centroids,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    cent = update_centroids(assign_clusters(emb, cent))
+    j = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.round(_sq_l2("v", "c"), 6).alias("dist")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("dist", "cid")
+    )
+    ranked = j.withColumn("rn", rn).filter(F.col("rn") <= 2)
+    a = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cid", F.col("dist").alias("a_dist")
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("dist").alias("b_dist")
+    )
+    sil = a.join(b, "vec_id").withColumn(
+        "s",
+        (F.col("b_dist") - F.col("a_dist"))
+        / F.greatest("a_dist", "b_dist"),
+    )
+    return (
+        sil.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("s"), 4).alias("avg_silhouette"),
+            F.round(F.min("s"), 4).alias("min_silhouette"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_misassigned"),
+        )
+        .orderBy("cid")
+    )
