@@ -254,6 +254,7 @@ _DRIVER_DEFER = (
     "agg_grouping_sets_custom",
     "orders_abc_pareto",
     "cluster_silhouette_audit",
+    "simsearch_mmr_diversified",
 )
 
 

@@ -984,3 +984,144 @@ def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: same pool, same λ, same 6-dp rounding
+    and min-vec_id tiebreaks as the Spark plan."""
+    steps = []
+    sel_union = "SELECT vec_id, 1 AS pick FROM sel1"
+    for t in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, t)
+        )
+        steps.append(f"""
+        sel{t} AS (
+            SELECT p.vec_id FROM pool p
+            JOIN sims s ON s.ai = p.vec_id
+             AND s.bi IN ({prev})
+            WHERE p.vec_id NOT IN ({prev})
+            GROUP BY p.vec_id, p.rel
+            ORDER BY ROUND({_MMR_LAMBDA} * p.rel
+                           - {1 - _MMR_LAMBDA:.1f} * MAX(s.s), 6) DESC,
+                     p.vec_id ASC
+            LIMIT 1
+        )""")
+        sel_union += f" UNION ALL SELECT vec_id, {t} FROM sel{t}"
+    return f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+        WHERE vec_id = 0
+    ),
+    poolv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qvec FROM q)), 6) AS rel
+        FROM embeddings
+        ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_POOL}
+    ),
+    pool AS (SELECT vec_id, rel FROM poolv),
+    sims AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS s
+        FROM poolv a JOIN poolv b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+        SELECT vec_id FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),
+    {','.join(steps)},
+    selected AS ({sel_union})
+    SELECT CAST(s.pick AS BIGINT) AS pick,
+           s.vec_id AS vec_id,
+           p.rel AS relevance
+    FROM selected s JOIN pool p ON p.vec_id = s.vec_id
+    ORDER BY pick
+    """
+
+
+@register("simsearch_mmr_diversified", oracle=_mmr_oracle())
+def simsearch_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from the exact-cosine top-20 pool for the flagship query vector, greedily
+    pick 5 results maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    picked (λ=0.7) — the diversified-retrieval step a RAG stack runs so five
+    near-identical chunks don't fill the context window.
+
+    The greedy loop is 5 UNROLLED DataFrame steps over the persisted 20-row
+    pool + its 20×20 pairwise-sim table — no driver round-trip, one lazy
+    plan, exactly the k-means/PageRank fixed-iteration pattern. All sims
+    rounded 6 dp and ties broken by min vec_id, so the DuckDB twin replays
+    the identical greedy trajectory. At scale only the pool construction
+    (batch exact KNN / ANN) touches the corpus; MMR itself is O(pool²) on
+    broadcast-sized data regardless of corpus size."""
+    from pyspark import StorageLevel
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qvec"))
+    poolv = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(cosine_similarity("v", "qvec"), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pool = poolv.select("vec_id", "rel")
+    a, b = poolv.alias("a"), poolv.alias("b")
+    sims = a.join(
+        b, F.col("a.vec_id") != F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("ai"),
+        F.col("b.vec_id").alias("bi"),
+        F.round(cosine_similarity("a.v", "b.v"), 6).alias("s"),
+    )
+    selected = (
+        pool.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("vec_id", F.lit(1).alias("pick"))
+    )
+    for t in range(2, _MMR_K + 1):
+        cand = pool.join(selected.select("vec_id"), "vec_id", "left_anti")
+        maxsim = (
+            sims.join(
+                selected.select(F.col("vec_id").alias("bi")), "bi"
+            )
+            .groupBy("ai")
+            .agg(F.max("s").alias("ms"))
+        )
+        scored = cand.join(
+            maxsim, cand["vec_id"] == maxsim["ai"]
+        ).select(
+            "vec_id",
+            F.round(
+                F.lit(_MMR_LAMBDA) * F.col("rel")
+                - F.lit(round(1 - _MMR_LAMBDA, 1)) * F.col("ms"),
+                6,
+            ).alias("score"),
+        )
+        pick_t = (
+            scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select("vec_id", F.lit(t).alias("pick"))
+        )
+        selected = selected.unionAll(pick_t)
+    return (
+        selected.join(pool, "vec_id")
+        .select(
+            F.col("pick").cast("bigint").alias("pick"),
+            "vec_id",
+            F.col("rel").alias("relevance"),
+        )
+        .orderBy("pick")
+    )
