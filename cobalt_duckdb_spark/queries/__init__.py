@@ -255,6 +255,7 @@ _DRIVER_DEFER = (
     "orders_abc_pareto",
     "cluster_silhouette_audit",
     "simsearch_mmr_diversified",
+    "embedding_pca_power_iteration",
 )
 
 

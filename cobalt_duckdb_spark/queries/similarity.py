@@ -1125,3 +1125,149 @@ def simsearch_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pick")
     )
+
+
+_PCA_DIMS = 64
+_PCA_SQUARINGS = 6  # C^(2^6) = 64 effective power iterations
+
+
+def _pca_oracle() -> str:
+    """DuckDB twin of the repeated-squaring power method: same long-format
+    covariance, same per-squaring max-abs normalization + 9-dp rounding,
+    same final 6-dp direction rounding."""
+    parts = [
+        f"""long AS MATERIALIZED (
+            SELECT vec_id, i, CAST(embedding AS DOUBLE[])[CAST(i AS INT)] AS x
+            FROM embeddings CROSS JOIN range(1, {_PCA_DIMS + 1}) t(i)
+        )""",
+        """mu AS MATERIALIZED (SELECT i, AVG(x) AS m FROM long GROUP BY i)""",
+        """centered AS MATERIALIZED (
+            SELECT l.vec_id, l.i, l.x - mu.m AS c
+            FROM long l JOIN mu ON mu.i = l.i
+        )""",
+        """cov AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, AVG(a.c * b.c) AS val
+            FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        )""",
+        """m0 AS MATERIALIZED (
+            SELECT i, j,
+                   ROUND(val / (SELECT MAX(ABS(val)) FROM cov), 9) AS val
+            FROM cov
+        )""",
+    ]
+    for t in range(1, _PCA_SQUARINGS + 1):
+        parts.append(f"""sq{t} AS MATERIALIZED (
+            SELECT x.i AS i, y.j AS j, SUM(x.val * y.val) AS val
+            FROM m{t - 1} x JOIN m{t - 1} y ON x.j = y.i
+            GROUP BY x.i, y.j
+        ),
+        m{t} AS MATERIALIZED (
+            SELECT i, j,
+                   ROUND(val / (SELECT MAX(ABS(val)) FROM sq{t}), 9) AS val
+            FROM sq{t}
+        )""")
+    last = _PCA_SQUARINGS
+    return f"""
+    WITH {','.join(parts)},
+    vraw AS MATERIALIZED (SELECT i, SUM(val) AS y FROM m{last} GROUP BY i),
+    vnrm AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS nrm FROM vraw),
+    v AS MATERIALIZED (
+        SELECT i, ROUND(y / (SELECT nrm FROM vnrm), 6) AS val FROM vraw
+    ),
+    rayleigh AS MATERIALIZED (
+        SELECT SUM(va.val * c.val * vb.val) AS lam
+        FROM cov c
+        JOIN v va ON va.i = c.i
+        JOIN v vb ON vb.i = c.j
+    )
+    SELECT CAST(v.i - 1 AS BIGINT) AS dim,
+           v.val AS loading,
+           ROUND((SELECT lam FROM rayleigh), 4) AS eigenvalue
+    FROM v
+    ORDER BY dim
+    """
+
+
+@register("embedding_pca_power_iteration", oracle=_pca_oracle())
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the mean-centered embedding cloud — the
+    anisotropy audit behind "all-but-the-top" correction (Mu & Viswanath
+    2018): embedding models concentrate variance in a few directions and
+    serving pipelines subtract the dominant one before cosine.
+    `eigenvalue` = the Rayleigh quotient vᵀCv (variance captured).
+
+    Two-phase scale design:
+    1. ONE pass over the data builds the 64×64 covariance in long format —
+       d² mergeable partial sums keyed by (i, j); this is the only stage
+       that touches the corpus, and it runs identically over 1e9 vectors.
+    2. The power method then runs AGAINST C, not the data — and instead of
+       k sequential mat-vecs it uses REPEATED SQUARING: 6 matrix-squarings
+       give C^64 (64 effective iterations, enough for this near-flat
+       spectrum), each squaring an O(d³) join-aggregate over the tiny
+       broadcast-scale matrix. Per-squaring max-abs normalization keeps the
+       entries in [−1, 1] (C^64 alone would underflow at ~λ⁶⁴) and 9-dp
+       rounding is the cross-engine fixed point (k-means discipline), with
+       the final direction rounded at 6 dp."""
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d0", "x"
+        ),
+    ).select("vec_id", (F.col("d0") + 1).alias("i"), "x")
+    mu = long.groupBy("i").agg(F.avg("x").alias("m"))
+    centered = long.join(mu, "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("c")
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    cov = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.avg(F.col("a.c") * F.col("b.c")).alias("val"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _normalized(mat: DataFrame) -> DataFrame:
+        mx = mat.agg(F.max(F.abs(F.col("val"))).alias("mx"))
+        return mat.crossJoin(F.broadcast(mx)).select(
+            "i", "j", F.round(F.col("val") / F.col("mx"), 9).alias("val")
+        )
+
+    # Each squaring references m THREE times (both join sides + its max-abs
+    # normalizer); without lineage truncation the unrolled plan re-derives
+    # the base exponentially (3^6 ×). The matrix is d²=4096 rows, so an
+    # eager localCheckpoint per squaring is microscopic and keeps both the
+    # plan and the analysis time linear in the squaring count.
+    m = _normalized(cov).localCheckpoint(eager=True)
+    for _ in range(_PCA_SQUARINGS):
+        x, y = m.alias("x"), m.alias("y")
+        sq = (
+            x.join(y, F.col("x.j") == F.col("y.i"))
+            .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
+            .agg(F.sum(F.col("x.val") * F.col("y.val")).alias("val"))
+        )
+        m = _normalized(sq).localCheckpoint(eager=True)
+    vraw = m.groupBy("i").agg(F.sum("val").alias("y"))
+    vnrm = vraw.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+    v = vraw.crossJoin(F.broadcast(vnrm)).select(
+        "i", F.round(F.col("y") / F.col("nrm"), 6).alias("val")
+    )
+    va = v.select(F.col("i").alias("ri"), F.col("val").alias("va"))
+    vb = v.select(F.col("i").alias("rj"), F.col("val").alias("vb"))
+    rayleigh = (
+        cov.join(F.broadcast(va), F.col("i") == F.col("ri"))
+        .join(F.broadcast(vb), F.col("j") == F.col("rj"))
+        .agg(F.sum(F.col("va") * F.col("val") * F.col("vb")).alias("lam"))
+    )
+    return (
+        v.crossJoin(F.broadcast(rayleigh))
+        .select(
+            (F.col("i") - 1).cast("bigint").alias("dim"),
+            F.col("val").alias("loading"),
+            F.round("lam", 4).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
