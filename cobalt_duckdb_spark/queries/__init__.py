@@ -256,6 +256,8 @@ _DRIVER_DEFER = (
     "cluster_silhouette_audit",
     "simsearch_mmr_diversified",
     "embedding_pca_power_iteration",
+    "dq_column_profile",
+    "text_mojibake_screen",
 )
 
 

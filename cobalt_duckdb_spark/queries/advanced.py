@@ -1452,3 +1452,101 @@ def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p99") / F.col("med"), 6).alias("p99_over_median"),
         )
     )
+
+
+@register(
+    "dq_column_profile",
+    oracle="""
+    WITH profile AS (
+        SELECT 'o_orderkey' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+               COUNT(DISTINCT ROUND(o_totalprice, 2)),
+               CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+               CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    )
+    SELECT column_name, n_rows, n_nonnull,
+           ROUND(1.0 - n_nonnull * 1.0 / n_rows, 6) AS null_rate,
+           n_distinct,
+           ROUND(n_distinct * 1.0 / n_nonnull, 6) AS distinct_ratio,
+           min_value, max_value
+    FROM profile
+    ORDER BY column_name
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic per-column data profile in long format — the table-level
+    data card every ingestion job emits: null rate (completeness), distinct
+    count + distinct ratio (key-ness / cardinality class), and min/max as
+    strings (range sanity). The long format means downstream checks diff
+    profiles across loads without schema coupling.
+
+    ONE pass over the scan computes every per-column aggregate except the
+    exact distinct counts; Spark plans the multi-distinct via a single
+    Expand (one shuffle), not one scan per column. At 1e12 rows swap
+    `approx_count_distinct` in — same plan minus the Expand. min/max of
+    doubles round at 2 dp before the string cast so both engines print
+    identically."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, distinct_expr, minmax_expr):
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(col).cast("bigint").alias("n_nonnull"),
+            F.countDistinct(distinct_expr).cast("bigint").alias("n_distinct"),
+            F.min(minmax_expr).cast("string").alias("min_value"),
+            F.max(minmax_expr).cast("string").alias("max_value"),
+        )
+
+    price = F.round(F.col("o_totalprice"), 2)
+    parts = [
+        prof("o_orderkey", F.col("o_orderkey"), F.col("o_orderkey")),
+        prof("o_custkey", F.col("o_custkey"), F.col("o_custkey")),
+        prof("o_orderstatus", F.col("o_orderstatus"), F.col("o_orderstatus")),
+        prof("o_totalprice", price, price),
+        prof(
+            "o_orderpriority",
+            F.col("o_orderpriority"),
+            F.col("o_orderpriority"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "column_name",
+        "n_rows",
+        "n_nonnull",
+        F.round(1.0 - F.col("n_nonnull") / F.col("n_rows"), 6).alias(
+            "null_rate"
+        ),
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_nonnull"), 6).alias(
+            "distinct_ratio"
+        ),
+        "min_value",
+        "max_value",
+    ).orderBy("column_name")

@@ -1144,3 +1144,107 @@ def text_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_raw"),
         F.countDistinct(F.md5("s3")).cast("bigint").alias("distinct_normalized"),
     )
+
+
+@register(
+    "text_mojibake_screen",
+    oracle="""
+    WITH salted AS (
+        /* plant every noise class deterministically so the detectors are
+           provably exercised: U+FFFD replacement chars (doc_id%7=0),
+           a C0 control char (doc_id%11=0), and a 'Latin-1 read as UTF-8'
+           digraph (doc_id%13=0) */
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN repeat(chr(65533), CAST(doc_id % 3 + 1 AS INT))
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN chr(195) || chr(169) ELSE '' END AS s
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               length(s) - length(replace(s, chr(65533), ''))
+                   AS n_replacement,
+               length(s) - length(replace(s, chr(7), '')) AS n_control,
+               (length(s) - length(replace(s, chr(195) || chr(169), ''))) / 2
+                   AS n_mojibake
+        FROM salted
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_replacement + n_control + n_mojibake > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN n_replacement > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_replacement,
+           CAST(SUM(CASE WHEN n_control > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_control,
+           CAST(SUM(CASE WHEN n_mojibake > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_mojibake,
+           CAST(SUM(n_replacement) AS BIGINT) AS total_replacement_chars,
+           ROUND(SUM(CASE WHEN n_replacement + n_control + n_mojibake > 0
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS flagged_share
+    FROM counted
+    """,
+)
+def text_mojibake_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage screen — the quality gate that catches mojibake
+    BEFORE it poisons tokenizers: U+FFFD replacement characters (lossy
+    decode already happened), C0 control characters (binary bleed), and
+    the 'Ã©'-style digraph left by reading Latin-1 bytes as UTF-8. Since
+    the synthetic corpus is clean ASCII, each noise class is planted
+    deterministically by doc_id (the PII-redaction salting pattern), so
+    every detector fires on a known row set and the counts are exact.
+
+    Detection is replace-and-compare length arithmetic — identical
+    semantics in both engines (regex character-class dialects differ;
+    `replace` doesn't) and pure map-side codegen: zero shuffles before the
+    final single-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    repl = F.expr("chr(65533)")
+    bell = F.expr("chr(7)")
+    moji = F.expr("chr(195) || chr(169)")
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr("repeat(chr(65533), CAST(doc_id % 3 + 1 AS INT))"),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, bell).otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, moji).otherwise(""),
+    )
+    counted = d.select(
+        (F.length(s) - F.length(F.replace(s, repl, F.lit("")))).alias(
+            "n_replacement"
+        ),
+        (F.length(s) - F.length(F.replace(s, bell, F.lit("")))).alias(
+            "n_control"
+        ),
+        (
+            (F.length(s) - F.length(F.replace(s, moji, F.lit("")))) / 2
+        ).alias("n_mojibake"),
+    )
+    any_noise = (
+        F.col("n_replacement") + F.col("n_control") + F.col("n_mojibake") > 0
+    )
+    return counted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(any_noise, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("n_replacement") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_replacement"),
+        F.sum(F.when(F.col("n_control") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_control"),
+        F.sum(F.when(F.col("n_mojibake") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_mojibake"),
+        F.sum("n_replacement").cast("bigint").alias("total_replacement_chars"),
+        F.round(
+            F.sum(F.when(any_noise, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("flagged_share"),
+    )
