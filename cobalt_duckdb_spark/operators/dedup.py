@@ -1316,3 +1316,113 @@ def lsh_quality_audit_oracle_sql(threshold: float = 0.5, n: int = 3) -> str:
            ROUND(SUM(t * c) * 1.0 / SUM(t), 6) AS recall
     FROM merged
     """
+
+
+CDC_GRAM = 4  # rolling-hash window (tokens)
+CDC_MASK = 16  # breakpoint when hash % CDC_MASK == 0 → ~16-token chunks
+
+
+def cdc_chunks(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking: split every document at positions where
+    the rolling 4-token-gram hash ≡ 0 (mod 16) — boundaries are a function
+    of LOCAL content, so an insertion early in a document shifts only the
+    chunk it lands in, while fixed-width windows shift every later chunk
+    (the Rabin/rsync/LBFS principle, applied at token granularity). The
+    chunk fingerprint table is the storage-dedup primitive: shared
+    boilerplate collapses to shared fingerprints regardless of position.
+
+    Returns (id, chunk_id, n_tokens, fingerprint). One doc-keyed shuffle
+    serves tokenize + rolling hash + running-sum chunk assignment (same
+    window partitioning), then chunk texts aggregate on (id, chunk_id) —
+    already co-partitioned, no extra exchange."""
+    from pyspark.sql import Window
+
+    toks = fan_out(docs, by=id_col).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", i).over(w) for i in range(1, CDC_GRAM)],
+    )
+    has_full = F.lead("tok", CDC_GRAM - 1).over(w).isNotNull()
+    hashed = toks.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.when(
+            (F.col("pos") > 0)
+            & has_full
+            & (token_hash(gram) % CDC_MASK == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    chunked = hashed.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
+    )
+
+
+def cdc_oracle_cte() -> str:
+    """DuckDB CTEs reproducing cdc_chunks → ``chunks(doc_id, chunk_id,
+    n_tokens, fingerprint)``. Grams index the token list directly — no
+    correlated subquery."""
+    tok = TOKEN_HASH_SQL_DUCKDB.format(col="gram")
+    return f"""
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, s[CAST(i AS INT)] AS tok,
+               CASE WHEN i > 1 AND i + {CDC_GRAM - 1} <= len(s)
+                    THEN s[CAST(i + 0 AS INT)] || ' ' || s[CAST(i + 1 AS INT)] || ' ' || s[CAST(i + 2 AS INT)] || ' ' || s[CAST(i + 3 AS INT)]
+               END AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        CROSS JOIN range(1, 100000) t(i)
+        WHERE i <= len(s)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN gram IS NOT NULL AND {tok} % {CDC_MASK} = 0
+                    THEN 1 ELSE 0 END AS brk
+        FROM toks
+    ),
+    assigned AS (
+        SELECT doc_id, pos, tok,
+               SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS chunk_id
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS fingerprint
+        FROM assigned
+        GROUP BY doc_id, chunk_id
+    )"""

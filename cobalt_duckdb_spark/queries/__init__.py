@@ -258,6 +258,7 @@ _DRIVER_DEFER = (
     "embedding_pca_power_iteration",
     "dq_column_profile",
     "text_mojibake_screen",
+    "dedup_cdc_chunk_report",
 )
 
 

@@ -745,3 +745,65 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth (τ=0.5) — the (bands, rows) tuning audit. See
     ``operators.dedup.lsh_quality_audit``."""
     return D.lsh_quality_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _cdc_oracle() -> str:
+    return f"""
+    WITH {D.cdc_oracle_cte()},
+    fp AS (
+        SELECT fingerprint,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occ
+        FROM chunks GROUP BY fingerprint
+    )
+    SELECT CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_fp,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_fp,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
+               AS shared_occurrences,
+           ROUND((SELECT AVG(n_tokens) FROM chunks), 4) AS avg_chunk_tokens,
+           CAST((SELECT MAX(n_tokens) FROM chunks) AS BIGINT)
+               AS max_chunk_tokens
+    FROM fp
+    """
+
+
+@register("dedup_cdc_chunk_report", oracle=_cdc_oracle())
+def dedup_cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report: rolling-hash chunk
+    boundaries (``operators.dedup.cdc_chunks``), then the fingerprint
+    redundancy profile — how many chunks exist, how many are distinct, and
+    how many fingerprints recur across documents (position-independent
+    shared boilerplate). The CDC complement to the fixed-stride
+    ``text_chunk_sliding_windows`` and span-level ``dedup_shared_span_report``."""
+    chunks = D.cdc_chunks(load_table(spark, sf_dir, "documents"))
+    from pyspark import StorageLevel
+
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = chunks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_chunk_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_chunk_tokens"),
+    )
+    fp = chunks.groupBy("fingerprint").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    fpagg = fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_fp"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_fp"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("n_occ")).otherwise(0))
+        .cast("bigint")
+        .alias("shared_occurrences"),
+    )
+    return totals.crossJoin(F.broadcast(fpagg)).select(
+        "n_chunks",
+        "n_distinct_fp",
+        "n_shared_fp",
+        "shared_occurrences",
+        "avg_chunk_tokens",
+        "max_chunk_tokens",
+    )

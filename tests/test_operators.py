@@ -853,3 +853,28 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     assert lam <= top_val * 1.001
     assert abs(float(v @ top_vec)) > 0.5
     assert lam > 1.5 * w.mean()
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    """The CDC property: prepending one token re-chunks only the prefix —
+    most fingerprints survive, while fixed-stride windows would shift every
+    chunk. Also pins exact reassembly: per-doc token counts sum to the
+    doc's length."""
+    from cobalt_duckdb_spark.operators.dedup import cdc_chunks
+
+    words = [f"w{i * 37 % 101}" for i in range(400)]
+    base = " ".join(words)
+    shifted = "zzz " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(df).collect()
+    by_doc = {1: [], 2: []}
+    for r in chunks:
+        by_doc[r["doc_id"]].append(r)
+    assert sum(r["n_tokens"] for r in by_doc[1]) == 400
+    assert sum(r["n_tokens"] for r in by_doc[2]) == 401
+    fp1 = {r["fingerprint"] for r in by_doc[1]}
+    fp2 = {r["fingerprint"] for r in by_doc[2]}
+    shared = len(fp1 & fp2)
+    assert shared >= 0.7 * len(fp1), (shared, len(fp1), len(fp2))
