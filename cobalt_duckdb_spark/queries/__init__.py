@@ -259,6 +259,7 @@ _DRIVER_DEFER = (
     "dq_column_profile",
     "text_mojibake_screen",
     "dedup_cdc_chunk_report",
+    "simsearch_recall_nprobe_curve",
 )
 
 

@@ -1271,3 +1271,218 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("dim")
     )
+
+
+_RC_K = 5
+_RC_NPROBES = (1, 2, 4)
+_RC_CELLS = 16
+
+
+def _recall_curve_oracle() -> str:
+    np_values = ", ".join(f"({n})" for n in _RC_NPROBES)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT {_RC_CELLS}
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv),
+                                c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    probes AS (
+        SELECT query_id, qv, cell, pr FROM (
+            SELECT q.query_id, q.qv, c.centroid_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY 1.0 - list_cosine_similarity(q.qv, c.cv),
+                                c.centroid_id) AS pr
+            FROM q CROSS JOIN centroids c
+        ) WHERE pr <= {max(_RC_NPROBES)}
+    ),
+    nps(np) AS (VALUES {np_values}),
+    cand AS MATERIALIZED (
+        SELECT n.np, p.query_id, a.vec_id,
+               ROUND(1.0 - list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), p.qv), 6) AS d
+        FROM nps n
+        JOIN probes p ON p.pr <= n.np
+        JOIN assigned a ON a.cell = p.cell
+    ),
+    ivf_top AS (
+        SELECT np, query_id, vec_id FROM (
+            SELECT np, query_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY np, query_id ORDER BY d, vec_id) AS rn
+            FROM cand
+        ) WHERE rn <= {_RC_K}
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(1.0 - list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), q.qv), 6),
+                                e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q
+        ) WHERE rn <= {_RC_K}
+    ),
+    hits AS (
+        SELECT i.np, i.query_id, COUNT(x.vec_id) AS n_hit
+        FROM ivf_top i
+        LEFT JOIN exact_top x
+          ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+        GROUP BY i.np, i.query_id
+    ),
+    scanned AS (
+        SELECT np, query_id, COUNT(*) AS n_scanned
+        FROM cand GROUP BY np, query_id
+    ),
+    n_total AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT h.np AS nprobe,
+           ROUND(AVG(h.n_hit * 1.0 / {_RC_K}), 4) AS avg_recall_at_{_RC_K},
+           ROUND(AVG(s.n_scanned * 1.0 / (SELECT n FROM n_total)), 4)
+               AS avg_scanned_share
+    FROM hits h JOIN scanned s
+      ON s.np = h.np AND s.query_id = h.query_id
+    GROUP BY h.np
+    ORDER BY nprobe
+    """
+
+
+@register("simsearch_recall_nprobe_curve", oracle=_recall_curve_oracle())
+def simsearch_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@5 vs fraction-of-corpus-scanned for
+    nprobe ∈ {1, 2, 4} against ground-truth exact KNN — the
+    accuracy/cost frontier read before freezing an index parameter (recall
+    rises with nprobe exactly as scanned share does; the knee is the
+    setting you ship). Same 16-cell IVF geometry as ``simsearch_ivf_topk``.
+
+    ONE plan serves every nprobe: candidates materialize once per (nprobe,
+    query) via a 3-row nprobe table joined to the ≤4 probe cells — no
+    per-setting re-run, and the only corpus-wide stages (assignment, exact
+    ground truth) are computed once and shared."""
+    from pyspark.sql import Window
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(_RC_CELLS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    e, c = emb.alias("e"), cent.alias("c")
+    arn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("cd", "centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            cosine_distance("v", "cv").alias("cd"),
+        )
+        .withColumn("rn", arn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    prn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("cd", "centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine_distance("qv", "cv").alias("cd"),
+        )
+        .withColumn("pr", prn)
+        .filter(F.col("pr") <= max(_RC_NPROBES))
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"), "pr")
+    )
+    nps = spark.createDataFrame([(n,) for n in _RC_NPROBES], "np int")
+    cand = (
+        F.broadcast(nps)
+        .join(probes, F.col("pr") <= F.col("np"))
+        .join(assigned, "cell")
+        .select(
+            "np",
+            "query_id",
+            "vec_id",
+            F.round(cosine_distance("v", "qv"), 6).alias("d"),
+        )
+    )
+    ivf_top = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("np", "query_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _RC_K)
+        .select("np", "query_id", "vec_id")
+    )
+    exact_top = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_distance("v", "qv"), 6).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _RC_K)
+        .select("query_id", F.col("vec_id").alias("x_vec_id"))
+    )
+    hits = (
+        ivf_top.join(
+            exact_top,
+            (ivf_top["query_id"] == exact_top["query_id"])
+            & (ivf_top["vec_id"] == exact_top["x_vec_id"]),
+            "left",
+        )
+        .groupBy(ivf_top["np"].alias("np"), ivf_top["query_id"].alias("qid"))
+        .agg(F.count("x_vec_id").alias("n_hit"))
+    )
+    scanned = cand.groupBy(
+        F.col("np").alias("s_np"), F.col("query_id").alias("s_qid")
+    ).agg(F.count(F.lit(1)).alias("n_scanned"))
+    n_total = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hits.join(
+            scanned,
+            (F.col("np") == F.col("s_np")) & (F.col("qid") == F.col("s_qid")),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .groupBy(F.col("np").alias("nprobe"))
+        .agg(
+            F.round(F.avg(F.col("n_hit") / _RC_K), 4).alias(
+                f"avg_recall_at_{_RC_K}"
+            ),
+            F.round(F.avg(F.col("n_scanned") / F.col("n")), 4).alias(
+                "avg_scanned_share"
+            ),
+        )
+        .orderBy("nprobe")
+    )
