@@ -260,6 +260,9 @@ _DRIVER_DEFER = (
     "text_mojibake_screen",
     "dedup_cdc_chunk_report",
     "simsearch_recall_nprobe_curve",
+    "sql_api_pipe_syntax",
+    "events_survival_km",
+    "window_distinct_trailing",
 )
 
 

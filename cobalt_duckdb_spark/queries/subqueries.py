@@ -207,3 +207,40 @@ def sql_api_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFram
     SQL directly."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "sql_api_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the same priority revenue rollup
+    written as a linear FROM → WHERE → AGGREGATE → WHERE(having) → ORDER
+    pipeline — each operator consumes the previous result in reading
+    order, so porting a DataFrame chain to SQL no longer inverts the query
+    inside-out. The oracle is the ANSI form: identical semantics, two
+    surfaces. Catalyst plans both to the same scan+filter+aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue,
+                     ROUND(AVG(o_totalprice), 4) AS avg_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, revenue, avg_price
+        |> ORDER BY o_orderpriority
+        """
+    )

@@ -1111,3 +1111,167 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH obs_end AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS t_end FROM events
+    ),
+    signups AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    purchases AS (
+        SELECT s.user_id,
+               MIN(CAST(e.ts AS TIMESTAMP)) AS t1
+        FROM signups s JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND CAST(e.ts AS TIMESTAMP) > s.t0
+        GROUP BY s.user_id
+    ),
+    durations AS (
+        SELECT s.user_id,
+               CASE WHEN p.t1 IS NOT NULL
+                    THEN date_diff('microsecond', s.t0, p.t1) // 3600000000
+                    ELSE date_diff('microsecond', s.t0,
+                                   (SELECT t_end FROM obs_end)) // 3600000000
+               END AS dur_h,
+               CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM signups s LEFT JOIN purchases p ON p.user_id = s.user_id
+    ),
+    grouped AS (
+        SELECT dur_h,
+               CAST(SUM(is_event) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS total_here
+        FROM durations GROUP BY dur_h
+    ),
+    risk AS (
+        SELECT dur_h, d,
+               (SELECT COUNT(*) FROM durations)
+               - COALESCE(SUM(total_here) OVER (
+                     ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_risk
+        FROM grouped
+    ),
+    km AS (
+        SELECT dur_h, d, n_risk,
+               EXP(SUM(LN(GREATEST(1.0 - d * 1.0 / n_risk, 1e-300))) OVER (
+                   ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS s
+        FROM risk
+    )
+    SELECT CAST(dur_h AS BIGINT) AS t_hours,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS d_events,
+           ROUND(s, 6) AS survival
+    FROM km WHERE d > 0
+    ORDER BY t_hours
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup → first-purchase conversion
+    with RIGHT CENSORING: users who never purchased contribute their
+    observed time-at-risk (until corpus end) to the risk sets instead of
+    being dropped — the estimator funnels/medians get wrong by ignoring
+    open-ended users (a plain conversion rate understates late converters).
+    S(t) = Π over event times ≤ t of (1 − dᵢ/nᵢ); the cumulative product
+    runs as exp(Σ ln(·)) so it's a window SUM.
+
+    Scale shape: the per-user duration table is two grouped MINs + a left
+    join; everything after collapses to one row per distinct duration hour
+    (bounded by the observation span, not by users), so the unpartitioned
+    KM windows run over that tiny frame — same aggregated-series argument
+    as the ACF query."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    obs_end = e.agg(F.max("ts").alias("t_end"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    purchases = (
+        signups.join(p, "user_id")
+        .filter(F.col("pts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t1"))
+    )
+    durations = (
+        signups.join(purchases, "user_id", "left")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            "user_id",
+            # full elapsed hours via micros floor-div: Spark's
+            # timestampdiff(HOUR) floors while DuckDB's date_diff('hour')
+            # counts boundary crossings — micros agree exactly
+            F.when(
+                F.col("t1").isNotNull(),
+                F.expr(
+                    "timestampdiff(MICROSECOND, t0, t1) div 3600000000"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "timestampdiff(MICROSECOND, t0, t_end) div 3600000000"
+                )
+            )
+            .alias("dur_h"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("is_event"),
+        )
+    )
+    grouped = durations.groupBy("dur_h").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("total_here"),
+    )
+    n_total = durations.agg(F.count(F.lit(1)).alias("n_tot"))
+    w = Window.orderBy("dur_h")
+    risk = (
+        grouped.crossJoin(F.broadcast(n_total))
+        .select(
+            "dur_h",
+            "d",
+            (
+                F.col("n_tot")
+                - F.coalesce(
+                    F.sum("total_here").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+        )
+    )
+    km = risk.select(
+        "dur_h",
+        "d",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        1.0 - F.col("d") / F.col("n_risk"), F.lit(1e-300)
+                    )
+                )
+            ).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("s"),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("dur_h").cast("bigint").alias("t_hours"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("d_events"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("t_hours")
+    )

@@ -249,3 +249,50 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_day"
         ),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "window_distinct_trailing",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           CAST(len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ))) AS BIGINT) AS distinct_types_last10
+    FROM events WHERE user_id < 15
+    ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id
+    """,
+)
+def window_distinct_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a sliding frame — behavioral-diversity-as-you-go
+    (how many distinct event types in a user's last 10 actions; the bot
+    heuristic's streaming-ish cousin). Neither engine supports DISTINCT
+    aggregates as windows, so both collect the bounded 10-element frame and
+    deduplicate it: `collect_list` → `array_distinct` → `size`. Frame-bound
+    discipline: per-row state is capped at 10 elements, so the window's
+    memory is O(frame), never O(history) — the same contract as the EWMA
+    and rolling-median folds."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 15)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+            .cast("bigint")
+            .alias("distinct_types_last10"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
