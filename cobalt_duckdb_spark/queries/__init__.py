@@ -263,6 +263,8 @@ _DRIVER_DEFER = (
     "sql_api_pipe_syntax",
     "events_survival_km",
     "window_distinct_trailing",
+    "events_markov_stationary",
+    "graph_link_prediction_jaccard",
 )
 
 

@@ -999,3 +999,91 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_MKV_SQUARINGS = 5  # P^(2^5) = 32-step chain — ample mixing for 5 states
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    p0 AS MATERIALIZED (
+        SELECT event_type AS i, next_type AS j,
+               ROUND(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY event_type), 9) AS p
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    {','.join(
+        f'''p{t} AS MATERIALIZED (
+        SELECT x.i AS i, y.j AS j, ROUND(SUM(x.p * y.p), 9) AS p
+        FROM p{t - 1} x JOIN p{t - 1} y ON x.j = y.i
+        GROUP BY x.i, y.j
+    )''' for t in range(1, _MKV_SQUARINGS + 1)
+    )},
+    pi_raw AS (
+        SELECT j AS event_type, AVG(p) AS pi
+        FROM p{_MKV_SQUARINGS} GROUP BY j
+    ),
+    norm AS (SELECT SUM(pi) AS z FROM pi_raw)
+    SELECT event_type,
+           ROUND(pi / (SELECT z FROM norm), 6) AS stationary_p
+    FROM pi_raw
+    ORDER BY event_type
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the session Markov chain — where user
+    journeys spend their time in the long run (the equilibrium complement
+    of `events_transition_matrix`'s one-step view and the PageRank query's
+    damped variant). π is read off P^32: five squarings of the |types|²
+    long-format matrix (repeated-squaring pattern shared with the PCA
+    query), then a uniform-start row average and renormalization. 9-dp
+    rounding per squaring is the cross-engine fixed point.
+
+    Scale: the only corpus-wide work is the sequence window's user_id
+    shuffle; every squaring is a join-aggregate over ≤|types|² rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("i"), F.col("next_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = Window.partitionBy("i")
+    p = pairs.select(
+        "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
+    ).localCheckpoint(eager=True)
+    for _ in range(_MKV_SQUARINGS):
+        x, y = p.alias("x"), p.alias("y")
+        p = (
+            x.join(y, F.col("x.j") == F.col("y.i"))
+            .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
+            .agg(F.round(F.sum(F.col("x.p") * F.col("y.p")), 9).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    pi_raw = p.groupBy(F.col("j").alias("event_type")).agg(
+        F.avg("p").alias("pi")
+    )
+    z = pi_raw.agg(F.sum("pi").alias("z"))
+    return (
+        pi_raw.crossJoin(F.broadcast(z))
+        .select(
+            "event_type",
+            F.round(F.col("pi") / F.col("z"), 6).alias("stationary_p"),
+        )
+        .orderBy("event_type")
+    )

@@ -274,3 +274,109 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_nodes") >= 2)
         .orderBy(F.col("n_nodes").desc(), "community")
     )
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= {_LPA_MIN_W}
+    ),
+    adj AS MATERIALIZED (
+        SELECT pa AS node, pb AS nb FROM edges
+        UNION ALL SELECT pb, pa FROM edges
+    ),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    wedge AS (
+        SELECT a.node AS u, b.node AS v, COUNT(*) AS common
+        FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+        GROUP BY a.node, b.node
+    ),
+    cand AS (
+        SELECT w.u, w.v, w.common
+        FROM wedge w
+        LEFT JOIN edges e ON e.pa = w.u AND e.pb = w.v
+        WHERE e.pa IS NULL
+    )
+    SELECT c.u AS part_a, c.v AS part_b,
+           CAST(c.common AS BIGINT) AS common_neighbors,
+           ROUND(c.common * 1.0 / (da.d + db.d - c.common), 6)
+               AS neighbor_jaccard
+    FROM cand c
+    JOIN deg da ON da.node = c.u
+    JOIN deg db ON db.node = c.v
+    ORDER BY neighbor_jaccard DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for NON-adjacent part
+    pairs, score by neighbor-set Jaccard (common neighbors / union of
+    neighborhoods) — the classic "you may also like" / missing-edge
+    heuristic (Liben-Nowell & Kleinberg 2003). Top 20 predicted links.
+
+    Plan: adjacency mirrored from the weight-≥2 edge set shared with the
+    LPA/triangle queries; common-neighbor counts come from ONE wedge join
+    (adj ⋈ adj on the shared neighbor, u < v dedup), existing edges drop
+    out via a null-rejecting left join, degrees broadcast back. Wedge
+    fan-out is the skew to watch at scale — cap or sample super-node
+    neighborhoods (the √(2|E|) orientation bound from the triangle query
+    applies the same way)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb"))
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _LPA_MIN_W)
+        .select("pa", "pb")
+        .persist()
+    )
+    adj = edges.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nb")
+    ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nb")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.nb") == F.col("b.nb"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        edges,
+        (F.col("u") == F.col("pa")) & (F.col("v") == F.col("pb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+        .orderBy(
+            F.col("neighbor_jaccard").desc(), "part_a", "part_b"
+        )
+        .limit(20)
+    )
