@@ -230,12 +230,23 @@ def label_propagation(
     rounds exactly as :func:`connected_components` does."""
     from pyspark.sql import Window
 
-    bidir = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w).alias("wt")
-    ).unionAll(
+    from pyspark import StorageLevel
+
+    # the edge list is consumed once per round (and often derives from an
+    # expensive self-join) — materialize it, and truncate the label
+    # lineage each round so round t doesn't re-derive rounds 1..t-1
+    bidir = (
         edges.select(
-            F.col(dst).alias("u"), F.col(src).alias("v"), F.col(w).alias("wt")
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w).alias("wt")
         )
+        .unionAll(
+            edges.select(
+                F.col(dst).alias("u"),
+                F.col(src).alias("v"),
+                F.col(w).alias("wt"),
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         bidir.select(F.col("u").alias("node")).distinct().select(
@@ -256,6 +267,7 @@ def label_propagation(
         labels = (
             scored.withColumn("rn", rn).filter(F.col("rn") == 1)
             .select("node", "label")
+            .localCheckpoint(eager=False)
         )
     return labels
 

