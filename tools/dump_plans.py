@@ -141,6 +141,28 @@ SHOWCASE = {
         "SortMergeJoin over |days×types| rows of partials — history is "
         "never re-scanned, which is the entire point at 100 TB."
     ),
+    "embedding_pca_power_iteration": (
+        "Spectral audit, two-phase. Things to see: the ONLY corpus-wide "
+        "stage is the covariance build (posexplode self-join partial-"
+        "aggregating into d^2=4096 (i,j) sums); everything after reads "
+        "Scan ExistingRDD — the localCheckpoint boundary per matrix "
+        "squaring, which keeps the 6-squaring unrolled plan linear "
+        "instead of 3^6 re-derivations. C^64 convergence without a "
+        "spectral gap, data touched once."
+    ),
+    "dedup_cdc_chunk_report": (
+        "Content-defined chunking. Things to see: tokenize (posexplode), "
+        "the rolling 4-gram lead windows, and the running-sum chunk "
+        "assignment all share ONE Exchange on doc_id (one sort serves "
+        "three window frames); the chunk aggregate is co-partitioned — "
+        "no second shuffle until the tiny fingerprint rollup."
+    ),
+    "simsearch_recall_nprobe_curve": (
+        "Index-tuning audit. Things to see: cell assignment and exact "
+        "ground truth each computed ONCE (shared subplans), with the "
+        "nprobe axis joined in as a 3-row BroadcastExchange — the curve "
+        "costs one pass plus candidate scoring, not |settings| re-runs."
+    ),
 }
 
 
