@@ -265,6 +265,7 @@ _DRIVER_DEFER = (
     "window_distinct_trailing",
     "events_markov_stationary",
     "graph_link_prediction_jaccard",
+    "join_asof_tolerance_click_before_error",
 )
 
 

@@ -411,3 +411,79 @@ def join_range_bucketed_incidents(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("incident_id")
     )
+
+
+@register(
+    "join_asof_tolerance_click_before_error",
+    oracle="""
+    WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           MAX(event_id) AS click_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+         matched AS (
+             SELECT e.event_id, e.user_id, e.ts,
+                    c.click_id, c.ts AS click_ts
+             FROM errors e
+             ASOF LEFT JOIN clicks c
+               ON e.user_id = c.user_id AND e.ts >= c.ts
+         )
+    SELECT event_id, user_id, ts,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('microsecond', click_ts, ts) <= 600000000
+                THEN click_id END AS asof_click_id,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('microsecond', click_ts, ts) <= 600000000
+                THEN click_ts END AS asof_click_ts,
+           (click_ts IS NOT NULL
+            AND date_diff('microsecond', click_ts, ts) > 600000000)
+               AS dropped_by_tolerance
+    FROM matched
+    ORDER BY event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (pandas ``merge_asof(tolerance=...)``):
+    the most recent click before each error counts only if it is within 10
+    minutes — a stale last-click is attribution noise, not a cause. The
+    tolerance is a POST-FILTER on the standard as-of match (null out, keep
+    the left row): the window machinery is unchanged, so this composes
+    with the skew-bucketed variant too. `dropped_by_tolerance` makes the
+    difference to the plain as-of auditable."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["click_id", "click_ts"],
+    )
+    within = F.col("asof_click_ts").isNotNull() & (
+        F.expr("timestampdiff(MICROSECOND, asof_click_ts, ts)")
+        <= 600_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("asof_click_id")).alias("asof_click_id"),
+        F.when(within, F.col("asof_click_ts")).alias("asof_click_ts"),
+        (
+            F.col("asof_click_ts").isNotNull()
+            & (
+                F.expr("timestampdiff(MICROSECOND, asof_click_ts, ts)")
+                > 600_000_000
+            )
+        ).alias("dropped_by_tolerance"),
+    ).orderBy("event_id")
