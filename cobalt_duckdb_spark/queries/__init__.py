@@ -266,6 +266,7 @@ _DRIVER_DEFER = (
     "events_markov_stationary",
     "graph_link_prediction_jaccard",
     "join_asof_tolerance_click_before_error",
+    "multimodal_crossmodal_stub_topk",
 )
 
 

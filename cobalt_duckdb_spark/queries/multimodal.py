@@ -113,3 +113,106 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.col("byte_offset").cast("bigint").alias("byte_offset"))
         .orderBy("media_id", "byte_offset")
     )
+
+
+def _md5_vec_sql(expr: str) -> str:
+    """8-dim deterministic 'embedding' from an md5 hex digest (DuckDB)."""
+    comps = ", ".join(
+        f"(('0x' || substr(md5({expr}), {2 * i + 1}, 2))::BIGINT) / 255.0"
+        for i in range(8)
+    )
+    return f"[{comps}]"
+
+
+@register(
+    "multimodal_crossmodal_stub_topk",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST({_md5_vec_sql('text')} AS DOUBLE[]) AS mvec
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id AS query_id,
+               CAST({_md5_vec_sql("'query:' || text")} AS DOUBLE[]) AS qvec
+        FROM documents WHERE doc_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, m.media_id, m.kind,
+               ROUND(list_cosine_similarity(m.mvec, q.qvec), 6) AS score
+        FROM media m CROSS JOIN q
+        WHERE m.kind = 'image'
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, media_id,
+           score
+    FROM (
+        SELECT query_id, media_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, media_id
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def multimodal_crossmodal_stub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval plumbing: text queries against an IMAGE
+    embedding index — the CLIP-retrieval shape (encode each modality into
+    a shared vector space, cosine top-k across modalities, modality filter
+    pushed BEFORE any distance work). The encoders here are deterministic
+    md5-derived 8-dim stubs so the full distributed pipeline — per-modality
+    encode, broadcast query batch, filtered scan, per-query top-k — is
+    differentially testable end-to-end; swapping the stub for a real CLIP
+    model is exactly the `make_embedder_udf` pattern (lazy per-executor
+    singleton), changing no plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def md5_vec(col):
+        h = F.md5(col)
+        return F.array(
+            *[
+                (
+                    F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast(
+                        "double"
+                    )
+                    / 255.0
+                )
+                for i in range(8)
+            ]
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        md5_vec(F.col("text")).alias("mvec"),
+    ).filter(F.col("kind") == "image")
+    q = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("query_id"),
+        md5_vec(F.concat(F.lit("query:"), F.col("text"))).alias("qvec"),
+    )
+    from pyspark.sql import Window
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    scored = media.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "media_id",
+        F.round(cosine_similarity("mvec", "qvec"), 6).alias("score"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("media_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                "media_id", "score")
+        .orderBy("query_id", "rank")
+    )
