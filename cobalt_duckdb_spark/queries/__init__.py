@@ -267,6 +267,7 @@ _DRIVER_DEFER = (
     "graph_link_prediction_jaccard",
     "join_asof_tolerance_click_before_error",
     "multimodal_crossmodal_stub_topk",
+    "udtf_table_argument_sessions",
 )
 
 

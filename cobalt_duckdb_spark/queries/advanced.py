@@ -1550,3 +1550,85 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("column_name")
+
+
+@register(
+    "udtf_table_argument_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events WHERE user_id < 25
+    ),
+    marked AS (
+        SELECT user_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_start) AS BIGINT) AS n_sessions
+    FROM marked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def udtf_table_argument_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a partitioned TABLE ARGUMENT:
+    ``session_counter(TABLE(events) PARTITION BY user_id ORDER BY ts)`` —
+    the engine feeds each partition's rows to one UDTF instance IN ORDER
+    and calls ``terminate()`` at partition end. This is the third UDTF
+    surface next to fixed-schema (`udtf_sentence_split`) and polymorphic
+    (`udtf_polymorphic_windows`): the table-valued shape that subsumes
+    hand-rolled applyInPandas for sequential per-key logic, with the
+    30-minute session-gap recurrence as the workload (oracle = the window
+    twin from `events_sessionization`).
+
+    Scale: PARTITION BY is a real exchange on user_id, ORDER BY a
+    per-partition sort — exactly the one shuffle the window form uses; the
+    UDTF runs Arrow-batched per partition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, n_events bigint, n_sessions bigint",
+        useArrow=True,
+    )
+    class SessionCounter:
+        def __init__(self):
+            self.user_id = None
+            self.n = 0
+            self.sessions = 0
+            self.prev = None
+
+        def eval(self, row):
+            self.user_id = row["user_id"]
+            ts = row["ts"]
+            self.n += 1
+            if self.prev is None or (
+                (ts - self.prev).total_seconds() > 1800
+            ):
+                self.sessions += 1
+            self.prev = ts
+
+        def terminate(self):
+            if self.user_id is not None:
+                yield (self.user_id, self.n, self.sessions)
+
+    spark.udtf.register("session_counter", SessionCounter)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    e.select("user_id", "ts", "event_id").createOrReplaceTempView(
+        "ta_events"
+    )
+    return spark.sql(
+        """
+        SELECT user_id, n_events, n_sessions
+        FROM session_counter(
+            TABLE(ta_events) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id
+        """
+    )
