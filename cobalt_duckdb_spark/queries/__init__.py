@@ -268,6 +268,8 @@ _DRIVER_DEFER = (
     "join_asof_tolerance_click_before_error",
     "multimodal_crossmodal_stub_topk",
     "udtf_table_argument_sessions",
+    "text_bpe_merge_rounds",
+    "stats_ab_test_welch",
 )
 
 

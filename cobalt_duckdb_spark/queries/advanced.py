@@ -1632,3 +1632,118 @@ def udtf_table_argument_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "stats_ab_test_welch",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS mean,
+               var_samp(value) AS var
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            (SELECT n FROM arms WHERE arm = 'A') AS n_a,
+            (SELECT n FROM arms WHERE arm = 'B') AS n_b,
+            (SELECT mean FROM arms WHERE arm = 'A') AS mean_a,
+            (SELECT mean FROM arms WHERE arm = 'B') AS mean_b,
+            (SELECT var FROM arms WHERE arm = 'A') AS var_a,
+            (SELECT var FROM arms WHERE arm = 'B') AS var_b
+    )
+    SELECT n_a, n_b,
+           ROUND(mean_a, 4) AS mean_a,
+           ROUND(mean_b, 4) AS mean_b,
+           ROUND(mean_a - mean_b, 4) AS diff,
+           ROUND((mean_a - mean_b)
+                 / SQRT(var_a / n_a + var_b / n_b), 4) AS welch_t,
+           ROUND(POW(var_a / n_a + var_b / n_b, 2)
+                 / (POW(var_a / n_a, 2) / (n_a - 1)
+                    + POW(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df,
+           ROUND((mean_a - mean_b)
+                 / SQRT(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                        / (n_a + n_b - 2)), 4) AS cohens_d
+    FROM wide
+    """,
+)
+def stats_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test analysis with DETERMINISTIC hash assignment: users split
+    into arms by id-hash parity (the same salted-hash discipline as the
+    train/test splitter — reproducible across engines, runs, and re-scans,
+    which per-row RNG is not), then Welch's t statistic on purchase value
+    with the Satterthwaite degrees of freedom and Cohen's d effect size.
+    Since arms are hash-random, the true effect is 0 — the query IS the
+    A/A calibration run experimenters use to validate their pipeline (a
+    |t| ≫ 2 here would mean broken bucketing or leaked correlation).
+
+    Scale: one filtered scan → two-group aggregate (mergeable moments);
+    everything after is arithmetic on a 2-row frame."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    arms = (
+        e.select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(F.col("mean_a") - F.col("mean_b"), 4).alias("diff"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 4
+        ).alias("welch_t"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("var_b") / F.col("n_b"), 2)
+                / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(
+                (
+                    (F.col("n_a") - 1) * F.col("var_a")
+                    + (F.col("n_b") - 1) * F.col("var_b")
+                )
+                / (F.col("n_a") + F.col("n_b") - 2)
+            ),
+            4,
+        ).alias("cohens_d"),
+    )

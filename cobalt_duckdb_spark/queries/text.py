@@ -1248,3 +1248,138 @@ def text_mojibake_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(any_noise, 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("flagged_share"),
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_rounds_oracle() -> str:
+    """Unrolled 3-round BPE in DuckDB: char-spaced word representation,
+    adjacent-pair counts weighted by word freq, lexicographic tie-break,
+    double-pass replace (both engines use the same two-pass expression so
+    boundary-sharing repeats resolve identically)."""
+    parts = [
+        """wf0 AS MATERIALIZED (
+            SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE length(w) >= 2
+            GROUP BY w
+        )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"wf{r - 1}"
+        parts.append(f"""pairs{r} AS (
+            SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS pair,
+                   freq
+            FROM (
+                SELECT string_split(trim(seq), ' ') AS t, freq FROM {prev}
+            )
+            CROSS JOIN range(1, 10000) x(i)
+            WHERE i < len(t)
+        ),
+        top{r} AS MATERIALIZED (
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+            FROM pairs{r} GROUP BY pair
+            ORDER BY n DESC, pair ASC LIMIT 1
+        ),
+        wf{r} AS MATERIALIZED (
+            SELECT replace(replace(seq,
+                       ' ' || (SELECT pair FROM top{r}) || ' ',
+                       ' ' || replace((SELECT pair FROM top{r}), ' ', '') || ' '),
+                       ' ' || (SELECT pair FROM top{r}) || ' ',
+                       ' ' || replace((SELECT pair FROM top{r}), ' ', '') || ' ')
+                   AS seq,
+                   freq
+            FROM {prev}
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, replace(pair, ' ', '') AS merged_symbol, n "
+        f"FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {','.join(parts)}
+    SELECT CAST(round AS BIGINT) AS round, merged_symbol, n
+    FROM ({sel}) ORDER BY round
+    """
+
+
+@register("text_bpe_merge_rounds", oracle=_bpe_rounds_oracle())
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, rounds 1-3 END-TO-END: count adjacent symbol
+    pairs over the word-frequency table, adopt the most frequent pair as a
+    merge (ties → lexicographically smallest), re-segment, repeat — the
+    actual iterative loop `text_bpe_merge_pairs` computes one step of.
+    Words live as char-spaced sequences (" h e l l o "); a merge is a
+    delimited string replace with the SAME two-pass expression on both
+    engines so boundary-sharing repeats resolve identically.
+
+    Scale shape: every round runs over the |vocab|-row word-frequency
+    table (the corpus→vocab reduction happens once, up front); the chosen
+    merge is a 1-row broadcast, re-segmentation is map-side replace, and
+    `localCheckpoint` per round keeps the unrolled plan linear — the
+    k-means/PCA fixed-iteration discipline applied to tokenizer training."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        fan_out(d.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    picks = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        t = F.split(F.trim(F.col("seq")), " ")
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        )
+        top = (
+            wf.select(F.explode(pair_arr).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picks.append(
+            top.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.replace(
+                    F.col("pair"), F.lit(" "), F.lit("")
+                ).alias("merged_symbol"),
+                "n",
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        wf = (
+            wf.crossJoin(F.broadcast(top.select("pair")))
+            .select(
+                F.replace(
+                    F.replace(F.col("seq"), pat, rep), pat, rep
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("round")
