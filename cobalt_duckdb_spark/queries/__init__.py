@@ -270,6 +270,8 @@ _DRIVER_DEFER = (
     "udtf_table_argument_sessions",
     "text_bpe_merge_rounds",
     "stats_ab_test_welch",
+    "events_cross_correlation",
+    "features_woe_iv",
 )
 
 

@@ -840,3 +840,124 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "features_woe_iv",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS is_pos
+        FROM events GROUP BY user_id
+    ),
+    dominant AS (
+        SELECT user_id, event_type AS dom_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, event_type ASC
+                   ) AS rn
+            FROM events WHERE event_type <> 'purchase'
+            GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    ),
+    cat AS (
+        SELECT d.dom_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(p.is_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - p.is_pos) AS BIGINT) AS n_neg
+        FROM dominant d JOIN per_user p ON p.user_id = d.user_id
+        GROUP BY d.dom_type
+    ),
+    tot AS (
+        SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM cat
+    ),
+    woe AS (
+        SELECT c.dom_type, c.n_users, c.n_pos,
+               LN(((c.n_pos + 0.5) / (t.tp + 0.5 * t.k))
+                  / ((c.n_neg + 0.5) / (t.tn + 0.5 * t.k))) AS w,
+               ((c.n_pos + 0.5) / (t.tp + 0.5 * t.k))
+               - ((c.n_neg + 0.5) / (t.tn + 0.5 * t.k)) AS dshare
+        FROM cat c CROSS JOIN tot t
+    )
+    SELECT dom_type, n_users, n_pos,
+           ROUND(w, 6) AS woe,
+           ROUND((SELECT SUM(w2.dshare * w2.w) FROM woe w2), 6)
+               AS iv_total
+    FROM woe
+    ORDER BY dom_type
+    """,
+)
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value of a categorical feature
+    (the user's dominant non-purchase event type) against a binary target
+    (did the user ever purchase) — the credit-scoring-era feature screen
+    that still decides which categoricals earn a slot in a model:
+    |WOE| ranks category separation, IV sums it into one keep/drop number
+    (rule of thumb: IV < 0.02 useless, > 0.5 suspicious). Laplace 0.5
+    smoothing keeps empty cells finite, identically on both engines.
+
+    Scale: two user-keyed aggregates (target + dominant category via
+    argmax window over the per-user type counts), then all WOE/IV math on
+    the |categories|-row frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("is_pos")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("cnt").desc(), F.col("event_type").asc()
+        )
+    )
+    dominant = (
+        e.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("dom_type"))
+    )
+    cat = (
+        dominant.join(per_user, "user_id")
+        .groupBy("dom_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("is_pos").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("is_pos")).cast("bigint").alias("n_neg"),
+        )
+    )
+    tot = cat.agg(
+        F.sum("n_pos").alias("tp"),
+        F.sum("n_neg").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pshare = (F.col("n_pos") + 0.5) / (F.col("tp") + 0.5 * F.col("k"))
+    nshare = (F.col("n_neg") + 0.5) / (F.col("tn") + 0.5 * F.col("k"))
+    woe = cat.crossJoin(F.broadcast(tot)).select(
+        "dom_type",
+        "n_users",
+        "n_pos",
+        F.log(pshare / nshare).alias("w"),
+        (pshare - nshare).alias("dshare"),
+    )
+    iv = woe.agg(
+        F.round(F.sum(F.col("dshare") * F.col("w")), 6).alias("iv_total")
+    )
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select(
+            "dom_type",
+            "n_users",
+            "n_pos",
+            F.round("w", 6).alias("woe"),
+            "iv_total",
+        )
+        .orderBy("dom_type")
+    )

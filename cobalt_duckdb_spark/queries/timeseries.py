@@ -1275,3 +1275,105 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_hours")
     )
+
+
+@register(
+    "events_cross_correlation",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+               time_bucket(INTERVAL '1 hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+        FROM bounds
+    ),
+    counts AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT g.h,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) AS clicks,
+               CAST(COALESCE(c.p, 0) AS DOUBLE) AS purchases
+        FROM grid g LEFT JOIN counts c ON c.h = g.h
+    ),
+    lagged AS (
+        SELECT l.lag_h,
+               s.clicks,
+               lead(s.purchases, CAST(l.lag_h AS INT)) OVER (
+                   PARTITION BY l.lag_h ORDER BY s.h
+               ) AS purchases_shifted
+        FROM series s
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS lag_h) l
+    )
+    SELECT CAST(lag_h AS BIGINT) AS lag_hours,
+           CAST(COUNT(purchases_shifted) AS BIGINT) AS n_pairs,
+           ROUND(corr(clicks, purchases_shifted), 6) AS xcorr
+    FROM lagged
+    GROUP BY lag_h
+    ORDER BY lag_hours
+    """,
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between the hourly click and purchase
+    series: corr(clicks_t, purchases_{t+k}) for k = 0..3 — the lead-lag
+    discovery that says whether click volume predicts purchases hours
+    ahead (the cross-series sibling of `events_autocorrelation_hourly`).
+
+    The lag axis is a 4-row broadcast crossed with the gap-filled series,
+    so one window pass computes every shift; the windows run over the
+    aggregated |lags|×|hours| frame, never raw events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 hour"))).alias("h")
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p"),
+    )
+    series = grid.join(counts, "h", "left").select(
+        "h",
+        F.coalesce("c", F.lit(0)).cast("double").alias("clicks"),
+        F.coalesce("p", F.lit(0)).cast("double").alias("purchases"),
+    )
+    lags = spark.createDataFrame([(k,) for k in range(4)], "lag_h int")
+    lagged = series.crossJoin(F.broadcast(lags)).select(
+        "lag_h", "clicks", "h", "purchases"
+    )
+    w = Window.partitionBy("lag_h").orderBy("h")
+    # Spark's lead() needs a literal offset — branch per lag value and
+    # coalesce (the lag table is tiny and literal-indexed)
+    shifted = lagged.select(
+        "lag_h",
+        "clicks",
+        F.coalesce(
+            *[
+                F.when(
+                    F.col("lag_h") == k, F.lead("purchases", k).over(w)
+                )
+                for k in range(4)
+            ]
+        ).alias("purchases_shifted"),
+    )
+    return (
+        shifted.groupBy(F.col("lag_h").cast("bigint").alias("lag_hours"))
+        .agg(
+            F.count("purchases_shifted").cast("bigint").alias("n_pairs"),
+            F.round(F.corr("clicks", "purchases_shifted"), 6).alias("xcorr"),
+        )
+        .orderBy("lag_hours")
+    )
