@@ -272,6 +272,7 @@ _DRIVER_DEFER = (
     "stats_ab_test_welch",
     "events_cross_correlation",
     "features_woe_iv",
+    "pipeline_incremental_admission",
 )
 
 

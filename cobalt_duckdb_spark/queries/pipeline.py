@@ -961,3 +961,141 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dom_type")
     )
+
+
+def _incremental_admission_oracle() -> str:
+    lsh = D.minhash_lsh_incremental_oracle_sql(threshold=0.5)
+    return f"""
+    WITH rawb AS (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS tc,
+               md5(text) AS exact_fp,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '
+               )) AS bag_fp
+        FROM documents WHERE source <> 'src0'
+    ),
+    corpus AS (
+        SELECT md5(text) AS exact_fp,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '
+               )) AS bag_fp
+        FROM documents WHERE source = 'src0'
+    ),
+    q AS (SELECT * FROM rawb WHERE tc >= 30),
+    s2 AS (
+        SELECT * FROM q
+        WHERE exact_fp NOT IN (SELECT exact_fp FROM corpus)
+    ),
+    s3 AS (
+        SELECT * FROM s2
+        WHERE bag_fp NOT IN (SELECT bag_fp FROM corpus)
+    ),
+    s4 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY exact_fp ORDER BY doc_id) AS rn
+            FROM s3
+        ) WHERE rn = 1
+    ),
+    lsh_flagged AS (SELECT doc_id FROM ({lsh})),
+    s5 AS (
+        SELECT * FROM s4
+        WHERE doc_id NOT IN (SELECT doc_id FROM lsh_flagged)
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage_idx, 'arrived' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tc) AS BIGINT) AS n_tokens FROM rawb
+        UNION ALL SELECT 1, 'quality', COUNT(*), SUM(tc) FROM q
+        UNION ALL SELECT 2, 'no_exact_corpus_dup', COUNT(*), SUM(tc) FROM s2
+        UNION ALL SELECT 3, 'no_bag_corpus_dup', COUNT(*), SUM(tc) FROM s3
+        UNION ALL SELECT 4, 'batch_deduped', COUNT(*), SUM(tc) FROM s4
+        UNION ALL SELECT 5, 'admitted', COUNT(*), SUM(tc) FROM s5
+    ) ORDER BY stage_idx
+    """
+
+
+@register(
+    "pipeline_incremental_admission",
+    oracle=_incremental_admission_oracle(),
+)
+def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-INGEST admission funnel — what
+    ``pipeline_corpus_curation`` is for a frozen corpus, this is for an
+    arriving batch (source ≠ src0) screened against the standing corpus
+    (src0): quality gate → exact-fingerprint screen vs the corpus index →
+    bag-collapse screen → within-batch dedup → MinHash-LSH near-dup screen
+    against the corpus's persisted band table. One row per stage with doc
+    and token survival, so per-batch admission rates are monitorable.
+
+    Scale shape: the corpus participates ONLY via its fingerprint columns
+    and band table (the persisted dedup index — bytes/doc, re-derived here
+    because the testbed is stateless); per-batch cost is the batch, never
+    a corpus re-dedup. The LSH screen flags each batch doc independently
+    of other batch docs, so screening stage-4 survivors equals
+    intersecting the full-batch flag set — the oracle exploits exactly
+    that equivalence."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") == "src0")
+    exact_fp = F.md5("text")
+    bag_fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+        )
+    )
+    corpus_fp = corpus.select(
+        exact_fp.alias("c_exact"), bag_fp.alias("c_bag")
+    ).persist()
+    rawb = d.filter(F.col("source") != "src0").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("tc"),
+        exact_fp.alias("exact_fp"),
+        bag_fp.alias("bag_fp"),
+    )
+    q = rawb.filter(F.col("tc") >= 30)
+    s2 = q.join(
+        F.broadcast(corpus_fp.select("c_exact").distinct()),
+        F.col("exact_fp") == F.col("c_exact"),
+        "left_anti",
+    )
+    s3 = s2.join(
+        F.broadcast(corpus_fp.select("c_bag").distinct()),
+        F.col("bag_fp") == F.col("c_bag"),
+        "left_anti",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("exact_fp").orderBy("doc_id")
+    )
+    s4 = (
+        s3.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    flagged = D.minhash_lsh_incremental(
+        corpus, s4.select("doc_id", "text"), threshold=0.5
+    ).select("doc_id")
+    s5 = s4.join(flagged, "doc_id", "left_anti")
+
+    def audit(df, idx, name):
+        return df.agg(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tc").cast("bigint").alias("n_tokens"),
+        )
+
+    out = audit(rawb, 0, "arrived")
+    for df, idx, name in [
+        (q, 1, "quality"),
+        (s2, 2, "no_exact_corpus_dup"),
+        (s3, 3, "no_bag_corpus_dup"),
+        (s4, 4, "batch_deduped"),
+        (s5, 5, "admitted"),
+    ]:
+        out = out.unionAll(audit(df, idx, name))
+    return out.orderBy("stage_idx")
