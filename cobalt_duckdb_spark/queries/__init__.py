@@ -273,6 +273,7 @@ _DRIVER_DEFER = (
     "events_cross_correlation",
     "features_woe_iv",
     "pipeline_incremental_admission",
+    "events_bitemporal_restatement",
 )
 
 
