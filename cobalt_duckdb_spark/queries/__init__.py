@@ -274,6 +274,8 @@ _DRIVER_DEFER = (
     "features_woe_iv",
     "pipeline_incremental_admission",
     "events_bitemporal_restatement",
+    "join_scd2_point_in_time",
+    "events_gap_interpolation",
 )
 
 

@@ -1168,3 +1168,108 @@ def events_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame
             "restatement"
         ),
     ).orderBy("day")
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_state
+        FROM events WHERE user_id < 10
+    ),
+    changes AS (
+        SELECT user_id, state, ts, event_id FROM seq
+        WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    dim AS (
+        SELECT user_id, state,
+               ts AS valid_from,
+               COALESCE(LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), TIMESTAMP '9999-12-31') AS valid_to,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS version
+        FROM changes
+    ),
+    facts AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+        WHERE event_type = 'purchase' AND user_id < 10
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           ROUND(f.value, 4) AS value,
+           d.state AS state_at_purchase,
+           d.version AS state_version
+    FROM facts f JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from AND f.ts < d.valid_to
+    ORDER BY f.event_id
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each purchase fact picks up the SCD2
+    state version that was VALID AT the fact's timestamp ([valid_from,
+    valid_to) interval containment) — the canonical warehouse temporal
+    join that makes historical reports reproducible (joining the CURRENT
+    dimension row silently backdates attributes). The dimension is the
+    SCD2 history `events_scd2_user_state` builds; open intervals close at
+    a sentinel so `is_current` rows join too.
+
+    Scale shape: both sides hash-partition on user_id, and interval
+    containment within a user resolves inside the partition; because a
+    fact matches EXACTLY ONE version (intervals partition time), output
+    = |facts| with no dedup pass. Hot users split fine — the interval
+    predicate is evaluated post-shuffle per key. (For a dimension keyed
+    differently from the probe, the bucketed range-join operator
+    `operators/joins.py::range_join_bucketed` is the scale path.)"""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = seq.filter(
+        F.col("prev_state").isNull()
+        | (F.col("prev_state") != F.col("state"))
+    )
+    dim = changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    f, d = facts.alias("f"), dim.alias("d")
+    return (
+        f.join(
+            d,
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("f.ts") >= F.col("d.valid_from"))
+            & (F.col("f.ts") < F.col("d.valid_to")),
+        )
+        .select(
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.user_id").alias("user_id"),
+            F.col("f.ts").alias("ts"),
+            F.round("f.value", 4).alias("value"),
+            F.col("d.state").alias("state_at_purchase"),
+            F.col("d.version").alias("state_version"),
+        )
+        .orderBy("event_id")
+    )

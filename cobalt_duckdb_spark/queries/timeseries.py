@@ -1377,3 +1377,119 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_hours")
     )
+
+
+@register(
+    "events_gap_interpolation",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+               time_bucket(INTERVAL '1 hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events WHERE event_type = 'purchase'
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+        FROM bounds
+    ),
+    obs AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               AVG(value) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    series AS (
+        SELECT g.h, o.v,
+               CAST(row_number() OVER (ORDER BY g.h) AS DOUBLE) AS pos
+        FROM grid g LEFT JOIN obs o ON o.h = g.h
+    ),
+    bracketed AS (
+        SELECT h, v, pos,
+               last_value(v IGNORE NULLS) OVER (
+                   ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER (ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pp,
+               first_value(v IGNORE NULLS) OVER (
+                   ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER (ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS np
+        FROM series
+    )
+    SELECT h AS bucket_start,
+           (v IS NOT NULL) AS observed,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
+           END, 6) AS value
+    FROM bracketed
+    ORDER BY bucket_start
+    """,
+)
+def events_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of series gaps: silent hours in the hourly
+    purchase-value series are filled by interpolating between the nearest
+    observed values on each side (edges forward/back-fill) — the
+    densification step before any fixed-step model (`events_gap_filled_
+    minutes` fills with zeros, right for counts; interpolation is right
+    for LEVELS like price or temperature).
+
+    Shape: one grouped aggregate to hourly means, then four
+    ignorenulls-window lookups (prev/next value and position) over the
+    |hours|-row frame in a single ordering — the aggregated-series
+    discipline again: window cost scales with the grid, not events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = e.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 hour"))).alias("h")
+    )
+    obs = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.avg("value").alias("v")
+    )
+    series = grid.join(obs, "h", "left").select(
+        "h",
+        "v",
+        F.row_number().over(Window.orderBy("h")).cast("double").alias("pos"),
+    )
+    back = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy("pos").rowsBetween(0, Window.unboundedFollowing)
+    vpos = F.when(F.col("v").isNotNull(), F.col("pos"))
+    br = series.select(
+        "h",
+        "v",
+        "pos",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(vpos, ignorenulls=True).over(back).alias("pp"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(vpos, ignorenulls=True).over(fwd).alias("np"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("pos") - F.col("pp"))
+            / (F.col("np") - F.col("pp"))
+        )
+    )
+    return br.select(
+        F.col("h").alias("bucket_start"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("value"),
+    ).orderBy("bucket_start")
