@@ -276,6 +276,9 @@ _DRIVER_DEFER = (
     "events_bitemporal_restatement",
     "join_scd2_point_in_time",
     "events_gap_interpolation",
+    "embedding_norm_outlier_screen",
+    "sample_balanced_class_downsample",
+    "sql_api_parameterized_query",
 )
 
 

@@ -1099,3 +1099,73 @@ def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFram
     ]:
         out = out.unionAll(audit(df, idx, name))
     return out.orderBy("stage_idx")
+
+
+@register(
+    "sample_balanced_class_downsample",
+    oracle="""
+    WITH sized AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    ),
+    floor_n AS (SELECT MIN(n) AS m FROM sized),
+    ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rk
+        FROM embeddings
+    ),
+    kept AS (
+        SELECT vec_id, label FROM ranked
+        WHERE rk <= (SELECT m FROM floor_n)
+    )
+    SELECT k.label,
+           s.n AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(SUM(CAST(k.vec_id AS BIGINT)) AS BIGINT) AS id_checksum
+    FROM kept k JOIN sized s ON s.label = k.label
+    GROUP BY k.label, s.n
+    ORDER BY k.label
+    """,
+)
+def sample_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, chosen by deterministic id-hash rank — the
+    imbalance fix for contrastive/classification training where the
+    majority class would otherwise dominate the loss. Differs from
+    `split_stratified_sample` (fixed per-stratum RATES) by balancing to
+    the minority COUNT; the id-hash order makes the kept set reproducible
+    across engines and re-runs, verified by the per-label id checksum.
+
+    One label-keyed count (broadcast floor), one rank window on the same
+    key — hash-partition by label; a skewed majority label is exactly
+    what gets truncated."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sized = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    floor_n = sized.agg(F.min("n").alias("m"))
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+    )
+    kept = (
+        emb.select("vec_id", "label")
+        .withColumn("rk", rk)
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("m"))
+    )
+    return (
+        kept.join(F.broadcast(sized), "label")
+        .groupBy("label", F.col("n").alias("n_before"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum(F.col("vec_id").cast("bigint"))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .orderBy("label")
+    )

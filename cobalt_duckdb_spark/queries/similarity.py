@@ -1495,3 +1495,77 @@ def simsearch_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nprobe")
     )
+
+
+@register(
+    "embedding_norm_outlier_screen",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT percentile_cont(0.01) WITHIN GROUP (ORDER BY nrm) AS p01,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY nrm) AS p50,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY nrm) AS p99,
+               AVG(nrm) AS mean_norm
+        FROM norms
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND((SELECT mean_norm FROM stats), 6) AS mean_norm,
+           ROUND((SELECT p50 FROM stats), 6) AS p50_norm,
+           ROUND((SELECT p99 FROM stats) / (SELECT p01 FROM stats), 4)
+               AS p99_over_p01,
+           CAST(SUM(CASE WHEN nrm < (SELECT p50 FROM stats) * 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate_low,
+           CAST(SUM(CASE WHEN nrm > (SELECT p50 FROM stats) * 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate_high
+    FROM norms
+    """,
+)
+def embedding_norm_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm health screen: the L2-norm distribution (mean, median,
+    p99/p01 spread) plus counts of degenerate vectors (norm < 0.5× or
+    > 2× the median) — collapsed-embedding and overflow detection run
+    BEFORE vectors enter a cosine index (a near-zero norm makes cosine
+    meaningless; `functions/vector.py` maps it to NULL, this query counts
+    how often that fires). Complements `embedding_dim_variance_topk`
+    (per-dimension) with the per-vector view.
+
+    One map-side norm projection → one exact-percentile aggregate (5-row
+    broadcast) → one conditional rollup; approx_percentile swap documented
+    at 1e9+ vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    norms = emb.select(nrm.alias("nrm"))
+    stats = norms.agg(
+        F.expr("percentile(nrm, 0.01)").alias("p01"),
+        F.expr("percentile(nrm, 0.5)").alias("p50"),
+        F.expr("percentile(nrm, 0.99)").alias("p99"),
+        F.avg("nrm").alias("mean_norm"),
+    )
+    return norms.crossJoin(F.broadcast(stats)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.first("mean_norm"), 6).alias("mean_norm"),
+        F.round(F.first("p50"), 6).alias("p50_norm"),
+        F.round(F.first("p99") / F.first("p01"), 4).alias("p99_over_p01"),
+        F.sum(
+            F.when(F.col("nrm") < F.col("p50") * 0.5, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_degenerate_low"),
+        F.sum(
+            F.when(F.col("nrm") > F.col("p50") * 2.0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_degenerate_high"),
+    )
