@@ -1426,3 +1426,200 @@ def cdc_oracle_cte() -> str:
         FROM assigned
         GROUP BY doc_id, chunk_id
     )"""
+
+
+def minhash_estimator_audit(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimator-quality audit for the 32-permutation MinHash signature:
+    over the LSH candidate pairs, compare the signature estimate (matching
+    components / 32) with the exact shingle Jaccard it estimates. One row:
+    pair count, mean/max absolute error, and the error the binomial theory
+    predicts (√(J(1−J)/32) averaged over pairs) — if observed ≫ predicted,
+    the hash family is broken; if ≪, the pairs are degenerate. This is the
+    MinHash sibling of `lsh_quality_audit` (that audits the BANDING, this
+    audits the SKETCH)."""
+    from pyspark import StorageLevel
+
+    ex = shingle_hashes(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"sig{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"sig{band * LSH_ROWS + r}")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.select(F.col(id_col).alias("b_id"), "band", "bkey").alias(
+                "b"
+            ),
+            on=["band", "bkey"],
+        )
+        .filter(F.col(id_col) < F.col("b_id"))
+        .select(F.col(id_col).alias("a_id"), "b_id")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(NUM_HASHES)
+        )
+        / float(NUM_HASHES)
+    )
+    exact = (
+        ex.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
+        .join(cand, "a_id")
+        .join(
+            ex.select(
+                F.col(id_col).alias("b_id"), F.col("ns").alias("b_ns"), "h"
+            ),
+            ["b_id", "h"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("common"),
+            F.first("a_ns").alias("a_ns"),
+            F.first("b_ns").alias("b_ns"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("common")
+                / (F.col("a_ns") + F.col("b_ns") - F.col("common"))
+            ).alias("j"),
+        )
+    )
+    pairs = (
+        cand.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .select("a_id", "b_id", est.alias("est"))
+        .join(exact, ["a_id", "b_id"], "left")
+        .select(
+            F.coalesce("j", F.lit(0.0)).alias("j"),
+            "est",
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("j"))), 6).alias(
+            "mean_abs_error"
+        ),
+        F.round(F.max(F.abs(F.col("est") - F.col("j"))), 6).alias(
+            "max_abs_error"
+        ),
+        F.round(
+            F.avg(
+                F.sqrt(
+                    F.col("j") * (1 - F.col("j")) / F.lit(float(NUM_HASHES))
+                )
+            ),
+            6,
+        ).alias("predicted_stderr"),
+    )
+
+
+def minhash_estimator_audit_oracle_sql(n: int = 3) -> str:
+    tok = TOKEN_HASH_SQL_DUCKDB.format(col="sh")
+    sig_exprs = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_PRIME}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bkey': md5(concat_ws('_', %s))}"
+        % (band, ", ".join(f"sig{band * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+        for band in range(LSH_BANDS)
+    )
+    shingle_expr = (
+        f"list_distinct(list_transform(range(1, len(string_split(text,' ')) - {n - 2}), "
+        + "i -> "
+        + " || ' ' || ".join(f"string_split(text,' ')[i+{j}]" for j in range(n))
+        + "))"
+    )
+    est_expr = (
+        "("
+        + " + ".join(
+            f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END"
+            for i in range(NUM_HASHES)
+        )
+        + f") * 1.0 / {NUM_HASHES}"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {shingle_expr} AS s FROM documents
+    ),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0),
+    ex AS MATERIALIZED (
+        SELECT doc_id, {tok} AS x
+        FROM (SELECT doc_id, unnest(s) AS sh FROM shf)
+    ),
+    sizes AS (SELECT doc_id, len(s) * 1.0 AS ns FROM shf),
+    sig AS MATERIALIZED (SELECT doc_id, {sig_exprs} FROM ex GROUP BY doc_id),
+    buckets AS (
+        SELECT doc_id, b.band AS band, b.bkey AS bkey
+        FROM (SELECT doc_id, unnest([{band_structs}]) AS b FROM sig)
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    exact AS (
+        SELECT c.a_id, c.b_id,
+               COUNT(*) * 1.0 / (sa.ns + sb.ns - COUNT(*)) AS j
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.a_id
+        JOIN ex eb ON eb.doc_id = c.b_id AND eb.x = ea.x
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        GROUP BY c.a_id, c.b_id, sa.ns, sb.ns
+    ),
+    pairs AS (
+        SELECT COALESCE(e.j, 0.0) AS j, {est_expr} AS est
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+        LEFT JOIN exact e ON e.a_id = c.a_id AND e.b_id = c.b_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ABS(est - j)), 6) AS mean_abs_error,
+           ROUND(MAX(ABS(est - j)), 6) AS max_abs_error,
+           ROUND(AVG(SQRT(j * (1 - j) / {NUM_HASHES})), 6)
+               AS predicted_stderr
+    FROM pairs
+    """

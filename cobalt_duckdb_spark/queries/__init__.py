@@ -279,6 +279,7 @@ _DRIVER_DEFER = (
     "embedding_norm_outlier_screen",
     "sample_balanced_class_downsample",
     "sql_api_parameterized_query",
+    "dedup_minhash_estimator_audit",
 )
 
 

@@ -807,3 +807,15 @@ def dedup_cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_chunk_tokens",
         "max_chunk_tokens",
     )
+
+
+@register(
+    "dedup_minhash_estimator_audit",
+    oracle=D.minhash_estimator_audit_oracle_sql(),
+)
+def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-estimator error audit: MinHash estimate (matching sig
+    components / 32) vs exact Jaccard over the LSH candidate pairs, with
+    the binomial-theory stderr alongside. See
+    ``operators.dedup.minhash_estimator_audit``."""
+    return D.minhash_estimator_audit(load_table(spark, sf_dir, "documents"))
