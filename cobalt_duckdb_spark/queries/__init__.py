@@ -280,6 +280,7 @@ _DRIVER_DEFER = (
     "sample_balanced_class_downsample",
     "sql_api_parameterized_query",
     "dedup_minhash_estimator_audit",
+    "graph_kcore_peeling",
 )
 
 

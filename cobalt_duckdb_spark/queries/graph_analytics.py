@@ -380,3 +380,109 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .limit(20)
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore_peeling",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    e0 AS MATERIALIZED (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= {_LPA_MIN_W}
+    ),
+    {','.join(f'''d{r} AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT pa AS node FROM e{r} UNION ALL SELECT pb FROM e{r}
+        ) GROUP BY node
+    ),
+    keep{r} AS MATERIALIZED (
+        SELECT node FROM d{r} WHERE deg >= {_KCORE_K}
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.pa, e.pb FROM e{r} e
+        JOIN keep{r} ka ON ka.node = e.pa
+        JOIN keep{r} kb ON kb.node = e.pb
+    )''' for r in range(_KCORE_ROUNDS))}
+    SELECT * FROM (
+        {' UNION ALL '.join(
+            f"SELECT {r} AS round, "
+            f"CAST((SELECT COUNT(*) FROM (SELECT pa AS n FROM e{r} "
+            f"UNION SELECT pb FROM e{r})) AS BIGINT) AS n_nodes, "
+            f"CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges"
+            for r in range(_KCORE_ROUNDS + 1)
+        )}
+    ) ORDER BY round
+    """,
+)
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by synchronous peeling (k={_KCORE_K}): each
+    round drops every node whose CURRENT degree is below k, inducing a
+    smaller graph — the dense-backbone extraction that strips hangers-on
+    before community/centrality analysis (and the fraud-ring screen: cores
+    survive, stragglers don't). Three fixed peels over the part
+    co-purchase graph with the per-round (nodes, edges) funnel — fixed
+    iterations, synchronous drops, so the oracle replays it exactly
+    (run-to-fixpoint is the production form; each peel IS this round).
+
+    Scale: every round is a degree aggregate + two semi-join-shaped edge
+    filters, all keyed on node id; edges materialize per round
+    (localCheckpoint) exactly like the other Pregel-family loops."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _LPA_MIN_W)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+
+    rounds = [edges]
+    for r in range(_KCORE_ROUNDS):
+        e = rounds[-1]
+        deg = (
+            e.select(F.col("pa").alias("node"))
+            .unionAll(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        nxt = (
+            e.join(keep.withColumnRenamed("node", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(nxt)
+    audits = []
+    for r, e in enumerate(rounds):
+        nodes = (
+            e.select(F.col("pa").alias("n"))
+            .union(e.select(F.col("pb").alias("n")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+        cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        audits.append(
+            nodes.crossJoin(F.broadcast(cnt)).select(
+                F.lit(r).cast("bigint").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("round")
