@@ -415,3 +415,90 @@ def read_latest_state(spark: SparkSession, state_path: str) -> DataFrame:
     with open(os.path.join(state_path, "_CURRENT")) as fh:
         cur = fh.read().strip()
     return spark.read.parquet(os.path.join(state_path, cur))
+
+
+def scd2_history_upsert(stream: DataFrame, state_path: str, checkpoint: str):
+    """Streaming SCD TYPE-2 maintenance via foreachBatch: where
+    :func:`latest_state_upsert` keeps only the current row per key, this
+    keeps the full versioned [valid_from, valid_to) interval history —
+    each micro-batch's state changes CLOSE the affected keys' open
+    intervals and open new ones, exactly what a lakehouse MERGE INTO with
+    a `valid_to = NULL` predicate does.
+
+    Implementation: per batch, the union of (existing history rows for
+    touched keys' raw change points + new batch events) is re-compacted
+    with the same gaps-and-islands kernel the batch query
+    (`events_scd2_user_state`) uses — recompaction is idempotent, so batch
+    replays produce identical history (effectively-once, as with the
+    Type-1 sink). Untouched keys' history is carried over verbatim.
+    Versioned-parquet atomic repoint as in latest_state_upsert.
+
+    Scale note: per-batch cost is O(history of touched keys + batch), not
+    O(all history); bucket the state by key-hash to rewrite only touched
+    buckets."""
+    import os
+
+    from pyspark.sql import Window
+
+    def to_scd2(events: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = events.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        changes = seq.filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+        return changes.select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_events = batch_df.select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        marker = os.path.join(state_path, "_CURRENT")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                cur = fh.read().strip()
+            history = spark.read.parquet(os.path.join(state_path, cur))
+            touched = batch_events.select("user_id").distinct()
+            carried = history.join(touched, "user_id", "left_anti")
+            # touched keys: replay their change points + the new events
+            # through the same compaction kernel (idempotent)
+            prior_events = history.join(touched, "user_id", "left_semi").select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("valid_from").alias("ts"),
+                "event_id",
+            )
+            merged = to_scd2(
+                prior_events.unionByName(batch_events)
+            ).unionByName(carried)
+        else:
+            merged = to_scd2(batch_events)
+        new_ver = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_path, new_ver)
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_ver)
+        os.replace(tmp, marker)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

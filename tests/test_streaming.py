@@ -474,3 +474,56 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         assert counts == {1: 1, 2: 1}, counts
     finally:
         q.stop()
+
+
+def test_scd2_history_upsert_foreachbatch(spark, tmp_path):
+    """Streaming SCD2 maintenance: after two source growths (restart from
+    the same checkpoint), the maintained interval history equals the SCD2
+    compaction of ALL events computed in one batch — late batches extend
+    and close intervals for touched keys only, and an untouched user's
+    history survives the second merge verbatim."""
+    from cobalt_duckdb_spark.streaming.events import (
+        read_events_stream,
+        read_latest_state,
+        scd2_history_upsert,
+    )
+
+    src = str(tmp_path / "src2")
+    state = str(tmp_path / "scd2state")
+    ckpt = str(tmp_path / "scd2ckpt")
+
+    # user 1: signup → click (2 versions); user 2: signup only
+    _append_events(
+        spark,
+        src,
+        [(1, 0, 1, "signup"), (2, 5, 2, "signup"), (3, 10, 1, "click")],
+    )
+    q = scd2_history_upsert(read_events_stream(spark, src), state, ckpt)
+    q.awaitTermination(120)
+    h1 = read_latest_state(spark, state)
+    rows1 = {
+        (r["user_id"], r["version"]): (r["state"], r["valid_to"] is None)
+        for r in h1.collect()
+    }
+    assert rows1 == {
+        (1, 1): ("signup", False),
+        (1, 2): ("click", True),
+        (2, 1): ("signup", True),
+    }
+
+    # growth touches ONLY user 2 (click then purchase); user 1 untouched
+    _append_events(spark, src, [(4, 20, 2, "click"), (5, 25, 2, "purchase")])
+    q = scd2_history_upsert(read_events_stream(spark, src), state, ckpt)
+    q.awaitTermination(120)
+    h2 = read_latest_state(spark, state)
+    rows2 = {
+        (r["user_id"], r["version"]): (r["state"], r["valid_to"] is None)
+        for r in h2.collect()
+    }
+    assert rows2 == {
+        (1, 1): ("signup", False),
+        (1, 2): ("click", True),
+        (2, 1): ("signup", False),
+        (2, 2): ("click", False),
+        (2, 3): ("purchase", True),
+    }
