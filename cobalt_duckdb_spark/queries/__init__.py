@@ -281,6 +281,7 @@ _DRIVER_DEFER = (
     "sql_api_parameterized_query",
     "dedup_minhash_estimator_audit",
     "graph_kcore_peeling",
+    "text_bm25_prf_expansion",
 )
 
 

@@ -1383,3 +1383,24 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionAll(p)
     return out.orderBy("round")
+
+
+def _prf_oracle() -> str:
+    from cobalt_duckdb_spark.operators.bm25 import bm25_prf_oracle_sql
+
+    return bm25_prf_oracle_sql(["vector", "query"])
+
+
+@register("text_bm25_prf_expansion", oracle=_prf_oracle())
+def text_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (Rocchio/RM1 shape): seed query
+    ['vector','query'] → top-5 feedback docs → 3 idf-weighted expansion
+    terms → expanded retrieval, with the adopted terms surfaced in
+    `expanded_with` for auditability. Completes the retrieval family
+    (BM25 → hybrid RRF → rerank/MMR → PRF); see
+    ``operators.bm25.bm25_prf_topk`` for the two-phase scale shape."""
+    from cobalt_duckdb_spark.operators.bm25 import bm25_prf_topk
+
+    return bm25_prf_topk(
+        load_table(spark, sf_dir, "documents"), ["vector", "query"]
+    )
