@@ -282,6 +282,8 @@ _DRIVER_DEFER = (
     "dedup_minhash_estimator_audit",
     "graph_kcore_peeling",
     "text_bm25_prf_expansion",
+    "events_dow_hour_heatmap",
+    "agg_decimal_exact_money",
 )
 
 

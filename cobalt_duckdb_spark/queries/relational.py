@@ -785,3 +785,41 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "agg_decimal_exact_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
+                         AS DECIMAL(38, 2))) AS VARCHAR) AS exact_sum,
+           ROUND(SUM(l_extendedprice), 2) AS double_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal money aggregation: prices cast to DECIMAL(18,2) and
+    summed in DECIMAL(38,2) — associative integer arithmetic, so the total
+    is bit-identical regardless of partitioning or merge order. The double
+    sum rides along for contrast: at this scale they agree to 2 dp, but
+    double summation drifts with row count and reduction order (1e12 rows
+    of ~1e5 values ⇒ absolute error up to ~1e2 — the financial-ledger
+    reason money columns are DECIMAL at 100 TB, not DOUBLE). Emitted as a
+    string so the driver hash sees the exact digits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec.cast("decimal(38,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("exact_sum"),
+            F.round(F.sum("l_extendedprice"), 2).alias("double_sum"),
+        )
+        .orderBy("l_returnflag")
+    )

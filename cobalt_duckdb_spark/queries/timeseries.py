@@ -1493,3 +1493,36 @@ def events_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         F.round(interp, 6).alias("value"),
     ).orderBy("bucket_start")
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix in long form — the
+    calendar-heatmap feed behind every ops dashboard, and the descriptive
+    view whose residuals `events_seasonal_hour_anomaly` alerts on. One
+    mergeable aggregate to a 7×24-bounded frame. (Engine note: DuckDB
+    `dayofweek` is 0=Sunday while Spark's is 1=Sunday — the query maps
+    Spark onto DuckDB's numbering so the long forms join across engines.)"""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -526,3 +526,26 @@ def test_write_balanced_shards_bytes_not_rows(spark, sf_dir, tmp_path):
     for k in range(4):
         files = glob.glob(f"{path}/shard={k}/*.parquet")
         assert len(files) == 1, files
+
+
+def test_parquet_codec_size_tradeoff(spark, sf_dir, tmp_path):
+    """Storage-codec lever: zstd parquet is materially smaller than snappy
+    on text-heavy data (both splittable, both vectorized-readable) — the
+    100 TB footprint decision measured, not asserted from folklore. Also
+    pins that both round-trip identically."""
+    import os
+
+    from cobalt_duckdb_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        out = str(tmp_path / codec)
+        docs.coalesce(1).write.option("compression", codec).parquet(out)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        assert spark.read.parquet(out).count() == docs.count()
+    assert sizes["zstd"] < sizes["snappy"] * 0.9, sizes
