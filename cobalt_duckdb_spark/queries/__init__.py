@@ -284,6 +284,8 @@ _DRIVER_DEFER = (
     "text_bm25_prf_expansion",
     "events_dow_hour_heatmap",
     "agg_decimal_exact_money",
+    "stats_ks_two_sample",
+    "dq_freshness_audit",
 )
 
 

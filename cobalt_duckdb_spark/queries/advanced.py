@@ -1747,3 +1747,144 @@ def stats_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cohens_d"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH a AS (
+        SELECT value FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT value FROM events WHERE event_type = 'view'
+    ),
+    pooled AS (
+        SELECT value, 1.0 AS in_a, 0.0 AS in_b FROM a
+        UNION ALL
+        SELECT value, 0.0, 1.0 FROM b
+    ),
+    stepped AS (
+        SELECT value,
+               SUM(in_a) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / (SELECT COUNT(*) FROM a) AS f_a,
+               SUM(in_b) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / (SELECT COUNT(*) FROM b) AS f_b
+        FROM pooled
+    ),
+    at_points AS (
+        /* ECDFs are right-continuous: evaluate at each distinct value's
+           LAST pooled row so both cumulative counts include every tie */
+        SELECT value, MAX(f_a) AS f_a, MAX(f_b) AS f_b
+        FROM stepped GROUP BY value
+    )
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(f_a - f_b)), 6) AS ks_d,
+           ROUND(MAX(ABS(f_a - f_b))
+                 / (1.358 * SQRT((
+                       (SELECT COUNT(*) FROM a)
+                       + (SELECT COUNT(*) FROM b)) * 1.0
+                     / ((SELECT COUNT(*) FROM a)
+                        * (SELECT COUNT(*) FROM b)))), 4)
+               AS d_over_crit05
+    FROM at_points
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the click and view
+    value distributions: D = max |ECDF_a − ECDF_b|, with the ratio to the
+    α=0.05 critical value (1.358·√((n_a+n_b)/(n_a·n_b))) — ratio > 1 ⇒
+    distributions differ. The CONTINUOUS-distribution drift gate next to
+    the categorical ones (`text_corpus_drift_kl`, `stats_chi2_lang_source`)
+    — the test run before accepting a new data source whose score
+    distribution must match production.
+
+    Shape: both ECDFs come from ONE running-sum window over the pooled
+    sorted sample (indicator columns), collapsed to each distinct value's
+    right-continuous step. The global sort is the audit form; at 1e9+
+    rows evaluate D on approx-quantile grid points instead — same max-diff
+    reduction, bounded frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("value")
+    b = e.filter(F.col("event_type") == "view").select("value")
+    na = a.count()
+    nb = b.count()
+    pooled = a.select(
+        "value", F.lit(1.0).alias("in_a"), F.lit(0.0).alias("in_b")
+    ).unionAll(
+        b.select("value", F.lit(0.0).alias("in_a"), F.lit(1.0).alias("in_b"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = pooled.select(
+        "value",
+        (F.sum("in_a").over(w) / na).alias("f_a"),
+        (F.sum("in_b").over(w) / nb).alias("f_b"),
+    )
+    at_points = stepped.groupBy("value").agg(
+        F.max("f_a").alias("f_a"), F.max("f_b").alias("f_b")
+    )
+    crit = 1.358 * ((na + nb) / (na * nb)) ** 0.5
+    return at_points.agg(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.round(F.max(F.abs(F.col("f_a") - F.col("f_b"))), 6).alias("ks_d"),
+        F.round(
+            F.max(F.abs(F.col("f_a") - F.col("f_b"))) / F.lit(crit), 4
+        ).alias("d_over_crit05"),
+    )
+
+
+@register(
+    "dq_freshness_audit",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               MAX(CAST(e.ts AS TIMESTAMP)) AS latest
+        FROM events e
+        JOIN documents d ON d.doc_id = e.event_id % 500
+        GROUP BY source
+    ),
+    global_max AS (SELECT MAX(latest) AS g FROM per_source)
+    SELECT source,
+           CAST(latest AS VARCHAR) AS latest_event,
+           CAST(date_diff('microsecond', latest, (SELECT g FROM global_max))
+                // 60000000 AS BIGINT) AS lag_minutes
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data freshness: each source's latest event time and its
+    lag behind the freshest source — the staleness SLA row on every
+    ingestion dashboard (a source whose lag grows monotonically has a
+    stalled feed). Sources attach via the synthetic doc link (event_id
+    mod), standing in for the real per-feed partition column; the plan is
+    one broadcast-joined aggregate either way."""
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_source = (
+        e.select((F.col("event_id") % 500).alias("doc_id"), "ts")
+        .join(F.broadcast(d), "doc_id")
+        .groupBy("source")
+        .agg(F.max("ts").alias("latest"))
+    )
+    g = per_source.agg(F.max("latest").alias("g"))
+    return (
+        per_source.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("latest").cast("string").alias("latest_event"),
+            F.expr(
+                "timestampdiff(MICROSECOND, latest, g) div 60000000"
+            )
+            .cast("bigint")
+            .alias("lag_minutes"),
+        )
+        .orderBy("source")
+    )
