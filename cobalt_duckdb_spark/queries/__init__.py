@@ -286,6 +286,7 @@ _DRIVER_DEFER = (
     "agg_decimal_exact_money",
     "stats_ks_two_sample",
     "dq_freshness_audit",
+    "stats_mann_whitney_u",
 )
 
 

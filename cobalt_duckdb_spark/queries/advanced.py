@@ -1888,3 +1888,90 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH pooled AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END
+                   AS in_a
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+        /* average ranks over ties: rank() spans + tie-count arithmetic */
+        SELECT in_a,
+               rank() OVER (ORDER BY value) AS r0,
+               COUNT(*) OVER (PARTITION BY value) AS tie_n
+        FROM pooled
+    ),
+    avg_ranked AS (
+        SELECT in_a, r0 + (tie_n - 1) / 2.0 AS r FROM ranked
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN in_a = 1.0 THEN r END) AS r_a,
+               SUM(in_a) AS n_a,
+               SUM(1.0 - in_a) AS n_b
+        FROM avg_ranked
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_a,
+           ROUND((r_a - n_a * (n_a + 1) / 2.0) / (n_a * n_b), 6)
+               AS auc_estimate,
+           ROUND(((r_a - n_a * (n_a + 1) / 2.0) - n_a * n_b / 2.0)
+                 / SQRT(n_a * n_b * (n_a + n_b + 1) / 12.0), 4) AS z_score
+    FROM agg
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) between click and view values — the
+    nonparametric location test next to Welch's t (`stats_ab_test_welch`
+    assumes means matter; U only assumes ordering) with two readings:
+    U/(n_a·n_b) IS the AUC of "value separates the groups", and the normal
+    z approximation gates significance. Tie handling = average ranks
+    (rank() span + tie-count arithmetic — identical on both engines,
+    unlike engine-specific dense/percent ranks).
+
+    One global sort window over the pooled values (audit form; bucketed
+    rank approximation is the 1e9-row swap), then a 1-row reduction."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    pooled = e.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1.0)
+        .otherwise(0.0)
+        .alias("in_a"),
+    )
+    r0 = F.rank().over(Window.orderBy("value"))
+    tie_n = F.count(F.lit(1)).over(Window.partitionBy("value"))
+    avg_ranked = pooled.select(
+        "in_a", (r0 + (tie_n - 1) / 2.0).alias("r")
+    )
+    agg = avg_ranked.agg(
+        F.sum(F.when(F.col("in_a") == 1.0, F.col("r"))).alias("r_a"),
+        F.sum("in_a").alias("n_a"),
+        F.sum(1.0 - F.col("in_a")).alias("n_b"),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(u_a, 2).alias("u_a"),
+        F.round(u_a / (F.col("n_a") * F.col("n_b")), 6).alias(
+            "auc_estimate"
+        ),
+        F.round(
+            (u_a - F.col("n_a") * F.col("n_b") / 2.0)
+            / F.sqrt(
+                F.col("n_a")
+                * F.col("n_b")
+                * (F.col("n_a") + F.col("n_b") + 1)
+                / 12.0
+            ),
+            4,
+        ).alias("z_score"),
+    )
