@@ -214,3 +214,84 @@ def test_asof_join_bucketed_matches_pandas(spark, case, width, direction):
     else:
         want = {i: None for i in range(len(left_rows))}
     assert got == want
+
+
+@st.composite
+def interval_case(draw):
+    n = draw(st.integers(1, 12))
+    return [
+        (draw(st.integers(0, 2)), draw(st.integers(0, 100)))
+        for _ in range(n)
+    ]
+
+
+@given(interval_case())
+@settings(**SETTINGS)
+def test_interval_islands_match_bruteforce(spark, case):
+    """Gaps-and-islands union-of-intervals coverage vs a brute-force
+    point-set union, on random (user, start) pairs with width-10
+    intervals — covers nested, touching, and duplicate intervals."""
+    from pyspark.sql import Window
+
+    width = 10
+    df = spark.createDataFrame(
+        case, "user_id BIGINT, s BIGINT"
+    ).withColumn("e", F.col("s") + width)
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(
+        "user_id", "s", "e",
+        F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1)
+        .otherwise(0).alias("ni"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("ni").over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("gid"),
+    )
+    got = {
+        r["user_id"]: r["cov"]
+        for r in islands.groupBy("user_id", "gid")
+        .agg((F.max("e") - F.min("s")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.sum("d").alias("cov"))
+        .collect()
+    }
+    want = {}
+    for u in {k for k, _ in case}:
+        pts = set()
+        for k, s in case:
+            if k == u:
+                pts.update(range(s, s + width))
+        want[u] = len(pts)
+    assert got == want
+
+
+@st.composite
+def cdc_doc(draw):
+    words = draw(st.lists(st.sampled_from(
+        ["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=4, max_size=60))
+    return " ".join(words)
+
+
+@given(cdc_doc())
+@settings(**SETTINGS)
+def test_cdc_chunks_conserve_and_determinism(spark, doc):
+    """CDC chunking conserves every token (counts sum to doc length),
+    chunk ids are contiguous from 0, and re-chunking the same text yields
+    the identical fingerprint multiset."""
+    from cobalt_duckdb_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(1, doc), (2, doc)], "doc_id long, text string")
+    rows = cdc_chunks(df).collect()
+    for did in (1, 2):
+        mine = sorted(
+            (r["chunk_id"], r["n_tokens"], r["fingerprint"])
+            for r in rows if r["doc_id"] == did
+        )
+        assert sum(n for _, n, _ in mine) == len(doc.split(" "))
+        assert [c for c, _, _ in mine] == list(range(len(mine)))
+    fps = lambda d: sorted(r["fingerprint"] for r in rows if r["doc_id"] == d)  # noqa: E731
+    assert fps(1) == fps(2)
