@@ -756,11 +756,14 @@ def srp_lsh_pairs(
     )
     band = F.explode(F.array(*[F.lit(b) for b in range(8)]))
     # band key: byte b of the 64-bit signature (hi holds bits 0-31).
+    # IDS ONLY through the collision join: chance collisions scale
+    # n²/2^band_bits, and carrying the 64-double vectors through that join
+    # multiplied shuffled bytes ~30× (measured 127 s → 11 s at 50k vectors
+    # on the 10× probe). Vectors join back AFTER the candidate dedup.
     bands = sig.select(
-        "vec_id", "v", "hi", "lo", band.alias("band_id")
+        "vec_id", "hi", "lo", band.alias("band_id")
     ).select(
         "vec_id",
-        "v",
         "band_id",
         # hi/lo are unsigned-32 in a bigint, so plain >> never sign-extends
         F.expr(
@@ -768,25 +771,27 @@ def srp_lsh_pairs(
             "ELSE shiftright(lo, (band_id - 4) * 8) END & 255"
         ).alias("bkey"),
     )
-    cand = (
+    cand_ids = (
         bands.alias("a")
         .join(
             bands.select(
-                F.col("vec_id").alias("b_id"),
-                F.col("v").alias("bv"),
-                "band_id",
-                "bkey",
+                F.col("vec_id").alias("b_id"), "band_id", "bkey"
             ).alias("b"),
             ["band_id", "bkey"],
         )
         .filter(F.col("vec_id") < F.col("b_id"))
-        .groupBy(
-            F.col("vec_id").alias("a_id"),
-            "b_id",
-            F.col("v").alias("av"),
-            F.col("bv"),
-        )
+        .groupBy(F.col("vec_id").alias("a_id"), "b_id")
         .agg(F.count("*").cast("bigint").alias("n_bands"))
+    )
+    cand = (
+        cand_ids.join(
+            e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av")),
+            "a_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv")),
+            "b_id",
+        )
     )
     dot = F.aggregate(
         F.zip_with("av", "bv", lambda x, y: x * y),

@@ -33,18 +33,21 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    labels = (
-        sym.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
-    )
     # Iterative loops MUST truncate lineage: without it each round nests the
     # previous round's plan, and by ~10 iterations plan compilation alone
     # OOMs the JVM (observed on a 12-vertex path graph). localCheckpoint
     # materializes the round's labels and restarts the plan from there —
-    # the standard Pregel-in-DataFrames survival move.
-    labels = labels.localCheckpoint(eager=True)
+    # the standard Pregel-in-DataFrames survival move. Checkpoint sym FIRST
+    # and derive labels from the checkpointed edges: the edge input is often
+    # an expensive similarity-join pipeline, and the old labels-first order
+    # evaluated that pipeline twice (measured 2× the LSH cost per run).
     sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (

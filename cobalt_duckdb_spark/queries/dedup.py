@@ -159,9 +159,12 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_connected_groups",
-    oracle="""
+def _connected_groups_oracle() -> str:
+    lsh = " ".join(D.minhash_lsh_oracle_sql(threshold=0.5).split())
+    return _CONNECTED_GROUPS_ORACLE_TEMPLATE.replace("__LSH_PAIRS__", lsh)
+
+
+_CONNECTED_GROUPS_ORACLE_TEMPLATE = """
     WITH RECURSIVE sh AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -176,17 +179,8 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
         FROM (SELECT doc_id, unnest(s) AS shingle FROM shf)
     ),
-    common AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) * 1.0 AS common
-        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
     pairs AS (
-        SELECT c.a_id, c.b_id
-        FROM common c
-        JOIN sizes sa ON sa.doc_id = c.a_id
-        JOIN sizes sb ON sb.doc_id = c.b_id
-        WHERE c.common / (sa.ns + sb.ns - c.common) >= 0.5
+        SELECT a_id, b_id FROM (__LSH_PAIRS__)
     ),
     edges AS (
         SELECT a_id AS u, b_id AS v FROM pairs
@@ -205,16 +199,24 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT keeper_id, COUNT(*) AS group_size FROM comp GROUP BY 1) g
       ON c.keeper_id = g.keeper_id
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("dedup_connected_groups", oracle=_connected_groups_oracle())
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUP resolution: jaccard pairs (≥0.5) → connected
-    components via min-label propagation → (doc, keeper=component min,
-    group size). The oracle computes the same components with a recursive
-    CTE (transitive closure + min over reachable)."""
+    """Near-dup GROUP resolution: MinHash-LSH screened+verified pairs
+    (Jaccard ≥ 0.5) → connected components via min-label propagation →
+    (doc, keeper=component min, group size). Pairs come from the LSH
+    SCREEN, not the exact inverted-index all-pairs join — the production
+    composition: under heavy duplication the all-pairs common-counting
+    join scales with posting-list² (measured 44 s vs 7 s for the LSH
+    screen at the 10× probe density), while the banded screen's candidate
+    work is bounded by bucket collisions. The oracle replays the identical
+    LSH pipeline, then closes groups with a recursive CTE (transitive
+    closure + min over reachable)."""
     from cobalt_duckdb_spark.operators.graph import dedup_groups
 
-    pairs = D.ngram_jaccard_pairs(
+    pairs = D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
     )
     return dedup_groups(pairs)
