@@ -287,6 +287,7 @@ _DRIVER_DEFER = (
     "stats_ks_two_sample",
     "dq_freshness_audit",
     "stats_mann_whitney_u",
+    "stats_permutation_test_hashed",
 )
 
 

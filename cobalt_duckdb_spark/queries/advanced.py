@@ -1975,3 +1975,126 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+_PERM_N = 20
+
+
+@register(
+    "stats_permutation_test_hashed",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    observed AS (
+        SELECT AVG(CASE WHEN is_a = 1 THEN value END)
+               - AVG(CASE WHEN is_a = 0 THEN value END) AS d
+        FROM base
+    ),
+    n_a AS (SELECT SUM(is_a) AS k FROM base),
+    relabeled AS (
+        /* permutation p: keep group sizes by taking the k smallest
+           md5(p:event_id) keys as pseudo-group A — a deterministic
+           permutation family, reproducible across engines */
+        SELECT p.p, b.value,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY p.p
+                        ORDER BY md5(CAST(p.p AS VARCHAR) || ':' ||
+                                     CAST(b.event_id AS VARCHAR)),
+                                 b.event_id
+                    ) <= (SELECT k FROM n_a)
+                    THEN 1 ELSE 0 END AS is_a
+        FROM base b
+        CROSS JOIN (SELECT unnest(range(0, {_PERM_N})) AS p) p
+    ),
+    null_dist AS (
+        SELECT p,
+               AVG(CASE WHEN is_a = 1 THEN value END)
+               - AVG(CASE WHEN is_a = 0 THEN value END) AS d
+        FROM relabeled GROUP BY p
+    )
+    SELECT CAST({_PERM_N} AS BIGINT) AS n_permutations,
+           ROUND((SELECT d FROM observed), 6) AS observed_diff,
+           ROUND(AVG(d), 6) AS null_mean_diff,
+           ROUND(MAX(ABS(d)), 6) AS null_max_abs_diff,
+           CAST(SUM(CASE WHEN ABS(d) >= ABS((SELECT d FROM observed))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme
+    FROM null_dist
+    """,
+)
+def stats_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test with a HASH-DERANDOMIZED permutation family: the
+    click-vs-view mean difference against 20 label shuffles, where
+    shuffle p assigns pseudo-group A to the k smallest md5(p:event_id)
+    keys (k = true group size). Distribution-free significance — no
+    normality assumption like Welch, no rank reduction like U — and every
+    "random" permutation is a pure function of (p, event_id), so the
+    whole test replays bit-identically on both engines and across reruns
+    (the A-ES reservoir-sampling derandomization trick applied to
+    inference). n_as_extreme/20 is the empirical p-value.
+
+    Scale: one scan fans out ×20 via a broadcast permutation axis;
+    each permutation is a rank window + two-group mean — at 1e9 rows swap
+    the exact rank for a per-permutation hash threshold on k/n (binomial
+    group sizes), same mergeable shape."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    base = e.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    observed = base.agg(
+        (
+            F.avg(F.when(F.col("is_a") == 1, F.col("value")))
+            - F.avg(F.when(F.col("is_a") == 0, F.col("value")))
+        ).alias("obs_d")
+    )
+    k = base.agg(F.sum("is_a").alias("k"))
+    perms = spark.range(_PERM_N).select(F.col("id").alias("p"))
+    rn = F.row_number().over(
+        Window.partitionBy("p").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("p").cast("string"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            "event_id",
+        )
+    )
+    relabeled = (
+        base.crossJoin(F.broadcast(perms))
+        .withColumn("rn", rn)
+        .crossJoin(F.broadcast(k))
+        .select(
+            "p",
+            "value",
+            F.when(F.col("rn") <= F.col("k"), 1).otherwise(0).alias("is_a"),
+        )
+    )
+    null_dist = relabeled.groupBy("p").agg(
+        (
+            F.avg(F.when(F.col("is_a") == 1, F.col("value")))
+            - F.avg(F.when(F.col("is_a") == 0, F.col("value")))
+        ).alias("d")
+    )
+    return null_dist.crossJoin(F.broadcast(observed)).agg(
+        F.lit(_PERM_N).cast("bigint").alias("n_permutations"),
+        F.round(F.first("obs_d"), 6).alias("observed_diff"),
+        F.round(F.avg("d"), 6).alias("null_mean_diff"),
+        F.round(F.max(F.abs(F.col("d"))), 6).alias("null_max_abs_diff"),
+        F.sum(
+            F.when(
+                F.abs(F.col("d")) >= F.abs(F.col("obs_d")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_as_extreme"),
+    )
