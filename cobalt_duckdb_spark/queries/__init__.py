@@ -288,6 +288,7 @@ _DRIVER_DEFER = (
     "dq_freshness_audit",
     "stats_mann_whitney_u",
     "stats_permutation_test_hashed",
+    "events_holt_linear_trend",
 )
 
 

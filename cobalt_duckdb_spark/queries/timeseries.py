@@ -1526,3 +1526,124 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+_HOLT_A = 0.5  # level smoothing
+_HOLT_B = 0.3  # trend smoothing
+
+
+@register(
+    "events_holt_linear_trend",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               AVG(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, x,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS i,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    /* DuckDB 1.0's list_reduce corrupts struct accumulators whose fields
+       read each other across steps (verified: a field copying acc.s ends
+       up with the FINAL s) — so the coupled (l, b) recurrence runs as a
+       recursive CTE instead, one row per (type, step). */
+    holt AS (
+        SELECT s2.event_type, 2 AS i, s2.x AS l, s2.x - s1.x AS b
+        FROM series s2 JOIN series s1
+          ON s1.event_type = s2.event_type AND s2.i = 2 AND s1.i = 1
+        UNION ALL
+        SELECT h.event_type, h.i + 1,
+               {_HOLT_A} * s.x + {1 - _HOLT_A} * h.l
+                   + {1 - _HOLT_A} * h.b,
+               {_HOLT_B * _HOLT_A} * s.x - {_HOLT_B * _HOLT_A} * h.l
+                   + {1 - _HOLT_B * _HOLT_A} * h.b
+        FROM holt h JOIN series s
+          ON s.event_type = h.event_type AND s.i = h.i + 1
+    ),
+    final AS (
+        SELECT h.event_type, h.i, h.l, h.b
+        FROM holt h
+        JOIN (SELECT event_type, MAX(i) AS mi FROM holt GROUP BY event_type) m
+          ON m.event_type = h.event_type AND m.mi = h.i
+    )
+    SELECT f.event_type,
+           CAST(f.i AS BIGINT) AS n_days,
+           ROUND(f.l, 6) AS level,
+           ROUND(f.b, 6) AS trend,
+           ROUND(f.l + f.b, 6) AS forecast_next_day
+    FROM final f
+    ORDER BY f.event_type
+    """,
+)
+def events_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over each
+    type's daily-mean series, with the one-step-ahead forecast l+b — the
+    EWMA recurrence upgraded to VECTOR state:
+    lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, seeded
+    l₂ = x₂, b₂ = x₂ − x₁. Both sides evaluate the recurrence in the SAME
+    expanded linear form (l' = αx + (1−α)l + (1−α)b;
+    b' = βαx − βαl + (1−βα)b) so the left-to-right double arithmetic is
+    bit-identical. Spark runs it as one sequential `F.aggregate` fold with
+    a struct accumulator over the collected series; the oracle replays it
+    as a recursive CTE (DuckDB 1.0's list_reduce mis-evaluates struct
+    accumulators with cross-referencing fields — found by this query's
+    differential test, which is exactly what the oracle harness is for).
+
+    Scale: the fold input is the AGGREGATED daily series (|days| elements
+    per type, bounded by the calendar span, not event volume) — the same
+    argument as the ACF/CUSUM queries."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.avg("value").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: F.struct(
+                s["x"].alias("x"),
+                F.lit(None).cast("double").alias("l"),
+                F.lit(None).cast("double").alias("b"),
+            ),
+        ).alias("xs")
+    )
+    a, bb = _HOLT_A, _HOLT_B
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.slice("xs", 2, F.size("xs") - 1),
+            F.element_at("xs", 1),
+            lambda acc, e: F.when(
+                acc["l"].isNull(),
+                F.struct(
+                    e["x"].alias("x"),
+                    e["x"].alias("l"),
+                    (e["x"] - acc["x"]).alias("b"),
+                ),
+            ).otherwise(
+                F.struct(
+                    e["x"].alias("x"),
+                    (
+                        a * e["x"] + (1 - a) * acc["l"] + (1 - a) * acc["b"]
+                    ).alias("l"),
+                    (
+                        (bb * a) * e["x"]
+                        - (bb * a) * acc["l"]
+                        + (1 - bb * a) * acc["b"]
+                    ).alias("b"),
+                )
+            ),
+        ).alias("s"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("s.l"), 6).alias("level"),
+        F.round(F.col("s.b"), 6).alias("trend"),
+        F.round(F.col("s.l") + F.col("s.b"), 6).alias("forecast_next_day"),
+    ).orderBy("event_type")
