@@ -289,6 +289,8 @@ _DRIVER_DEFER = (
     "stats_mann_whitney_u",
     "stats_permutation_test_hashed",
     "events_holt_linear_trend",
+    "text_good_turing_unseen",
+    "sample_pps_systematic",
 )
 
 

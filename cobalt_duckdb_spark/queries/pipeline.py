@@ -1169,3 +1169,75 @@ def sample_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("label")
     )
+
+
+_PPS_N = 25
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(n_chars) OVER () AS total
+        FROM documents
+    ),
+    marked AS (
+        SELECT doc_id, n_chars, cum, total,
+               CAST(FLOOR(cum * {_PPS_N}.0 / total) AS BIGINT)
+               - CAST(FLOOR((cum - n_chars) * {_PPS_N}.0 / total) AS BIGINT)
+                   AS n_hits
+        FROM sized
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           n_hits,
+           ROUND(n_chars * {_PPS_N}.0 / total, 6) AS expected_hits
+    FROM marked
+    WHERE n_hits > 0
+    ORDER BY doc_id
+    """,
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay every
+    document's size on a cumulative line, drop 25 equally spaced
+    marks, and a doc is selected once per mark inside its interval —
+    inclusion probability EXACTLY proportional to size with zero variance
+    in the sample total (the survey-sampling classic; for training data:
+    sample shards proportional to token count so epochs cover bytes, not
+    file counts). Derandomized at offset 0, so both engines select the
+    identical set; `n_hits` > 1 flags docs larger than a stride (they
+    anchor multiple marks — the PPS certainty-selection case).
+
+    One cumulative-sum window in doc_id order (the audit form; at 1e9
+    docs, compute per-partition offsets from partition-sum prefix scans —
+    same two-pass shape as the byte-balanced shard writer)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    sized = d.select(
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+        F.sum("n_chars").over(tot).alias("total"),
+    )
+    hits = F.floor(F.col("cum") * float(_PPS_N) / F.col("total")) - F.floor(
+        (F.col("cum") - F.col("n_chars")) * float(_PPS_N) / F.col("total")
+    )
+    return (
+        sized.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            hits.cast("bigint").alias("n_hits"),
+            F.round(
+                F.col("n_chars") * float(_PPS_N) / F.col("total"), 6
+            ).alias("expected_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )

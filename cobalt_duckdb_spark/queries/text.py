@@ -1404,3 +1404,78 @@ def text_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_prf_topk(
         load_table(spark, sf_dir, "documents"), ["vector", "query"]
     )
+
+
+@register(
+    "text_good_turing_unseen",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+    fof AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM freq GROUP BY f
+    ),
+    tot AS (
+        SELECT SUM(f * n_types) AS n_tokens,
+               SUM(n_types) AS n_observed_types,
+               SUM(CASE WHEN f = 1 THEN n_types ELSE 0 END) AS f1,
+               SUM(CASE WHEN f = 2 THEN n_types ELSE 0 END) AS f2
+        FROM fof
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_observed_types AS BIGINT) AS vocab_seen,
+           CAST(f1 AS BIGINT) AS hapax_types,
+           CAST(f2 AS BIGINT) AS dis_types,
+           ROUND(f1 * 1.0 / n_tokens, 6) AS unseen_mass_gt,
+           ROUND(CASE WHEN f2 > 0
+                      THEN n_observed_types + f1 * f1 / (2.0 * f2) END, 2)
+               AS chao1_vocab_estimate
+    FROM tot
+    """,
+)
+def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-mass estimation over the corpus vocabulary: the
+    probability that the NEXT token drawn is a never-seen type is
+    estimated by hapax-share f₁/N (Good 1953), and the Chao1 estimator
+    (seen + f₁²/2f₂) bounds the true vocabulary size — the
+    "is this corpus big enough / how much tail is missing" planning
+    numbers read before freezing a tokenizer or sizing a crawl. Pure
+    frequency-of-frequencies arithmetic: token count → type frequency →
+    f-of-f, three mergeable aggregates, each smaller than the last."""
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        fan_out(d.select("text"))
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    fof = freq.groupBy("f").agg(F.count(F.lit(1)).alias("n_types"))
+    tot = fof.agg(
+        F.sum(F.col("f") * F.col("n_types")).alias("n_tokens"),
+        F.sum("n_types").alias("n_observed_types"),
+        F.sum(F.when(F.col("f") == 1, F.col("n_types")).otherwise(0)).alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("f") == 2, F.col("n_types")).otherwise(0)).alias(
+            "f2"
+        ),
+    )
+    return tot.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_observed_types").cast("bigint").alias("vocab_seen"),
+        F.col("f1").cast("bigint").alias("hapax_types"),
+        F.col("f2").cast("bigint").alias("dis_types"),
+        F.round(F.col("f1") / F.col("n_tokens"), 6).alias("unseen_mass_gt"),
+        F.round(
+            F.when(
+                F.col("f2") > 0,
+                F.col("n_observed_types")
+                + F.col("f1") * F.col("f1") / (2.0 * F.col("f2")),
+            ),
+            2,
+        ).alias("chao1_vocab_estimate"),
+    )
