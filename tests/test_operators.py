@@ -878,3 +878,64 @@ def test_cdc_chunks_shift_invariance(spark):
     fp2 = {r["fingerprint"] for r in by_doc[2]}
     shared = len(fp1 & fp2)
     assert shared >= 0.7 * len(fp1), (shared, len(fp1), len(fp2))
+
+
+def test_ks_and_mwu_match_python_reference(spark, sf_dir):
+    """KS D-statistic and Mann-Whitney U recomputed in plain Python from
+    the same rows — independent implementations, exact agreement."""
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.advanced import (
+        stats_ks_two_sample,
+        stats_mann_whitney_u,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    a = [r["value"] for r in e.filter("event_type = 'click'").collect()]
+    b = [r["value"] for r in e.filter("event_type = 'view'").collect()]
+
+    ks = stats_ks_two_sample(spark, sf_dir).collect()[0]
+    pts = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            sum(x <= p for x in a) / len(a)
+            - sum(x <= p for x in b) / len(b)
+        )
+        for p in pts
+    )
+    assert abs(ks["ks_d"] - round(d, 6)) < 1e-9
+
+    mwu = stats_mann_whitney_u(spark, sf_dir).collect()[0]
+    pooled = sorted([(v, 1) for v in a] + [(v, 0) for v in b])
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    r_a = sum(ranks[k] for k, (_, isa) in enumerate(pooled) if isa)
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    assert abs(mwu["u_a"] - round(u_a, 2)) < 1e-6
+    assert abs(mwu["auc_estimate"] - round(u_a / (len(a) * len(b)), 6)) < 1e-9
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    """Trailing-20 rolling median equals pandas rolling(20, min_periods=1)
+    .median() per event type over the identically ordered series."""
+    import pandas as pd
+
+    from cobalt_duckdb_spark.queries.timeseries import events_rolling_median
+
+    rows = events_rolling_median(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        vals = pd.Series([r["value"] for r in rs])
+        want = vals.rolling(20, min_periods=1).median()
+        for got, w in zip(rs, want):
+            assert abs(got["rolling_median"] - round(w, 6)) < 2e-6
