@@ -291,6 +291,7 @@ _DRIVER_DEFER = (
     "events_holt_linear_trend",
     "text_good_turing_unseen",
     "sample_pps_systematic",
+    "stats_propensity_match_att",
 )
 
 

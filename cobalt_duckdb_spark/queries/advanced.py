@@ -2098,3 +2098,135 @@ def stats_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("n_as_extreme"),
     )
+
+
+@register(
+    "stats_propensity_match_att",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               AVG(value) AS avg_value,
+               CAST(COUNT(*) AS DOUBLE) AS n_events,
+               SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   AS outcome,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS treated
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT AVG(avg_value) AS m1, stddev_samp(avg_value) AS s1,
+               AVG(n_events) AS m2, stddev_samp(n_events) AS s2
+        FROM users
+    ),
+    z AS (
+        SELECT u.user_id,
+               (u.avg_value - s.m1) / s.s1 AS z1,
+               (u.n_events - s.m2) / s.s2 AS z2,
+               u.outcome, u.treated
+        FROM users u CROSS JOIN stats s
+    ),
+    matched AS (
+        SELECT t.user_id, t.outcome AS t_outcome,
+               c.outcome AS c_outcome,
+               ROUND(SQRT(POW(t.z1 - c.z1, 2) + POW(t.z2 - c.z2, 2)), 6)
+                   AS dist,
+               row_number() OVER (
+                   PARTITION BY t.user_id
+                   ORDER BY ROUND(SQRT(POW(t.z1 - c.z1, 2)
+                                       + POW(t.z2 - c.z2, 2)), 6) ASC,
+                            c.user_id ASC
+               ) AS rn
+        FROM (SELECT * FROM z WHERE treated = 1) t
+        CROSS JOIN (SELECT * FROM z WHERE treated = 0) c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_pairs,
+           ROUND(AVG(t_outcome), 4) AS treated_mean_outcome,
+           ROUND(AVG(c_outcome), 4) AS control_mean_outcome,
+           ROUND(AVG(t_outcome - c_outcome), 4) AS att,
+           ROUND(AVG(dist), 6) AS avg_match_distance
+    FROM matched WHERE rn = 1
+    """,
+)
+def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate matching with replacement for an ATT estimate: every
+    'treated' user (made a purchase) matches the nearest 'control' user in
+    standardized (avg event value, event count) space; ATT = mean outcome
+    gap over matched pairs, with the mean match distance as the balance
+    diagnostic. With-replacement nearest matching is ORDER-FREE (each
+    treated unit's argmin is independent), which is what makes it
+    expressible as a join+argmin and deterministic — greedy
+    without-replacement matching is sequential by construction and
+    deliberately not modeled. Distances rounded 6 dp BEFORE the argmin so
+    the tie-break (min control id) agrees across engines.
+
+    Scale: covariates standardize via one broadcast stats row; the
+    treated×control cross join is the audit form — at 1e9 users the same
+    argmin runs per LSH/grid bucket of the covariate space (the KNN-join
+    machinery), identical downstream."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.avg("value").alias("avg_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("outcome"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("treated"),
+    )
+    stats = users.agg(
+        F.avg("avg_value").alias("m1"),
+        F.stddev_samp("avg_value").alias("s1"),
+        F.avg("n_events").alias("m2"),
+        F.stddev_samp("n_events").alias("s2"),
+    )
+    z = users.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        ((F.col("avg_value") - F.col("m1")) / F.col("s1")).alias("z1"),
+        ((F.col("n_events") - F.col("m2")) / F.col("s2")).alias("z2"),
+        "outcome",
+        "treated",
+    )
+    t = z.filter(F.col("treated") == 1).select(
+        F.col("user_id").alias("t_id"),
+        F.col("z1").alias("tz1"),
+        F.col("z2").alias("tz2"),
+        F.col("outcome").alias("t_outcome"),
+    )
+    c = z.filter(F.col("treated") == 0).select(
+        F.col("user_id").alias("c_id"),
+        F.col("z1").alias("cz1"),
+        F.col("z2").alias("cz2"),
+        F.col("outcome").alias("c_outcome"),
+    )
+    dist = F.round(
+        F.sqrt(
+            F.pow(F.col("tz1") - F.col("cz1"), 2)
+            + F.pow(F.col("tz2") - F.col("cz2"), 2)
+        ),
+        6,
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("t_id").orderBy(
+            F.col("dist").asc(), F.col("c_id").asc()
+        )
+    )
+    matched = (
+        t.crossJoin(c)
+        .withColumn("dist", dist)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_pairs"),
+        F.round(F.avg("t_outcome"), 4).alias("treated_mean_outcome"),
+        F.round(F.avg("c_outcome"), 4).alias("control_mean_outcome"),
+        F.round(
+            F.avg(F.col("t_outcome") - F.col("c_outcome")), 4
+        ).alias("att"),
+        F.round(F.avg("dist"), 6).alias("avg_match_distance"),
+    )
