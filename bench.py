@@ -99,8 +99,13 @@ def main() -> None:
     from cobalt_duckdb_spark.io import load_table
     from cobalt_duckdb_spark.operators.knn import build_vector_store
 
+    # serve-path store: coalesce to a few partitions — per-query latency at
+    # this store size is dominated by fixed task overhead (32 tasks of
+    # ~150 rows each), not compute; a real 1e9-vector store would keep its
+    # natural partitioning and this knob disappears
     store = build_vector_store(
-        load_table(spark, sf_dir, "embeddings"), view_name="bench_vstore"
+        load_table(spark, sf_dir, "embeddings").coalesce(8),
+        view_name="bench_vstore",
     )
     store.count()  # materialize the cache
     qvecs = [
@@ -111,7 +116,9 @@ def main() -> None:
     from cobalt_duckdb_spark.functions.vector import dot_product
 
     def warm_knn(vec):
-        q = F.array(*[F.lit(v) for v in vec])
+        # single array literal (one expression node) — an array() of 64
+        # F.lit()s costs measurably more per-query analysis time
+        q = F.lit(vec)
         return (
             store.select(
                 "vec_id", (F.lit(1.0) - dot_product(F.col("embedding"), q)).alias("d")
