@@ -292,6 +292,7 @@ _DRIVER_DEFER = (
     "text_good_turing_unseen",
     "sample_pps_systematic",
     "stats_propensity_match_att",
+    "stats_diff_in_diff",
 )
 
 

@@ -2230,3 +2230,110 @@ def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("att"),
         F.round(F.avg("dist"), 6).alias("avg_match_distance"),
     )
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0,
+               MAX(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events
+    ),
+    assigned AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 2 = 0
+                    THEN 'treat' ELSE 'control' END AS arm,
+               CASE WHEN date_diff('microsecond',
+                        (SELECT t0 FROM bounds), CAST(ts AS TIMESTAMP)) * 2
+                    < date_diff('microsecond',
+                        (SELECT t0 FROM bounds), (SELECT t1 FROM bounds))
+                    THEN 'pre' ELSE 'post' END AS period,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT arm, period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS mean_value
+        FROM assigned GROUP BY arm, period
+    ),
+    wide AS (
+        SELECT
+            (SELECT mean_value FROM cells
+             WHERE arm = 'treat' AND period = 'pre') AS tp,
+            (SELECT mean_value FROM cells
+             WHERE arm = 'treat' AND period = 'post') AS tq,
+            (SELECT mean_value FROM cells
+             WHERE arm = 'control' AND period = 'pre') AS cp,
+            (SELECT mean_value FROM cells
+             WHERE arm = 'control' AND period = 'post') AS cq,
+            (SELECT SUM(n) FROM cells) AS n_total
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_obs,
+           ROUND(tq - tp, 4) AS treat_delta,
+           ROUND(cq - cp, 4) AS control_delta,
+           ROUND((tq - tp) - (cq - cp), 4) AS did_estimate
+    FROM wide
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: purchase-value change across the
+    corpus-midpoint period split, treatment vs control (hash arms), with
+    DiD = Δtreat − Δcontrol — the parallel-trends estimator that removes
+    shared time trends a naive before/after comparison absorbs. Completes
+    the causal toolkit: randomized comparison (`stats_ab_test_welch`),
+    observational matching (`stats_propensity_match_att`), and panel DiD —
+    hash arms make this an A/A calibration whose true effect is 0.
+
+    One 2×2 grouped aggregate off a single filtered scan; the midpoint and
+    the four cell means are broadcast-sized."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "treat",
+    ).otherwise("control")
+    period = F.when(
+        F.expr("timestampdiff(MICROSECOND, t0, ts)") * 2
+        < F.expr("timestampdiff(MICROSECOND, t0, t1)"),
+        "pre",
+    ).otherwise("post")
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(arm.alias("arm"), period.alias("period"), "value")
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("value").alias("mean_value"),
+        )
+    )
+
+    def cell(a, p):
+        return F.first(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == p),
+                F.col("mean_value"),
+            ),
+            ignorenulls=True,
+        )
+
+    return cells.agg(
+        F.sum("n").cast("bigint").alias("n_obs"),
+        F.round(cell("treat", "post") - cell("treat", "pre"), 4).alias(
+            "treat_delta"
+        ),
+        F.round(cell("control", "post") - cell("control", "pre"), 4).alias(
+            "control_delta"
+        ),
+        F.round(
+            (cell("treat", "post") - cell("treat", "pre"))
+            - (cell("control", "post") - cell("control", "pre")),
+            4,
+        ).alias("did_estimate"),
+    )
