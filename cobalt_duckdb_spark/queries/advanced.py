@@ -1813,30 +1813,39 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     a = e.filter(F.col("event_type") == "click").select("value")
     b = e.filter(F.col("event_type") == "view").select("value")
-    na = a.count()
-    nb = b.count()
     pooled = a.select(
         "value", F.lit(1.0).alias("in_a"), F.lit(0.0).alias("in_b")
     ).unionAll(
         b.select("value", F.lit(0.0).alias("in_a"), F.lit(1.0).alias("in_b"))
     )
+    # group sizes stay IN the plan (unbounded-window totals over the same
+    # sort the ECDF needs) — no driver-side count() feeding literals
+    tot = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     stepped = pooled.select(
         "value",
-        (F.sum("in_a").over(w) / na).alias("f_a"),
-        (F.sum("in_b").over(w) / nb).alias("f_b"),
+        (F.sum("in_a").over(w) / F.sum("in_a").over(tot)).alias("f_a"),
+        (F.sum("in_b").over(w) / F.sum("in_b").over(tot)).alias("f_b"),
+        F.sum("in_a").over(tot).alias("na"),
+        F.sum("in_b").over(tot).alias("nb"),
     )
     at_points = stepped.groupBy("value").agg(
-        F.max("f_a").alias("f_a"), F.max("f_b").alias("f_b")
+        F.max("f_a").alias("f_a"),
+        F.max("f_b").alias("f_b"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
     )
-    crit = 1.358 * ((na + nb) / (na * nb)) ** 0.5
+    d = F.max(F.abs(F.col("f_a") - F.col("f_b")))
+    crit = 1.358 * F.sqrt(
+        (F.first("na") + F.first("nb")) / (F.first("na") * F.first("nb"))
+    )
     return at_points.agg(
-        F.lit(na).cast("bigint").alias("n_a"),
-        F.lit(nb).cast("bigint").alias("n_b"),
-        F.round(F.max(F.abs(F.col("f_a") - F.col("f_b"))), 6).alias("ks_d"),
-        F.round(
-            F.max(F.abs(F.col("f_a") - F.col("f_b"))) / F.lit(crit), 4
-        ).alias("d_over_crit05"),
+        F.first("na").cast("bigint").alias("n_a"),
+        F.first("nb").cast("bigint").alias("n_b"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(d / crit, 4).alias("d_over_crit05"),
     )
 
 
