@@ -293,6 +293,7 @@ _DRIVER_DEFER = (
     "sample_pps_systematic",
     "stats_propensity_match_att",
     "stats_diff_in_diff",
+    "events_markov_absorption",
 )
 
 

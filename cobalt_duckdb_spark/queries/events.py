@@ -1273,3 +1273,117 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_ABS_DOUBLINGS = 7  # S_128 = sum of Q^k, k < 128 — residual ~rho^128, far below 6 dp
+
+
+@register(
+    "events_markov_absorption",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    probs AS (
+        SELECT event_type AS i, next_type AS j,
+               ROUND(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY event_type), 9) AS p
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    p1 AS MATERIALIZED (
+        SELECT i, j, p FROM probs
+        WHERE i <> 'purchase' AND j <> 'purchase'
+    ),
+    states AS (SELECT DISTINCT i FROM p1),
+    s1 AS MATERIALIZED (
+        SELECT i, i AS j, 1.0 AS p FROM states
+    ),
+    {','.join(f'''s{2 ** (d + 1)} AS MATERIALIZED (
+        SELECT i, j, ROUND(SUM(p), 9) AS p FROM (
+            SELECT i, j, p FROM s{2 ** d}
+            UNION ALL
+            SELECT a.i, b.j, a.p * b.p
+            FROM s{2 ** d} a JOIN p{2 ** d} b ON a.j = b.i
+        ) GROUP BY i, j
+    ),
+    p{2 ** (d + 1)} AS MATERIALIZED (
+        SELECT a.i AS i, b.j AS j, ROUND(SUM(a.p * b.p), 9) AS p
+        FROM p{2 ** d} a JOIN p{2 ** d} b ON a.j = b.i
+        GROUP BY a.i, b.j
+    )''' for d in range(_ABS_DOUBLINGS))}
+    SELECT i AS from_state, j AS to_state,
+           ROUND(p, 6) AS expected_visits
+    FROM s{2 ** _ABS_DOUBLINGS}
+    ORDER BY from_state, to_state
+    """,
+)
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain analysis: treat 'purchase' as the absorbing state
+    and compute the fundamental matrix N = (I−Q)⁻¹ — N[i,j] = expected
+    visits to transient state j on a journey starting at i before the
+    user converts; row sums are expected journey LENGTH. The third member
+    of the Markov family: one-step (`events_transition_matrix`),
+    equilibrium (`events_markov_stationary`), and absorption (this).
+
+    The inverse is never formed: N = Σ Q^k, computed by the DOUBLING
+    identity S₂ₙ = Sₙ + Sₙ·Pₙ, P₂ₙ = Pₙ·Pₙ — 7 doublings give the
+    128-term series whose residual (ρ(Q)¹²⁸) is far below the 6-dp
+    output rounding. Same long-format matrix algebra + per-step 9-dp
+    fixed point + localCheckpoint discipline as the PCA and stationary
+    queries; every matrix is |transient states|², broadcast-scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    probs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("i"), F.col("next_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = Window.partitionBy("i")
+    q = (
+        probs.select(
+            "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
+        )
+        .filter((F.col("i") != "purchase") & (F.col("j") != "purchase"))
+        .localCheckpoint(eager=True)
+    )
+    s = (
+        q.select("i")
+        .distinct()
+        .select("i", F.col("i").alias("j"), F.lit(1.0).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+
+    def matmul(a, b):
+        x, y = a.alias("x"), b.alias("y")
+        return (
+            x.join(y, F.col("x.j") == F.col("y.i"))
+            .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
+            .agg(F.round(F.sum(F.col("x.p") * F.col("y.p")), 9).alias("p"))
+        )
+
+    for _ in range(_ABS_DOUBLINGS):
+        s_next = (
+            s.select("i", "j", "p")
+            .unionAll(matmul(s, q))
+            .groupBy("i", "j")
+            .agg(F.round(F.sum("p"), 9).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        q = matmul(q, q).localCheckpoint(eager=True)
+        s = s_next
+    return s.select(
+        F.col("i").alias("from_state"),
+        F.col("j").alias("to_state"),
+        F.round("p", 6).alias("expected_visits"),
+    ).orderBy("from_state", "to_state")

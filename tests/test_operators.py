@@ -939,3 +939,33 @@ def test_rolling_median_matches_pandas(spark, sf_dir):
         want = vals.rolling(20, min_periods=1).median()
         for got, w in zip(rs, want):
             assert abs(got["rolling_median"] - round(w, 6)) < 2e-6
+
+
+def test_markov_absorption_matches_numpy_inverse(spark, sf_dir):
+    """The 128-term doubling series equals numpy's exact (I−Q)⁻¹ to ~1e-4
+    and the diagonal is ≥ 1 (you visit your own start)."""
+    import numpy as np
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.events import (
+        events_markov_absorption,
+        events_transition_matrix,
+    )
+
+    tm = events_transition_matrix(spark, sf_dir).collect()
+    states = sorted(
+        {r["from_type"] for r in tm if r["from_type"] != "purchase"}
+    )
+    idx = {s: k for k, s in enumerate(states)}
+    Q = np.zeros((len(states), len(states)))
+    for r in tm:
+        if r["from_type"] in idx and r["to_type"] in idx:
+            Q[idx[r["from_type"]], idx[r["to_type"]]] = r["p"]
+    N = np.linalg.inv(np.eye(len(states)) - Q)
+    got = events_markov_absorption(spark, sf_dir).collect()
+    assert len(got) == len(states) ** 2
+    for r in got:
+        want = N[idx[r["from_state"]], idx[r["to_state"]]]
+        assert abs(r["expected_visits"] - want) < 1e-3, (r, want)
+        if r["from_state"] == r["to_state"]:
+            assert r["expected_visits"] >= 1.0
