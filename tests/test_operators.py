@@ -969,3 +969,38 @@ def test_markov_absorption_matches_numpy_inverse(spark, sf_dir):
         assert abs(r["expected_visits"] - want) < 1e-3, (r, want)
         if r["from_state"] == r["to_state"]:
             assert r["expected_visits"] >= 1.0
+
+
+def test_bpe_round1_agrees_with_pair_counts(spark, sf_dir):
+    """The first BPE merge equals the argmax of the standalone pair-count
+    query (same tie-break), tying the iterative trainer to its one-step
+    statistic."""
+    from cobalt_duckdb_spark.queries.text import (
+        text_bpe_merge_pairs,
+        text_bpe_merge_rounds,
+    )
+
+    top_pairs = text_bpe_merge_pairs(spark, sf_dir).collect()
+    best = max(top_pairs, key=lambda r: (r["n"], [-ord(c) for c in r["pair"]]))
+    rounds = {r["round"]: r for r in text_bpe_merge_rounds(spark, sf_dir).collect()}
+    assert rounds[1]["merged_symbol"] == best["pair"]
+    assert rounds[1]["n"] == best["n"]
+    assert rounds[1]["n"] >= rounds[2]["n"] >= rounds[3]["n"]
+
+
+def test_recall_curve_monotone_in_nprobe(spark, sf_dir):
+    """More probes never hurt: recall@5 and scanned share are both
+    non-decreasing in nprobe."""
+    from cobalt_duckdb_spark.queries.similarity import (
+        simsearch_recall_nprobe_curve,
+    )
+
+    rows = sorted(
+        simsearch_recall_nprobe_curve(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    recalls = [r["avg_recall_at_5"] for r in rows]
+    scans = [r["avg_scanned_share"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert scans == sorted(scans)
+    assert recalls[-1] >= 0.9  # nprobe=4 of 16 cells should be near-exact
