@@ -163,6 +163,21 @@ SHOWCASE = {
         "nprobe axis joined in as a 3-row BroadcastExchange — the curve "
         "costs one pass plus candidate scoring, not |settings| re-runs."
     ),
+    "events_markov_absorption": (
+        "Iterative linear algebra. Things to see: ONE corpus-wide stage "
+        "(the user_id sequence window feeding the transition counts); "
+        "everything after reads Scan ExistingRDD — the localCheckpoint "
+        "boundary per doubling of the |transient|^2 long-format matrix, "
+        "so 7 doublings (the 128-term fundamental-matrix series) stay "
+        "linear in plan size and broadcast-scale in data."
+    ),
+    "stats_ks_two_sample": (
+        "Distribution-free drift gate. Things to see: group sizes come "
+        "from unbounded-window totals over the SAME sort the ECDF "
+        "running sums use — one Exchange, one Sort, no driver-side "
+        "count() feeding literals; the final reduction is a single-row "
+        "aggregate."
+    ),
 }
 
 
