@@ -527,3 +527,48 @@ def test_scd2_history_upsert_foreachbatch(spark, tmp_path):
         (2, 2): ("click", False),
         (2, 3): ("purchase", True),
     }
+
+
+def test_streaming_composed_pipeline_matches_batch(spark, sf_dir, events_stream_dir):
+    """A COMPOSED streaming pipeline — type filter → keyed dedup within
+    watermark → session-window rollup — must reproduce the identical
+    batch composition over the same files (single availableNow pass, no
+    state expiry in play). Pieces are pinned individually elsewhere; this
+    pins that the operators compose."""
+    from pyspark.sql import functions as F
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.streaming.events import read_events_stream
+
+    def pipeline(df):
+        clicks = df.filter(F.col("event_type") == "click")
+        if df.isStreaming:
+            clicks = clicks.withWatermark("ts", "1 hour")
+        deduped = clicks.dropDuplicates(["event_id"])
+        return deduped.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        ).select(
+            "user_id", F.col("w.start").alias("start"), "n", "v"
+        )
+
+    got_df = pipeline(read_events_stream(spark, events_stream_dir))
+    q = (
+        got_df.writeStream.format("memory")
+        .queryName("t_composed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start"], r["n"], r["v"])
+        for r in spark.sql("SELECT * FROM t_composed").collect()
+    }
+    want = {
+        (r["user_id"], r["start"], r["n"], r["v"])
+        for r in pipeline(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == want and len(got) > 0
