@@ -294,6 +294,13 @@ _DRIVER_DEFER = (
     "stats_propensity_match_att",
     "stats_diff_in_diff",
     "events_markov_absorption",
+    "simsearch_binary_hamming_topk",
+    "stats_poisson_bootstrap_ci",
+    "graph_scc_mutual_reachability",
+    "multimodal_ahash_neardup_pairs",
+    "text_rake_keywords",
+    "events_seasonal_naive_backtest",
+    "text_term_burstiness",
 )
 
 

@@ -2346,3 +2346,132 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: derandomized resampling CI at map-side cost
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64
+# Poisson(1) CDF — inverse-transform thresholds for the per-(row, replicate)
+# resample weight. P(X <= k) for k = 0..6; mass above 7 is ~8e-6 and is
+# clamped to 7 identically on both engines.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507642,
+)
+
+
+def _boot_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {arms} ELSE {len(_POIS1_CDF)} END"
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH draws AS (
+        SELECT e.event_type, e.value, t.b,
+               ('0x' || substr(md5('boot:' || CAST(t.b AS VARCHAR) || ':' ||
+                                   CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM events e CROSS JOIN range(0, {_BOOT_B}) t(b)
+    ),
+    weighted AS (
+        SELECT event_type, b, SUM(w * value) / SUM(w) AS boot_mean
+        FROM (SELECT event_type, b, value, {_boot_case_sql()} AS w FROM draws)
+        GROUP BY event_type, b
+    ),
+    base AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS mean_value
+        FROM events GROUP BY event_type
+    )
+    SELECT b.event_type, b.n,
+           ROUND(b.mean_value, 4) AS mean_value,
+           ROUND(quantile_cont(w.boot_mean, 0.025), 4) AS boot_lo,
+           ROUND(quantile_cont(w.boot_mean, 0.975), 4) AS boot_hi,
+           ROUND(stddev_samp(w.boot_mean), 4) AS boot_se
+    FROM weighted w JOIN base b USING (event_type)
+    GROUP BY b.event_type, b.n, b.mean_value
+    ORDER BY b.event_type
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): the resample count of each row in
+    each of B replicates is drawn as Poisson(1) instead of from a shared
+    multinomial, which removes the need to know n or to coordinate draws —
+    the weight is a pure per-(row, replicate) function, so the entire
+    bootstrap is ONE map-side explode followed by ONE keyed aggregate. The
+    draw is derandomized through the registry's salted-md5 inverse-CDF
+    discipline (same as `stats_permutation_test_hashed`): reproducible
+    across engines, runs, partitionings, and retries, which per-row RNG is
+    not. Output: per event_type, the point-estimate mean of `value` with
+    its 95% bootstrap CI and bootstrap SE.
+
+    Scale: rows x B weight generation is codegen'd arithmetic (no RNG
+    state, no shuffle); the only shuffles are the (event_type, b) aggregate
+    — B x |types| cells of mergeable sums — and the final B-row-per-type
+    percentile. The classic n-out-of-n bootstrap cannot run on 100 TB
+    (every replicate is a full shuffle of the data); this form costs one
+    pass regardless of B."""
+    e = load_table(spark, sf_dir, "events")
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    draws = e.select("event_type", "value", "event_id", b).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0),
+    )
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS1_CDF[k], k).otherwise(w)
+    weighted = (
+        draws.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("boot_mean"))
+    )
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("mean_value"),
+    )
+    return (
+        weighted.join(F.broadcast(base), "event_type")
+        .groupBy("event_type", "n", "mean_value")
+        .agg(
+            F.round(F.expr("percentile(boot_mean, 0.025)"), 4).alias("boot_lo"),
+            F.round(F.expr("percentile(boot_mean, 0.975)"), 4).alias("boot_hi"),
+            F.round(F.stddev_samp("boot_mean"), 4).alias("boot_se"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mean_value", 4).alias("mean_value"),
+            "boot_lo",
+            "boot_hi",
+            "boot_se",
+        )
+        .orderBy("event_type")
+    )

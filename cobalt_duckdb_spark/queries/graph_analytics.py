@@ -486,3 +486,119 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionAll(a)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components via reachability doubling
+# ---------------------------------------------------------------------------
+
+_SCC_TOP_EDGES = 6
+
+
+@register(
+    "graph_scc_mutual_reachability",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pair_counts AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+        FROM seq WHERE nxt IS NOT NULL AND nxt <> event_type
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (ORDER BY n DESC, src, dst) AS r
+            FROM pair_counts
+        ) WHERE r <= {_SCC_TOP_EDGES}
+    ),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    reach(src, dst) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    mutual AS (
+        SELECT a.src AS v, a.dst AS u
+        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    ),
+    scc AS (SELECT v, MIN(u) AS scc_id FROM mutual GROUP BY v)
+    SELECT s.v AS event_type, s.scc_id,
+           CAST(COUNT(*) OVER (PARTITION BY s.scc_id) AS BIGINT) AS scc_size
+    FROM scc s ORDER BY event_type
+    """,
+)
+def graph_scc_mutual_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the dominant event-flow graph:
+    nodes are event types, edges the top-6 directed
+    transition pairs by frequency (rank-pinned so both engines pick the
+    identical sparse graph), and a node's SCC id is the minimum node that
+    is reachable from it AND reaches it. Complements the undirected
+    family (`dedup_connected_groups`, `graph_lpa_communities`) with the
+    directed notion a funnel/flow analysis needs: {click, error, signup}
+    collapsing into one recurrent component while purchase/view stay
+    acyclic is exactly the loop-vs-exit structure of the journey graph.
+
+    Spark computes transitive closure by REACHABILITY DOUBLING —
+    R_(k+1) = R_k JOIN R_k — the same O(log diameter) strategy as the
+    absorbing-chain series (`events_markov_absorption`): 3 self-join
+    rounds cover paths of length 8 on a graph whose longest shortest path
+    is at most |V|-1 = 4. Each round is one equi-join + distinct on a
+    frame bounded by |V|^2 (event-type vocabulary, ~25 rows), broadcast
+    throughout; the oracle replays the identical closure as a recursive
+    CTE. The user-sequence scan (one window shuffle on user_id) dominates
+    at scale; everything after is vocabulary-sized."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("event_type")))
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # |types|^2-bounded frame: the single-partition rank window is fine
+    r = F.row_number().over(Window.orderBy(F.desc("n"), "src", "dst"))
+    edges = (
+        pairs.withColumn("r", r).filter(F.col("r") <= _SCC_TOP_EDGES)
+        .select("src", "dst")
+        .localCheckpoint()  # pin the sparse graph; reused 2x per doubling round
+    )
+    nodes = e.select(F.col("event_type").alias("v")).distinct()
+    reach = nodes.select(
+        F.col("v").alias("src"), F.col("v").alias("dst")
+    ).unionByName(edges).distinct()
+    for _ in range(3):  # paths up to length 8 >= diameter bound |V|-1
+        step = (
+            reach.alias("a")
+            .join(
+                reach.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+            )
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        reach = reach.unionByName(step).distinct().localCheckpoint()
+    mutual = (
+        reach.alias("a")
+        .join(
+            reach.alias("b"),
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("v"), F.col("a.dst").alias("u"))
+    )
+    scc = mutual.groupBy("v").agg(F.min("u").alias("scc_id"))
+    sizes = scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scc_size")
+    )
+    return (
+        scc.join(F.broadcast(sizes), "scc_id")
+        .select(F.col("v").alias("event_type"), "scc_id", "scc_size")
+        .orderBy("event_type")
+    )

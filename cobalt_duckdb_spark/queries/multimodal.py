@@ -216,3 +216,130 @@ def multimodal_crossmodal_stub_topk(spark: SparkSession, sf_dir: str) -> DataFra
                 "media_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (average-hash) near-duplicate detection over stub-decoded media
+# ---------------------------------------------------------------------------
+
+_AHASH_MAX_HAMMING = 11
+
+
+@register(
+    "multimodal_ahash_neardup_pairs",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, n_chars // 64 AS len_bucket,
+               list_transform(range(0, 64), i ->
+                   ascii(substr(text,
+                       1 + CAST(floor(i * (n_chars - 1) / 63.0) AS BIGINT),
+                       1))) AS pixels
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, len_bucket,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN pixels[i + 1] >= list_avg(pixels)
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                    AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(32, 64), i ->
+                   CASE WHEN pixels[i + 1] >= list_avg(pixels)
+                        THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END))
+                    AS BIGINT) AS w1
+        FROM px
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.w0, b.w0))
+                + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+    FROM h a JOIN h b
+      ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+          <= {_AHASH_MAX_HAMMING}
+    ORDER BY hamming, doc_a, doc_b
+    """,
+)
+def multimodal_ahash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection — the image-dedup shape
+    (aHash/pHash: resize to a fixed grid, threshold against the mean,
+    compare 64-bit signatures by Hamming distance) run over stub-decoded
+    media. The 'decode + resize' stage is deterministic and
+    locality-preserving: 64 'pixels' are the character codes sampled at 64
+    evenly-spaced positions of the document body (exactly what an image
+    resize does to a raster — and unlike an md5 stub, structurally similar
+    inputs get similar signatures, so the near-dup semantics are real, not
+    vacuous). Swapping in a true image decoder changes ONE map stage
+    (`operators/multimodal.py` mapInPandas) and nothing downstream.
+
+    Plan: signature extraction is map-only codegen (no Python, no
+    shuffle); candidate generation blocks on a length bucket (the size
+    prefilter every production pHash dedup uses — only media of similar
+    size compare), so the join is a bucket-keyed shuffle, never all-pairs;
+    the Hamming predicate is two XOR+popcounts pushed into the join
+    filter. At 100 TB: 8-byte signatures instead of raster bytes flow
+    into the shuffle, and per-bucket pair counts bound task memory the
+    same way `dedup_simhash_pairs`' length blocking does."""
+    docs = load_table(spark, sf_dir, "documents")
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.ascii(
+            F.substring(
+                F.col("text"),
+                (
+                    F.lit(1)
+                    + F.floor(
+                        i * (F.col("n_chars") - 1) / F.lit(63.0)
+                    )
+                ).cast("int"),
+                1,
+            )
+        ),
+    )
+    px = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        pixels.alias("pixels"),
+    ).withColumn(
+        "avg_px",
+        F.aggregate(
+            "pixels", F.lit(0.0), lambda s, x: s + x
+        )
+        / F.size("pixels"),
+    )
+
+    def word(lo: int) -> F.Column:
+        return F.expr(
+            f"""aggregate(transform(sequence(0, 31), i ->
+                    IF(element_at(pixels, CAST(i + {lo} + 1 AS INT)) >= avg_px,
+                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+                CAST(0 AS BIGINT), (a, x) -> a + x)"""
+        )
+
+    # localCheckpoint pins the 4-column signature frame. Without it,
+    # CollapseProject folds px into this projection and substitutes the
+    # 64-substring `pixels` expression into `avg_px` and then BOTH word()
+    # lambdas — the interpreted-HOF tree re-evaluates the whole pixel
+    # array per element (measured 147 s vs 0.7 s at sf0.1). Signatures
+    # are 32 bytes/doc, so materializing is the scale-correct layout too
+    # (`SCALE.md`: signature frames are materialized, rasters are not).
+    h = px.select(
+        "doc_id", "len_bucket", word(0).alias("w0"), word(32).alias("w1")
+    ).localCheckpoint()
+    a, b = h.alias("a"), h.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+        + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+        .orderBy("hamming", "doc_a", "doc_b")
+    )

@@ -1569,3 +1569,101 @@ def embedding_norm_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("n_degenerate_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) hashing: 1-bit quantization + Hamming-distance retrieval
+# ---------------------------------------------------------------------------
+
+_BH_NQ = 3  # query set: vec_id < 3
+_BH_K = 10
+
+
+@register(
+    "simsearch_binary_hamming_topk",
+    oracle=f"""
+    WITH enc AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN embedding[i + 1] > 0
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                    AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(32, 64), i ->
+                   CASE WHEN embedding[i + 1] > 0
+                        THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END))
+                    AS BIGINT) AS w1
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+               CAST(bit_count(xor(q.w0, d.w0))
+                    + bit_count(xor(q.w1, d.w1)) AS BIGINT) AS hamming
+        FROM enc q JOIN enc d ON q.vec_id < {_BH_NQ}
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, vec_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, hamming
+    FROM ranked WHERE rank <= {_BH_K}
+    ORDER BY query_id, rank
+    """,
+)
+def simsearch_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) vector quantization + Hamming-distance top-k — the
+    cheapest ANN tier below PQ: each 64-dim float vector collapses to two
+    packed 32-bit words (32x smaller than float32, 64x smaller than the
+    reference's float64 store, `/root/reference/model/search/vector.py:134`),
+    and distance is two XOR+popcount ops per comparison instead of 64
+    multiply-adds. Sign-of-coordinate is the classic SRP hash with the
+    identity rotation; `dedup_embedding_srp_lsh` uses random projections for
+    recall, this is the brute-force-scan variant used as a *first-stage
+    filter* in binary-vector serving stacks.
+
+    Plan: one map-only encode pass (no shuffle — packing is an `aggregate`
+    over `sequence`, all codegen), the 3-row query side broadcast, distance
+    computed in a BroadcastNestedLoopJoin over bigint XOR (bandwidth-bound
+    scan at ~8 bytes/vector), then per-query top-k via window. At 100 TB the
+    scan reads 8 bytes x N instead of 256: the binary tier fits ~32x more
+    vectors per executor-second; survivors are reranked by exact cosine
+    (`simsearch_pq_rerank_exact` shows that stage)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def word(lo: int) -> F.Column:
+        return F.expr(
+            f"""aggregate(transform(sequence(0, 31), i ->
+                    IF(element_at(embedding, i + {lo} + 1) > 0,
+                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+                CAST(0 AS BIGINT), (a, x) -> a + x)"""
+        )
+
+    enc = emb.select(
+        "vec_id", word(0).alias("w0"), word(32).alias("w1")
+    )
+    q = enc.filter(F.col("vec_id") < _BH_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    hamming = (
+        F.bit_count(F.col("q.qw0").bitwiseXOR(F.col("d.w0")))
+        + F.bit_count(F.col("q.qw1").bitwiseXOR(F.col("d.w1")))
+    ).cast("bigint")
+    scored = (
+        enc.alias("d")
+        .crossJoin(F.broadcast(q.alias("q")))
+        .select("query_id", F.col("d.vec_id").alias("vec_id"), hamming.alias("hamming"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= _BH_K)
+        .select("query_id", "rank", "vec_id", "hamming")
+        .orderBy("query_id", "rank")
+    )

@@ -1479,3 +1479,206 @@ def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("chao1_vocab_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "an", "of", "to", "and")
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOPK = 15
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, p, t[p] AS w,
+               CASE WHEN t[p] IN {_RAKE_STOPS!r} THEN 1 ELSE 0 END AS is_stop
+        FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p)
+    ),
+    seg AS (
+        SELECT doc_id, p, w, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY p) AS phrase_id
+        FROM pos
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(w, ' ' ORDER BY p) AS phrase, COUNT(*) AS plen
+        FROM seg WHERE is_stop = 0
+        GROUP BY doc_id, phrase_id
+        HAVING COUNT(*) BETWEEN 1 AND {_RAKE_MAX_PHRASE}
+    ),
+    members AS (
+        SELECT ph.doc_id, ph.phrase_id, ph.phrase, ph.plen, s.w
+        FROM phrases ph JOIN seg s
+          ON s.doc_id = ph.doc_id AND s.phrase_id = ph.phrase_id
+          AND s.is_stop = 0
+    ),
+    wstats AS (
+        SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM members GROUP BY w
+    ),
+    scored AS (
+        SELECT m.phrase, SUM(ws.deg * 1.0 / ws.freq) AS score
+        FROM members m JOIN wstats ws ON m.w = ws.w
+        GROUP BY m.doc_id, m.phrase_id, m.phrase
+    ),
+    agg AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               ROUND(AVG(score), 4) AS rake_score
+        FROM scored GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, rake_score
+    FROM agg ORDER BY rake_score DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010): split
+    each document into candidate phrases at stopword boundaries, score each
+    word by degree/frequency over the phrase graph (degree = summed length
+    of phrases containing it — co-occurrence reach; frequency = raw count),
+    score a phrase as the sum of its member-word scores, and return the
+    corpus's top phrases. The unsupervised multi-word keyword extractor
+    that needs no model, embeddings, or idf table — a common first labeling
+    pass over raw training corpora; complements `text_tfidf_keywords`
+    (single-token, per-doc) and `text_pmi_collocations` (bigram).
+
+    Plan: tokenize with posexplode (map-only row multiplier), phrase ids
+    from ONE per-doc running-sum window (the gaps-and-islands shuffle on
+    doc_id), phrase assembly + membership from the same keyed frame, and
+    the word-score table is vocabulary-bounded so it BROADCASTS back onto
+    members — phrase scoring never reshuffles the corpus. Final top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        "w",
+        F.when(F.col("w").isin(*_RAKE_STOPS), 1).otherwise(0).alias("is_stop"),
+    )
+    seg = pos.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(
+            Window.partitionBy("doc_id").orderBy("p")
+        ),
+    )
+    nonstop = seg.filter(F.col("is_stop") == 0)
+    phrases = (
+        nonstop.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen").between(1, _RAKE_MAX_PHRASE))
+    )
+    members = nonstop.select("doc_id", "phrase_id", "w").join(
+        phrases, ["doc_id", "phrase_id"]
+    )
+    wstats = members.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        members.join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("score"))
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.round(F.avg("score"), 4).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (variance-to-mean ratio)
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 50
+_BURST_TOPK = 10
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH n_docs AS (SELECT COUNT(*) * 1.0 AS nd FROM documents),
+    cnt AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+        SELECT w, doc_id, COUNT(*) * 1.0 AS c FROM cnt GROUP BY w, doc_id
+    ),
+    word AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+               SUM(c) AS total, SUM(c * c) AS ss
+        FROM per_doc GROUP BY w
+    )
+    SELECT w AS word, df,
+           CAST(total AS BIGINT) AS tf,
+           ROUND((ss / nd - (total / nd) * (total / nd)) / (total / nd), 4)
+               AS vmr
+    FROM word, n_docs
+    WHERE df >= {_BURST_MIN_DF}
+    ORDER BY vmr DESC, word LIMIT {_BURST_TOPK}
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): variance-to-mean ratio of a word's
+    per-document count across the WHOLE corpus — Poisson-distributed
+    function words sit at VMR ~= 1 while content words 'burst' (appear many
+    times in few documents, VMR >> 1). The model-free content/function
+    discriminator used for stopword induction and keyword weighting where
+    no curated stopword list exists (df-based tf-idf misses this: a word in
+    half the docs can still be bursty). Zero-count documents enter the
+    moments WITHOUT being materialized: with nd known, mean = total/nd and
+    E[x^2] = ss/nd — the absent-row zeros contribute nothing to either sum.
+
+    Plan: tokenize (map-only explode) -> (word, doc) count -> per-word
+    moment rollup (vocabulary-sized, all sums mergeable) -> one scalar
+    broadcast for nd -> TakeOrderedAndProject. Two keyed shuffles total,
+    both on count frames far smaller than the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    word = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("total") / F.col("nd")
+    return (
+        word.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= _BURST_MIN_DF)
+        .select(
+            F.col("w").alias("word"),
+            "df",
+            F.col("total").cast("bigint").alias("tf"),
+            F.round(
+                (F.col("ss") / F.col("nd") - mean * mean) / mean, 4
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "word")
+        .limit(_BURST_TOPK)
+    )

@@ -1647,3 +1647,87 @@ def events_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.b"), 6).alias("trend"),
         F.round(F.col("s.l") + F.col("s.b"), 6).alias("forecast_next_day"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               COUNT(*) * 1.0 AS n
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, h, n,
+               lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS fc
+        FROM hourly
+    ),
+    scope AS (
+        SELECT * FROM lagged
+        WHERE fc IS NOT NULL
+          AND h >= (SELECT MAX(h) FROM hourly) - INTERVAL '7 days'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(AVG(ABS(n - fc) / n), 4) AS mape,
+           ROUND(AVG(2.0 * ABS(n - fc) / (n + fc)), 4) AS smape,
+           ROUND(SQRT(AVG((n - fc) * (n - fc))), 4) AS rmse
+    FROM scope GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest of the SEASONAL-NAIVE baseline (forecast =
+    the value 24 observed hours earlier) over the final week: MAPE, sMAPE,
+    RMSE per event type. Every forecasting pipeline needs this query twice —
+    once to score the baseline every candidate model must beat, once as the
+    rolling evaluation harness for the real model's predictions (swap the
+    `fc` column; nothing else changes). Lag is over OBSERVED hours (empty
+    hours carry no row — the gap-fill variant is `events_gap_filled_minutes`'
+    spine pattern); MAPE divides by observed n >= 1 by construction.
+    Complements `events_holt_linear_trend` (model fit) with the missing
+    half: honest out-of-sample error measurement.
+
+    Plan: one keyed rollup (hour x type, mergeable counts), one bounded
+    lag window per type over ~720 hourly rows, a broadcast scalar max —
+    all post-rollup frames are |hours x types|, independent of event
+    volume."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    lagged = hourly.withColumn(
+        "fc",
+        F.lag("n", 24).over(Window.partitionBy("event_type").orderBy("h")),
+    )
+    max_h = hourly.agg(F.max("h").alias("max_h"))
+    scope = (
+        lagged.crossJoin(F.broadcast(max_h))
+        .filter(
+            F.col("fc").isNotNull()
+            & (F.col("h") >= F.col("max_h") - F.expr("INTERVAL 7 DAYS"))
+        )
+    )
+    err = F.col("n") - F.col("fc")
+    return (
+        scope.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.round(F.avg(F.abs(err) / F.col("n")), 4).alias("mape"),
+            F.round(
+                F.avg(F.lit(2.0) * F.abs(err) / (F.col("n") + F.col("fc"))), 4
+            ).alias("smape"),
+            F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )
