@@ -1004,3 +1004,220 @@ def test_recall_curve_monotone_in_nprobe(spark, sf_dir):
     assert recalls == sorted(recalls)
     assert scans == sorted(scans)
     assert recalls[-1] >= 0.9  # nprobe=4 of 16 cells should be near-exact
+
+
+def test_binary_hamming_self_hit_and_candidate_recall(spark, sf_dir):
+    """Sign-hash Hamming top-k: the query itself is rank 1 with distance 0
+    (sign codes are deterministic), and the Hamming candidate set keeps at
+    least one exact-cosine top-10 neighbor per query — the property that
+    makes a 1-bit code usable as a first-stage filter (it narrows, never
+    replaces, the exact rerank; recall@10 of ~2-5/10 at dim 64 is the
+    measured operating point, far above the ~10/500 random baseline)."""
+    import numpy as np
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.similarity import (
+        simsearch_binary_hamming_topk,
+    )
+
+    rows = simsearch_binary_hamming_topk(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    mat = np.stack([emb[i] / np.linalg.norm(emb[i]) for i in ids])
+    for q in range(3):
+        mine = [r for r in rows if r["query_id"] == q]
+        assert [r["vec_id"] for r in mine if r["rank"] == 1] == [q]
+        assert [r["hamming"] for r in mine if r["rank"] == 1] == [0]
+        assert len(mine) == 10
+        sims = mat @ mat[ids.index(q)]
+        exact10 = {ids[i] for i in np.argsort(-sims)[:10]}
+        assert len(exact10 & {r["vec_id"] for r in mine}) >= 1
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_se_scale(spark, sf_dir):
+    """The 95% bootstrap CI brackets the point estimate for every group,
+    and the bootstrap SE agrees with the analytic sd/sqrt(n) within 3x in
+    both directions (Poisson(1) weights have unit variance, so the
+    replicate-mean spread estimates exactly that) — an independent check
+    the md5-derandomized draws behave like real Poisson resamples."""
+    import math
+    import statistics
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.advanced import stats_poisson_bootstrap_ci
+
+    rows = {r["event_type"]: r for r in stats_poisson_bootstrap_ci(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type = {}
+    for r in e:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(rows) == set(by_type)
+    for t, r in rows.items():
+        assert r["boot_lo"] <= r["mean_value"] <= r["boot_hi"]
+        vals = by_type[t]
+        analytic_se = statistics.stdev(vals) / math.sqrt(len(vals))
+        assert analytic_se / 3 < r["boot_se"] < analytic_se * 3
+        assert r["n"] == len(vals)
+
+
+def test_scc_matches_python_tarjan(spark, sf_dir):
+    """SCC assignment recomputed independently: rebuild the same top-6
+    transition graph in Python from the raw events, run iterative Tarjan,
+    and compare the full partition (ids differ — compare the grouping)."""
+    from collections import Counter, defaultdict
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.graph_analytics import (
+        graph_scc_mutual_reachability,
+    )
+
+    got = {
+        r["event_type"]: r["scc_id"]
+        for r in graph_scc_mutual_reachability(spark, sf_dir).collect()
+    }
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pairs = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            if a != b:
+                pairs[(a, b)] += 1
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    adj = defaultdict(set)
+    nodes = {r["event_type"] for r in ev}
+    for (a, b), _ in top:
+        adj[a].add(b)
+
+    # iterative Tarjan
+    index, low, onstack, stack, sccs = {}, {}, set(), [], []
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, iter(sorted(adj[v0])))]
+        index[v0] = low[v0] = counter[0]; counter[0] += 1
+        stack.append(v0); onstack.add(v0)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]; counter[0] += 1
+                    stack.append(w); onstack.add(w)
+                    work.append((w, iter(sorted(adj[w]))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = set()
+                while True:
+                    w = stack.pop(); onstack.discard(w); comp.add(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+
+    want = {v: min(c) for c in sccs for v in c}
+    assert got == want
+
+
+def test_rake_phrases_structurally_valid(spark, sf_dir):
+    """RAKE output invariants: no stopword inside any phrase, phrase
+    length 1..4 tokens, positive scores, exactly top-15 rows in
+    non-increasing score order."""
+    from cobalt_duckdb_spark.queries.text import _RAKE_STOPS, text_rake_keywords
+
+    rows = text_rake_keywords(spark, sf_dir).collect()
+    assert len(rows) == 15
+    scores = [r["rake_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        toks = r["phrase"].split(" ")
+        assert 1 <= len(toks) <= 4
+        assert not set(toks) & set(_RAKE_STOPS)
+        assert r["rake_score"] > 0
+        assert r["n_occurrences"] >= 1
+
+
+def test_seasonal_naive_backtest_matches_pandas(spark, sf_dir):
+    """MAPE/sMAPE/RMSE recomputed with pandas groupby/shift over the same
+    hourly rollup — independent implementation, 4-dp agreement."""
+    import pandas as pd
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.timeseries import (
+        events_seasonal_naive_backtest,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in events_seasonal_naive_backtest(spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "events").select("event_type", "ts").toPandas()
+    pdf["h"] = pdf["ts"].dt.floor("h")
+    hourly = (
+        pdf.groupby(["event_type", "h"]).size().rename("n").reset_index()
+    )
+    max_h = hourly["h"].max()
+    for t, grp in hourly.sort_values("h").groupby("event_type"):
+        g = grp.copy()
+        g["fc"] = g["n"].shift(24)
+        g = g[(g["fc"].notna()) & (g["h"] >= max_h - pd.Timedelta(days=7))]
+        if t not in got:
+            assert g.empty
+            continue
+        err = g["n"] - g["fc"]
+        assert got[t]["n_hours"] == len(g)
+        assert abs(got[t]["mape"] - round((err.abs() / g["n"]).mean(), 4)) < 1e-9
+        assert (
+            abs(
+                got[t]["smape"]
+                - round((2.0 * err.abs() / (g["n"] + g["fc"])).mean(), 4)
+            )
+            < 1e-9
+        )
+        assert abs(got[t]["rmse"] - round(((err**2).mean()) ** 0.5, 4)) < 1e-9
+
+
+def test_burstiness_zero_inclusive_moments(spark, sf_dir):
+    """VMR recomputed in Python INCLUDING explicit zero counts for absent
+    documents — proves the moments-without-materializing-zeros identity."""
+    from collections import Counter
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.text import text_term_burstiness
+
+    rows = text_term_burstiness(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    nd = len(docs)
+    counts = {}
+    for d in docs:
+        for w, c in Counter(d["text"].split(" ")).items():
+            counts.setdefault(w, {})[d["doc_id"]] = c
+    for r in rows:
+        per_doc = counts[r["word"]]
+        full = list(per_doc.values()) + [0] * (nd - len(per_doc))
+        mean = sum(full) / nd
+        var = sum(x * x for x in full) / nd - mean * mean
+        assert abs(r["vmr"] - round(var / mean, 4)) < 1e-9
+        assert r["df"] == len(per_doc)
