@@ -301,6 +301,9 @@ _DRIVER_DEFER = (
     "text_rake_keywords",
     "events_seasonal_naive_backtest",
     "text_term_burstiness",
+    "stats_benjamini_hochberg_fdr",
+    "events_fsm_conformance",
+    "sample_neyman_allocation",
 )
 
 

@@ -2475,3 +2475,188 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the one-vs-rest mean-shift panel
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.05
+# Abramowitz & Stegun 7.1.26 erf constants (|error| < 1.5e-7) — evaluated
+# with IDENTICAL literals on both engines so p-values hash-match.
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2 = 1.4142135623730951
+
+
+@register(
+    "stats_benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type, COUNT(*) * 1.0 AS n, AVG(value) AS m,
+               var_samp(value) AS v
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(n) AS tn, SUM(m * n) AS tsum,
+               SUM((n - 1) * v + n * m * m) AS tss
+        FROM stats
+    ),
+    rest AS (
+        SELECT s.event_type, s.n, s.m, s.v,
+               (tot.tn - s.n) AS rn,
+               (tot.tsum - s.m * s.n) / (tot.tn - s.n) AS rm,
+               (tot.tss - ((s.n - 1) * s.v + s.n * s.m * s.m)
+                - (tot.tn - s.n)
+                  * POW((tot.tsum - s.m * s.n) / (tot.tn - s.n), 2))
+                   / (tot.tn - s.n - 1) AS rv
+        FROM stats s, tot
+    ),
+    zz AS (
+        SELECT event_type, n, m, rm,
+               (m - rm) / SQRT(v / n + rv / rn) AS zval
+        FROM rest
+    ),
+    tvals AS (
+        SELECT *, ABS(zval) / {_SQRT2} AS x,
+               1.0 / (1.0 + 0.3275911 * ABS(zval) / {_SQRT2}) AS t
+        FROM zz
+    ),
+    p AS (
+        SELECT event_type, n, m, rm, zval,
+               2 * (1 - (0.5 * (1 + (1 -
+                   (((({_AS_ERF[4]} * t + {_AS_ERF[3]}) * t + {_AS_ERF[2]}) * t
+                      + {_AS_ERF[1]}) * t + {_AS_ERF[0]}) * t
+                   * EXP(-x * x))))) AS pval
+        FROM tvals
+    ),
+    bh AS (
+        SELECT event_type, n, m, rm, zval, pval,
+               row_number() OVER (ORDER BY pval, event_type) AS prank,
+               COUNT(*) OVER () AS mtests
+        FROM p
+    ),
+    cut AS (
+        SELECT COALESCE(MAX(prank), 0) AS kmax FROM bh
+        WHERE pval <= prank * {_BH_ALPHA} / mtests
+    )
+    SELECT b.event_type,
+           ROUND(b.m, 4) AS grp_mean, ROUND(b.rm, 4) AS rest_mean,
+           CASE WHEN ABS(b.zval) < 5e-5 THEN 0.0
+                ELSE ROUND(b.zval, 4) END AS z,
+           ROUND(b.pval, 6) AS p,
+           CAST(b.prank AS BIGINT) AS p_rank,
+           ROUND(b.prank * {_BH_ALPHA} / b.mtests, 6) AS bh_threshold,
+           CAST(CASE WHEN b.prank <= c.kmax THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM bh b, cut c
+    ORDER BY p_rank
+    """,
+)
+def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control: a one-vs-rest mean-shift z-test per event
+    type, then Benjamini-Hochberg step-up FDR at alpha=0.05 — the correction
+    every metrics dashboard needs once it tests more than one segment at a
+    time (5 uncorrected tests at alpha=.05 false-alarm ~23% of the time).
+    Rest-group moments come from the TOTALS identity (rest = total − group:
+    one aggregate pass, no per-pair rescans); the normal CDF is the
+    Abramowitz-Stegun 7.1.26 erf polynomial evaluated with identical
+    literals on both engines (|err| < 1.5e-7, well inside the 6-dp
+    rounding); a |z| < 5e-5 dead-zone pins the sign of the one
+    null-by-construction test against cross-engine -0.0/+0.0 drift. Since
+    types are near-exchangeable here, rejected=0 everywhere IS the
+    calibration pass (same discipline as `stats_ab_test_welch`'s A/A).
+
+    Plan: one keyed aggregate over events, then everything —
+    totals, rest-moments, p-values, the BH step-up scan (a rank window +
+    running max over |types| rows) — happens on a 5-row frame."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = stats.agg(
+        F.sum("n").alias("tn"),
+        F.sum(F.col("m") * F.col("n")).alias("tsum"),
+        F.sum(
+            (F.col("n") - 1) * F.col("v") + F.col("n") * F.col("m") * F.col("m")
+        ).alias("tss"),
+    )
+    rm = (F.col("tsum") - F.col("m") * F.col("n")) / (F.col("tn") - F.col("n"))
+    rest = stats.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "m",
+        "v",
+        (F.col("tn") - F.col("n")).alias("rn"),
+        rm.alias("rm"),
+        (
+            (
+                F.col("tss")
+                - ((F.col("n") - 1) * F.col("v") + F.col("n") * F.col("m") * F.col("m"))
+                - (F.col("tn") - F.col("n")) * F.pow(rm, F.lit(2))
+            )
+            / (F.col("tn") - F.col("n") - 1)
+        ).alias("rv"),
+    )
+    zz = rest.select(
+        "event_type",
+        "n",
+        "m",
+        "rm",
+        (
+            (F.col("m") - F.col("rm"))
+            / F.sqrt(F.col("v") / F.col("n") + F.col("rv") / F.col("rn"))
+        ).alias("zval"),
+    )
+    x = F.abs(F.col("zval")) / F.lit(_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = F.lit(_AS_ERF[4])
+    for c in (_AS_ERF[3], _AS_ERF[2], _AS_ERF[1], _AS_ERF[0]):
+        poly = poly * t + F.lit(c)
+    pval = F.lit(2.0) * (
+        F.lit(1.0)
+        - (F.lit(0.5) * (F.lit(1.0) + (F.lit(1.0) - poly * t * F.exp(-x * x))))
+    )
+    p = zz.select("event_type", "n", "m", "rm", "zval", pval.alias("pval"))
+    from pyspark.sql import Window
+
+    bh = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("pval", "event_type")).alias("prank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("mtests"),
+    )
+    kmax = bh.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") <= F.col("prank") * _BH_ALPHA / F.col("mtests"),
+                    F.col("prank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kmax")
+    )
+    return (
+        bh.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            F.round("m", 4).alias("grp_mean"),
+            F.round("rm", 4).alias("rest_mean"),
+            F.when(F.abs(F.col("zval")) < 5e-5, F.lit(0.0))
+            .otherwise(F.round("zval", 4))
+            .alias("z"),
+            F.round("pval", 6).alias("p"),
+            F.col("prank").cast("bigint").alias("p_rank"),
+            F.round(F.col("prank") * _BH_ALPHA / F.col("mtests"), 6).alias(
+                "bh_threshold"
+            ),
+            F.when(F.col("prank") <= F.col("kmax"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )

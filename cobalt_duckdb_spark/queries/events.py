@@ -1387,3 +1387,119 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").alias("to_state"),
         F.round("p", 6).alias("expected_visits"),
     ).orderBy("from_state", "to_state")
+
+
+# ---------------------------------------------------------------------------
+# Process-mining conformance: event-sequence FSM rule checking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_fsm_conformance",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   AS type_seq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    rules AS (
+        SELECT 'purchase_needs_recent_engagement' AS rule,
+               COUNT(*) AS n_checked,
+               SUM(CASE WHEN prev_type IS NULL
+                        OR prev_type NOT IN ('click', 'view')
+                        OR ts - prev_ts > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END) AS n_violations
+        FROM lagged WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'no_rapid_repeated_error', COUNT(*),
+               SUM(CASE WHEN prev_type = 'error'
+                        AND ts - prev_ts <= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END)
+        FROM lagged WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'signup_at_most_once', COUNT(*),
+               SUM(CASE WHEN type_seq >= 2 THEN 1 ELSE 0 END)
+        FROM lagged WHERE event_type = 'signup'
+    )
+    SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           ROUND(n_violations * 1.0 / n_checked, 4) AS violation_rate
+    FROM rules ORDER BY rule
+    """,
+)
+def events_fsm_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance checking: declare the journey contract as
+    transition rules over each user's ordered event sequence (a purchase
+    must follow engagement within 30 min; errors must not repeat within
+    10 min; signup happens at most once) and report per-rule check and
+    violation counts — the scorecard shape a funnel/SLA monitor emits. The
+    high violation rates on the synthetic stream are the measurement, not
+    a bug: conformance checking is exactly how you LEARN your event stream
+    doesn't match the designed FSM. Complements `events_transition_matrix`
+    (descriptive probabilities) with normative pass/fail semantics.
+
+    Plan: ONE user-keyed window shuffle serves lag(type), lag(ts), AND the
+    per-(user, type) ordinal; the three rules are conditional aggregates
+    unioned on 3 one-row frames. Adding a rule adds a branch, never a
+    scan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.row_number().over(wt).alias("type_seq"),
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    r1 = lagged.filter(F.col("event_type") == "purchase").agg(
+        F.lit("purchase_needs_recent_engagement").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(
+                F.col("prev_type").isNull()
+                | ~F.col("prev_type").isin("click", "view")
+                | (gap_us > 30 * 60 * 1_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations"),
+    )
+    r2 = lagged.filter(F.col("event_type") == "error").agg(
+        F.lit("no_rapid_repeated_error").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("prev_type") == "error") & (gap_us <= 10 * 60 * 1_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations"),
+    )
+    r3 = lagged.filter(F.col("event_type") == "signup").agg(
+        F.lit("signup_at_most_once").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("type_seq") >= 2, 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+    return (
+        r1.unionByName(r2)
+        .unionByName(r3)
+        .select(
+            "rule",
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.round(
+                F.col("n_violations") / F.col("n_checked"), 4
+            ).alias("violation_rate"),
+        )
+        .orderBy("rule")
+    )

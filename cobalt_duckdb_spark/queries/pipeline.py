@@ -1241,3 +1241,103 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000.0
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+        SELECT o_orderpriority AS stratum, COUNT(*) * 1.0 AS nh,
+               AVG(o_totalprice) AS mh, stddev_samp(o_totalprice) AS sh
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(nh) AS n_pop, SUM(nh * sh) AS sum_ns FROM strata
+    ),
+    alloc AS (
+        SELECT s.stratum, s.nh, s.mh, s.sh,
+               {_NEYMAN_BUDGET} * s.nh * s.sh / t.sum_ns AS n_neyman,
+               {_NEYMAN_BUDGET} * s.nh / t.n_pop AS n_prop,
+               s.nh / t.n_pop AS wh
+        FROM strata s, tot t
+    ),
+    vv AS (
+        SELECT SUM(wh * wh * sh * sh / n_neyman) AS v_ney,
+               SUM(wh * wh * sh * sh / n_prop) AS v_prop
+        FROM alloc
+    )
+    SELECT a.stratum,
+           CAST(a.nh AS BIGINT) AS n_pop,
+           ROUND(a.mh, 2) AS mean_price,
+           ROUND(a.sh, 2) AS sd_price,
+           ROUND(a.n_neyman, 2) AS n_neyman,
+           ROUND(a.n_prop, 2) AS n_proportional,
+           ROUND(v.v_prop / v.v_ney, 6) AS design_effect_vs_prop
+    FROM alloc a, vv v
+    ORDER BY a.stratum
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: given a total budget
+    of 1000 sampled rows, allocate n_h proportional to N_h x S_h (stratum
+    size x stratum std-dev) — the allocation that minimizes the stratified
+    mean's variance — next to the naive proportional allocation, with the
+    realized design effect Var_prop/Var_neyman. This is the PLANNING query a
+    sampling pipeline runs before drawing (the draw itself is
+    `sample_pps_systematic` / `sample_weighted_reservoir`): strata that are
+    large AND internally volatile earn more budget. Near-homogeneous strata
+    give a design effect of ~1 — also worth knowing before paying for
+    optimal allocation machinery. Allocations stay REAL-valued (2 dp):
+    integerization is presentation, and flooring a last-ulp-differing value
+    would be a cross-engine hash hazard.
+
+    Plan: one keyed moment aggregate over orders, then pure arithmetic on
+    a |strata|-row broadcast frame; the whole decision costs one scan."""
+    o = load_table(spark, sf_dir, "orders")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.avg("o_totalprice").alias("mh"),
+        F.stddev_samp("o_totalprice").alias("sh"),
+    )
+    tot = strata.agg(
+        F.sum("nh").alias("n_pop"),
+        F.sum(F.col("nh") * F.col("sh")).alias("sum_ns"),
+    )
+    alloc = strata.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "mh",
+        "sh",
+        (F.lit(_NEYMAN_BUDGET) * F.col("nh") * F.col("sh") / F.col("sum_ns")).alias(
+            "n_neyman"
+        ),
+        (F.lit(_NEYMAN_BUDGET) * F.col("nh") / F.col("n_pop")).alias("n_prop"),
+        (F.col("nh") / F.col("n_pop")).alias("wh"),
+    )
+    w2s2 = F.col("wh") * F.col("wh") * F.col("sh") * F.col("sh")
+    vv = alloc.agg(
+        F.sum(w2s2 / F.col("n_neyman")).alias("v_ney"),
+        F.sum(w2s2 / F.col("n_prop")).alias("v_prop"),
+    )
+    return (
+        alloc.crossJoin(F.broadcast(vv))
+        .select(
+            "stratum",
+            F.col("nh").cast("bigint").alias("n_pop"),
+            F.round("mh", 2).alias("mean_price"),
+            F.round("sh", 2).alias("sd_price"),
+            F.round("n_neyman", 2).alias("n_neyman"),
+            F.round("n_prop", 2).alias("n_proportional"),
+            F.round(F.col("v_prop") / F.col("v_ney"), 6).alias(
+                "design_effect_vs_prop"
+            ),
+        )
+        .orderBy("stratum")
+    )

@@ -1221,3 +1221,108 @@ def test_burstiness_zero_inclusive_moments(spark, sf_dir):
         var = sum(x * x for x in full) / nd - mean * mean
         assert abs(r["vmr"] - round(var / mean, 4)) < 1e-9
         assert r["df"] == len(per_doc)
+
+
+def test_bh_fdr_matches_python_erf(spark, sf_dir):
+    """z, p, and the BH step-up decision recomputed in Python with
+    math.erf (exact) — the A&S polynomial must agree within its 1.5e-7
+    published bound, and the rejection set must match an independent BH
+    implementation."""
+    import math
+    import statistics
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.advanced import (
+        _BH_ALPHA,
+        stats_benjamini_hochberg_fdr,
+    )
+
+    rows = stats_benjamini_hochberg_fdr(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type = {}
+    for r in e:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    pvals = {}
+    for t, vals in by_type.items():
+        rest = [v for u, vs in by_type.items() if u != t for v in vs]
+        z = (statistics.fmean(vals) - statistics.fmean(rest)) / math.sqrt(
+            statistics.variance(vals) / len(vals)
+            + statistics.variance(rest) / len(rest)
+        )
+        pvals[t] = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+    ordered = sorted(pvals, key=lambda t: (pvals[t], t))
+    m = len(ordered)
+    kmax = max(
+        (i + 1 for i, t in enumerate(ordered)
+         if pvals[t] <= (i + 1) * _BH_ALPHA / m),
+        default=0,
+    )
+    for r in rows:
+        assert abs(r["p"] - pvals[r["event_type"]]) < 1e-6
+        assert r["p_rank"] == ordered.index(r["event_type"]) + 1
+        assert r["rejected"] == (1 if r["p_rank"] <= kmax else 0)
+
+
+def test_fsm_conformance_matches_python(spark, sf_dir):
+    """Rule counts recomputed from raw per-user sequences in Python."""
+    from collections import defaultdict
+
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.events import events_fsm_conformance
+
+    got = {r["rule"]: r for r in events_fsm_conformance(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    chk = {
+        "purchase_needs_recent_engagement": [0, 0],
+        "no_rapid_repeated_error": [0, 0],
+        "signup_at_most_once": [0, 0],
+    }
+    for seq in by_user.values():
+        seq.sort()
+        seen_signup = 0
+        prev = None
+        for ts, _, t in seq:
+            if t == "purchase":
+                chk["purchase_needs_recent_engagement"][0] += 1
+                ok = (
+                    prev is not None
+                    and prev[1] in ("click", "view")
+                    and (ts - prev[0]).total_seconds() <= 1800
+                )
+                chk["purchase_needs_recent_engagement"][1] += 0 if ok else 1
+            elif t == "error":
+                chk["no_rapid_repeated_error"][0] += 1
+                if (
+                    prev is not None
+                    and prev[1] == "error"
+                    and (ts - prev[0]).total_seconds() <= 600
+                ):
+                    chk["no_rapid_repeated_error"][1] += 1
+            elif t == "signup":
+                chk["signup_at_most_once"][0] += 1
+                seen_signup += 1
+                if seen_signup >= 2:
+                    chk["signup_at_most_once"][1] += 1
+            prev = (ts, t)
+    for rule, (n, v) in chk.items():
+        assert got[rule]["n_checked"] == n, rule
+        assert got[rule]["n_violations"] == v, rule
+
+
+def test_neyman_allocation_identities(spark, sf_dir):
+    """Budget conservation (allocations sum to 1000 under both schemes) and
+    Neyman optimality (design effect vs proportional >= 1 by theorem)."""
+    from cobalt_duckdb_spark.queries.pipeline import sample_neyman_allocation
+
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert abs(sum(r["n_neyman"] for r in rows) - 1000.0) < 0.1
+    assert abs(sum(r["n_proportional"] for r in rows) - 1000.0) < 0.1
+    assert all(r["design_effect_vs_prop"] >= 1.0 for r in rows)
+    assert all(r["n_neyman"] > 0 for r in rows)
