@@ -304,6 +304,7 @@ _DRIVER_DEFER = (
     "stats_benjamini_hochberg_fdr",
     "events_fsm_conformance",
     "sample_neyman_allocation",
+    "text_textrank_keywords",
 )
 
 

@@ -1682,3 +1682,114 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vmr"), "word")
         .limit(_BURST_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword ranking (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    from cobalt_duckdb_spark.operators.graph import pagerank_oracle_cte
+
+    edges_cte = f"""
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, p, t[p] AS w
+        FROM toks CROSS JOIN LATERAL
+            (SELECT unnest(range(1, len(t) + 1)) AS p)
+        WHERE t[p] NOT IN {_RAKE_STOPS!r}
+    ),
+    cooc AS (
+        SELECT a.w AS src, b.w AS dst, COUNT(*) * 1.0 AS cnt
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p - a.p IN (1, 2) AND a.w <> b.w
+        GROUP BY a.w, b.w
+    ),
+    sym AS (
+        SELECT src, dst, SUM(cnt) AS cnt FROM (
+            SELECT src, dst, cnt FROM cooc
+            UNION ALL
+            SELECT dst, src, cnt FROM cooc
+        ) GROUP BY src, dst
+    ),
+    edges AS (
+        SELECT src, dst, cnt / SUM(cnt) OVER (PARTITION BY src) AS p FROM sym
+    )"""
+    inner = pagerank_oracle_cte(edges_cte, iterations=10, damping=0.85)
+    return f"""
+    SELECT CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT) AS pos,
+           node AS word, ROUND(rank, 6) AS textrank
+    FROM ({inner})
+    ORDER BY pos LIMIT 10
+    """
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): PageRank over the word
+    co-occurrence graph — words within a +-2 token window are linked,
+    stopwords dropped, edge weights = co-occurrence counts (symmetrized),
+    and importance is the stationary-style score after 10 pinned power
+    steps. The THIRD keyword lens in the pack, and the graph-centrality
+    one: tf-idf rewards rarity, RAKE rewards phrase-degree, TextRank
+    rewards being structurally central to the corpus's co-occurrence
+    topology. Composes two shipped pieces verbatim — the RAKE tokenizer
+    stage and `operators/graph.py::pagerank` (same fixed-iteration
+    semantics + unrolled-CTE oracle as `graph_pagerank_event_flow`, cited
+    there) — which is the point: graph operators in this engine are
+    reusable against ANY edge list a query can express.
+
+    Plan: tokenize map-only; the +-2 co-occurrence self-join keys on
+    (doc_id) with the positional band as a join predicate; counts collapse
+    to a vocabulary^2-bounded edge table that the power iteration then
+    runs on (coalesced + checkpointed leaf, AQE single-task exchanges per
+    step). Corpus volume only touches the first two stages."""
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+        .filter(~F.col("w").isin(*_RAKE_STOPS))
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") - F.col("a.p")).isin(1, 2)
+            & (F.col("a.w") != F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    sym = (
+        cooc.select("src", "dst", "cnt")
+        .unionByName(
+            cooc.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ranks = pagerank(sym, iterations=10, damping=0.85, weight="cnt")
+    pos_rank = F.row_number().over(
+        Window.orderBy(F.desc("rank"), "node")
+    )
+    return (
+        ranks.select(
+            pos_rank.cast("bigint").alias("pos"),
+            F.col("node").alias("word"),
+            F.round("rank", 6).alias("textrank"),
+        )
+        .orderBy("pos")
+        .limit(10)
+    )
