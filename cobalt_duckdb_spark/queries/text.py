@@ -1752,22 +1752,32 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobalt_duckdb_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pos = (
-        docs.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
-        )
-        .select("doc_id", (F.col("p0") + 1).alias("p"), "w")
-        .filter(~F.col("w").isin(*_RAKE_STOPS))
+    # +-2 co-occurrence via lead() over the UNFILTERED token sequence (both
+    # endpoints must be non-stop) — identical pairs to the oracle's banded
+    # self-join, but linear: a doc_id-equi join with the band as a post-join
+    # filter enumerates tokens^2 pairs per doc before filtering (measured
+    # 21 s at the 10x probe); two lead windows on one doc-key shuffle is
+    # the shape that scales.
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
     )
-    a, b = pos.alias("a"), pos.alias("b")
-    cooc = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.p") - F.col("a.p")).isin(1, 2)
-            & (F.col("a.w") != F.col("b.w")),
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    neigh = pos.select(
+        "w",
+        F.lead("w", 1).over(wdoc).alias("n1"),
+        F.lead("w", 2).over(wdoc).alias("n2"),
+    ).filter(~F.col("w").isin(*_RAKE_STOPS))
+    pairs = (
+        neigh.select("w", F.col("n1").alias("nb"))
+        .unionByName(neigh.select("w", F.col("n2").alias("nb")))
+        .filter(
+            F.col("nb").isNotNull()
+            & ~F.col("nb").isin(*_RAKE_STOPS)
+            & (F.col("nb") != F.col("w"))
         )
-        .groupBy(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+    )
+    cooc = (
+        pairs.groupBy(F.col("w").alias("src"), F.col("nb").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
     sym = (
