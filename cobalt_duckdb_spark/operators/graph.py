@@ -89,6 +89,7 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     checkpoint_every: int | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank → (node, pagerank).
 
@@ -98,6 +99,13 @@ def pagerank(
     rank₀(v) = 1/N;  rankₜ₊₁(v) = (1−d)/N + d·Σᵤ rankₜ(u)·w(u→v), with
     w(u→v) = the out-normalized edge weight. Dangling mass is NOT
     redistributed (documented; near-dup/transition graphs have none).
+
+    ``reset``: optional (node, weight) frame of restart mass — PERSONALIZED
+    PageRank / random walk with restart: rank₀ = the normalized reset
+    vector and every step teleports (1−d) to it instead of to uniform.
+    Nodes absent from ``reset`` get zero restart mass. ``reset=None`` keeps
+    the classic uniform behavior (bit-identical to before the parameter
+    existed).
 
     Scale shape — the standard Pregel-without-Pregel loop: each step is one
     join of the rank vector against the edge list (both hash-partitioned on
@@ -129,9 +137,24 @@ def pagerank(
     nodes = nodes.coalesce(1).localCheckpoint(eager=True)
     # N as a 1-row frame cross-joined in (broadcast, no driver round-trip)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
-    )
+    if reset is not None:
+        rtot = reset.agg(F.sum("weight").alias("rtot"))
+        reset_norm = (
+            nodes.join(reset.withColumnRenamed("node", "rnode"),
+                       nodes.node == F.col("rnode"), "left")
+            .crossJoin(F.broadcast(rtot))
+            .select(
+                "node",
+                (F.coalesce("weight", F.lit(0.0)) / F.col("rtot")).alias("rw"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        ranks = reset_norm.select("node", F.col("rw").alias("rank"))
+    else:
+        ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+            "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        )
     # Plain shuffled joins each step, NOT broadcast hints: a broadcast build
     # is a separate driver-collect job, and paying two of those per power
     # step measures ~70% slower than letting the ≤|nodes|-row shuffles flow
@@ -144,46 +167,85 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                "node",
-                (
-                    (1.0 - damping) / F.col("n_nodes")
-                    + damping * F.coalesce("mass", F.lit(0.0))
-                ).alias("rank"),
+        if reset is not None:
+            ranks = (
+                reset_norm.join(contrib, reset_norm.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    (
+                        (1.0 - damping) * F.col("rw")
+                        + damping * F.coalesce("mass", F.lit(0.0))
+                    ).alias("rank"),
+                )
             )
-        )
+        else:
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .crossJoin(F.broadcast(n_df))
+                .select(
+                    "node",
+                    (
+                        (1.0 - damping) / F.col("n_nodes")
+                        + damping * F.coalesce("mass", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
 def pagerank_oracle_cte(
-    edges_cte: str, iterations: int = 10, damping: float = 0.85
+    edges_cte: str,
+    iterations: int = 10,
+    damping: float = 0.85,
+    reset_cte: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the same recurrence unrolled as a
     chain of CTEs (r0 … rK). ``edges_cte`` must define ``edges(src, dst, p)``
     with out-normalized p. Returns SQL up to (and selecting from) ``r{K}``
-    as ``(node, rank)`` — callers wrap it for projection/rounding."""
+    as ``(node, rank)`` — callers wrap it for projection/rounding.
+
+    ``reset_cte`` (optional, personalized variant): a CTE body defining
+    ``reset(node, w)`` with arbitrary non-negative weights — normalized here
+    exactly as the operator does; r0 = the normalized reset vector and each
+    step teleports (1−d) onto it."""
     d = damping
     parts = [
         edges_cte,
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
-        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
     ]
+    if reset_cte is not None:
+        parts.append(reset_cte)
+        parts.append(
+            """rnorm AS (
+              SELECT n.node,
+                     COALESCE(rs.w, 0.0)
+                     / (SELECT SUM(w) FROM reset) AS rw
+              FROM nodes n LEFT JOIN reset rs ON rs.node = n.node)"""
+        )
+        parts.append("r0 AS (SELECT node, rw AS rank FROM rnorm)")
+        teleport = f"(1.0 - {d}) * n.rw"
+        base = "rnorm n"
+        group = "GROUP BY n.node, n.rw"
+    else:
+        parts.append(
+            "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)"
+        )
+        teleport = f"(1.0 - {d})/(SELECT n FROM nn)"
+        base = "nodes n"
+        group = "GROUP BY n.node"
     for k in range(1, iterations + 1):
         parts.append(
             f"""r{k} AS (
               SELECT n.node,
-                     (1.0 - {d})/(SELECT n FROM nn)
+                     {teleport}
                      + {d} * COALESCE(SUM(r.rank * e.p), 0.0) AS rank
-              FROM nodes n
+              FROM {base}
               LEFT JOIN edges e ON e.dst = n.node
               LEFT JOIN r{k - 1} r ON e.src = r.node
-              GROUP BY n.node)"""
+              {group})"""
         )
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"

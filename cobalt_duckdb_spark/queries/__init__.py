@@ -305,6 +305,8 @@ _DRIVER_DEFER = (
     "events_fsm_conformance",
     "sample_neyman_allocation",
     "text_textrank_keywords",
+    "orders_item_cf_similarity",
+    "graph_personalized_pagerank_error",
 )
 
 

@@ -2660,3 +2660,97 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-to-item collaborative filtering over order baskets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_item_cf_similarity",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_cnt AS (
+        SELECT l_partkey, COUNT(*) * 1.0 AS n FROM basket GROUP BY 1
+    ),
+    cooc AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) * 1.0 AS nab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sim AS (
+        SELECT c.part_a, c.part_b, CAST(c.nab AS BIGINT) AS n_co,
+               ROUND(c.nab / SQRT(ia.n * ib.n), 6) AS cosine_sim
+        FROM cooc c
+        JOIN item_cnt ia ON c.part_a = ia.l_partkey
+        JOIN item_cnt ib ON c.part_b = ib.l_partkey
+        WHERE c.nab >= 2
+    )
+    SELECT part_a, part_b, n_co, cosine_sim
+    FROM sim
+    ORDER BY cosine_sim DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def orders_item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (the Amazon 2003 shape): parts
+    that co-occur in order baskets, scored by co-occurrence cosine
+    n_ab / sqrt(n_a x n_b), top-20 pairs with support >= 2. The
+    interaction-graph complement to the content-based retrieval stack:
+    `simsearch_*` ranks by what items ARE (embeddings), this ranks by how
+    items are USED together (baskets) — the two inputs a production
+    recommender blends (`hybrid_rrf_topk` is the blending shape).
+
+    Plan note on the basket self-join: unlike the positional co-occurrence
+    that `text_textrank_keywords` had to move into lead() windows, keying
+    on l_orderkey is the SCALABLE shape here — basket size is bounded
+    (~4-7 lineitems/order, a domain invariant independent of corpus
+    growth), so per-key pair fan-out is O(basket^2) = O(1) and the join
+    grows linearly with orders. Item-count vectors broadcast back onto the
+    pair table; top-20 is TakeOrderedAndProject. The hot-item skew lever
+    at web scale (one item in 10% of baskets) is the same max_df cap the
+    shingle joins document."""
+    l = load_table(spark, sf_dir, "lineitem")
+    basket = l.select("l_orderkey", "l_partkey").distinct()
+    item_cnt = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("nab"))
+        .filter(F.col("nab") >= 2)
+    )
+    ia = item_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("na")
+    )
+    ib = item_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")
+    )
+    return (
+        cooc.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("nab").cast("bigint").alias("n_co"),
+            F.round(
+                F.col("nab") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "part_a", "part_b")
+        .limit(20)
+    )

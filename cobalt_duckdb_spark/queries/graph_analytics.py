@@ -602,3 +602,71 @@ def graph_scc_mutual_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("v").alias("event_type"), "scc_id", "scc_size")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) from the error state
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle() -> str:
+    inner = pagerank_oracle_cte(
+        _EDGES_CTE.strip(),
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        reset_cte="reset AS (SELECT 'error' AS node, 1.0 AS w)",
+    )
+    return f"""
+    SELECT node AS event_type, ROUND(rank, 6) AS ppr
+    FROM ({inner})
+    ORDER BY ppr DESC, event_type
+    """
+
+
+@register("graph_personalized_pagerank_error", oracle=_ppr_oracle())
+def graph_personalized_pagerank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart, seeded at the
+    'error' state: every teleport returns to 'error' instead of to the
+    uniform vector, so the score measures proximity-to-failure along the
+    observed transition flow — the graph-native 'which states orbit this
+    one' query behind related-item panels, fraud-neighborhood scoring, and
+    incident blast-radius ranking. Same fixed-iteration recurrence, SAME
+    operator (`operators/graph.py::pagerank`, now with a `reset`
+    distribution; `graph_pagerank_event_flow` is the uniform special
+    case), same unrolled-CTE oracle — personalization adds one broadcast
+    restart vector to the plan and nothing else.
+
+    Scale: identical to the classic variant — per-step rank-against-edges
+    join keyed on src/dst; the restart vector is a checkpointed
+    |nodes|-row leaf reused by every step."""
+    from cobalt_duckdb_spark.operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    edges = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    reset = spark.createDataFrame([("error", 1.0)], "node string, weight double")
+    ranks = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        weight="cnt",
+        reset=reset,
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("event_type"), F.round("rank", 6).alias("ppr")
+        )
+        .orderBy(F.desc("ppr"), "event_type")
+    )
