@@ -307,6 +307,7 @@ _DRIVER_DEFER = (
     "text_textrank_keywords",
     "orders_item_cf_similarity",
     "graph_personalized_pagerank_error",
+    "events_markov_removal_attribution",
 )
 
 

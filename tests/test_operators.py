@@ -1326,3 +1326,25 @@ def test_neyman_allocation_identities(spark, sf_dir):
     assert abs(sum(r["n_proportional"] for r in rows) - 1000.0) < 0.1
     assert all(r["design_effect_vs_prop"] >= 1.0 for r in rows)
     assert all(r["n_neyman"] > 0 for r in rows)
+
+
+def test_markov_removal_attribution_invariants(spark, sf_dir):
+    """Counterfactual sanity: removing any channel can only reduce
+    conversion (effect >= 0), full-graph conversion is a probability,
+    attribution shares are non-negative and sum to 1, and all four rows
+    share the same conv_full."""
+    from cobalt_duckdb_spark.queries.events import (
+        events_markov_removal_attribution,
+    )
+
+    rows = events_markov_removal_attribution(spark, sf_dir).collect()
+    assert len(rows) == 4
+    fulls = {r["conv_full"] for r in rows}
+    assert len(fulls) == 1
+    full = fulls.pop()
+    assert 0 < full <= 1
+    for r in rows:
+        assert 0 <= r["conv_removed"] <= full + 1e-9
+        assert r["removal_effect"] >= 0
+        assert r["attribution"] >= 0
+    assert abs(sum(r["attribution"] for r in rows) - 1.0) < 5e-6
