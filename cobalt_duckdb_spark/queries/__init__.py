@@ -308,6 +308,8 @@ _DRIVER_DEFER = (
     "orders_item_cf_similarity",
     "graph_personalized_pagerank_error",
     "events_markov_removal_attribution",
+    "text_yule_k_richness",
+    "events_periodogram_dft",
 )
 
 

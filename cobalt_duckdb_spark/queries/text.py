@@ -1803,3 +1803,70 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K lexical richness per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_yule_k_richness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT d.source, t.w, COUNT(*) AS m
+        FROM tok t JOIN documents d USING (doc_id)
+        GROUP BY d.source, t.w
+    ),
+    spectrum AS (
+        SELECT source, SUM(m) AS n_tokens, SUM(m * m) AS sum_m2,
+               COUNT(*) AS vocab
+        FROM freq GROUP BY source
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           ROUND(10000.0 * (sum_m2 - n_tokens) / (n_tokens * n_tokens), 4)
+               AS yule_k
+    FROM spectrum ORDER BY source
+    """,
+)
+def text_yule_k_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source: 10^4 x (sum m_w^2 - N) / N^2 over
+    the source's pooled term-frequency spectrum — the classic
+    length-insensitive lexical-richness statistic (higher K = more
+    repetitive vocabulary). The per-SOURCE lens the curation mix needs:
+    a crawl source whose K drifts up between snapshots is collapsing into
+    boilerplate even when its token volume looks healthy. Completes the
+    lexical trio: Zipf fit (rank law), burstiness (per-doc dispersion),
+    Yule's K (repeat concentration); all three run off the same
+    tokenize-count shape.
+
+    Plan: explode -> (source, word) count -> per-source moment rollup;
+    exact integer moments, so the only float op is the final division.
+    Two keyed shuffles, both on frames far smaller than the token
+    stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    spectrum = freq.groupBy("source").agg(
+        F.sum("m").alias("n_tokens"),
+        F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return spectrum.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.round(
+            10000.0
+            * (F.col("sum_m2") - F.col("n_tokens"))
+            / (F.col("n_tokens") * F.col("n_tokens")),
+            4,
+        ).alias("yule_k"),
+    ).orderBy("source")

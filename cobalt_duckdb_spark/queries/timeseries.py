@@ -1731,3 +1731,100 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# DFT periodogram over the hourly event-rate series
+# ---------------------------------------------------------------------------
+
+_DFT_MIN_PERIOD = 2
+_DFT_MAX_PERIOD = 48
+_DFT_TOPK = 5
+
+
+@register(
+    "events_periodogram_dft",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               COUNT(*) * 1.0 AS n
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY h) - 1 AS t, n,
+               AVG(n) OVER () AS mean_n, COUNT(*) OVER () AS nn
+        FROM hourly
+    ),
+    freqs AS (
+        SELECT unnest(range({_DFT_MIN_PERIOD}, {_DFT_MAX_PERIOD + 1}))
+            AS period
+    ),
+    dft AS (
+        SELECT f.period,
+               SUM((i.n - i.mean_n) * COS(2 * PI() * i.t / f.period)) AS re,
+               SUM((i.n - i.mean_n) * SIN(2 * PI() * i.t / f.period)) AS im,
+               MAX(i.nn) AS nn
+        FROM idx i CROSS JOIN freqs f
+        GROUP BY f.period
+    )
+    SELECT CAST(period AS BIGINT) AS period_hours,
+           ROUND((re * re + im * im) / nn, 4) AS power
+    FROM dft
+    ORDER BY power DESC, period_hours LIMIT {_DFT_TOPK}
+    """,
+)
+def events_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram by direct DFT probe: project the mean-centered hourly
+    event-rate series onto cos/sin at candidate periods 2..48 h and rank
+    by spectral power — the frequency-domain seasonality detector next to
+    the time-domain `events_autocorrelation_hourly` (ACF tells you THAT
+    the series self-correlates; the periodogram ranks WHICH cycle lengths
+    carry energy, and feeds the period choice that
+    `events_seasonal_naive_backtest` then validates). A flat noise
+    spectrum here is itself the finding for synthetic arrivals.
+
+    Plan: one hourly rollup (mergeable counts), one rank window over the
+    ~720-point series, then a 47-row broadcast frequency grid
+    cross-joined in — the projection is one keyed aggregate producing
+    |periods| rows. No FFT needed at this grid size; at a million-point
+    series you'd swap in mapInPandas + numpy.fft per series key, keeping
+    this exact output contract."""
+    from pyspark.sql import Window
+    import math
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wall = Window.partitionBy()
+    idx = hourly.select(
+        (F.row_number().over(Window.orderBy("h")) - 1).alias("t"),
+        "n",
+        F.avg("n").over(wall).alias("mean_n"),
+        F.count(F.lit(1)).over(wall).alias("nn"),
+    )
+    freqs = spark.range(_DFT_MIN_PERIOD, _DFT_MAX_PERIOD + 1).select(
+        F.col("id").alias("period")
+    )
+    ang = 2 * math.pi * F.col("t") / F.col("period")
+    dft = (
+        idx.crossJoin(F.broadcast(freqs))
+        .groupBy("period")
+        .agg(
+            F.sum((F.col("n") - F.col("mean_n")) * F.cos(ang)).alias("re"),
+            F.sum((F.col("n") - F.col("mean_n")) * F.sin(ang)).alias("im"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    return (
+        dft.select(
+            F.col("period").cast("bigint").alias("period_hours"),
+            F.round(
+                (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+                / F.col("nn"),
+                4,
+            ).alias("power"),
+        )
+        .orderBy(F.desc("power"), "period_hours")
+        .limit(_DFT_TOPK)
+    )
