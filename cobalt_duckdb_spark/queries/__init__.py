@@ -310,6 +310,7 @@ _DRIVER_DEFER = (
     "events_markov_removal_attribution",
     "text_yule_k_richness",
     "events_periodogram_dft",
+    "events_ohlc_bars",
 )
 
 

@@ -1828,3 +1828,59 @@ def events_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("power"), "period_hours")
         .limit(_DFT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (open/high/low/close rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bar_start,
+           ROUND(arg_min(value, ts), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(arg_max(value, ts), 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS volume
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY 1, 2 ORDER BY event_type, bar_start
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup — the finance-native downsampling shape
+    (first/last by event time + min/max + volume per bar) over 6-hour
+    buckets. The interesting operators are the ORDERED-ARGUMENT aggregates
+    min_by/max_by: open and close are values AT the argmin/argmax
+    timestamp, which a naive first()/last() would get
+    nondeterministically under shuffle — min_by is the order-free,
+    merge-safe way to express "first in event time" (exactly how a
+    streaming sink computes bars with late data, since min_by partials
+    merge associatively). Epoch-aligned buckets match `time_bucket`, the
+    same alignment contract as the tumbling-window twins.
+
+    Plan: one scan with the type filter pushed to parquet, one keyed
+    aggregate; every statistic is a mergeable pair (value, key) — no
+    window, no sort, no second pass."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "6 hours").start.alias("bar_start"),
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
