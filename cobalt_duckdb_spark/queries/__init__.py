@@ -311,6 +311,7 @@ _DRIVER_DEFER = (
     "text_yule_k_richness",
     "events_periodogram_dft",
     "events_ohlc_bars",
+    "events_markov_entropy_rate",
 )
 
 

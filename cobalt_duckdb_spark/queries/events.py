@@ -1788,3 +1788,117 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
             F.col("removal_effect") / F.sum("removal_effect").over(wall), 6
         ).alias("attribution"),
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the session Markov chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    p0 AS MATERIALIZED (
+        SELECT event_type AS i, next_type AS j,
+               ROUND(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY event_type), 9) AS p
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    {','.join(
+        f'''p{t} AS MATERIALIZED (
+        SELECT x.i AS i, y.j AS j, ROUND(SUM(x.p * y.p), 9) AS p
+        FROM p{t - 1} x JOIN p{t - 1} y ON x.j = y.i
+        GROUP BY x.i, y.j
+    )''' for t in range(1, _MKV_SQUARINGS + 1)
+    )},
+    pi_raw AS (
+        SELECT j AS i, AVG(p) AS pi FROM p{_MKV_SQUARINGS} GROUP BY j
+    ),
+    norm AS (SELECT SUM(pi) AS z FROM pi_raw),
+    pi AS (
+        SELECT i, ROUND(pi / (SELECT z FROM norm), 9) AS pi FROM pi_raw
+    ),
+    hrow AS (
+        SELECT i, ROUND(-SUM(p * LN(p)), 9) AS h FROM p0 GROUP BY i
+    ),
+    joined AS (
+        SELECT pi.i AS event_type, pi.pi, hrow.h
+        FROM pi JOIN hrow ON pi.i = hrow.i
+    )
+    SELECT event_type,
+           ROUND(pi, 6) AS stationary_p,
+           ROUND(h, 6) AS state_entropy_nats,
+           ROUND(pi * h, 6) AS contribution,
+           ROUND(SUM(pi * h) OVER (), 6) AS chain_entropy_rate
+    FROM joined
+    ORDER BY event_type
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the session chain: H = -sum_i pi_i sum_j p_ij ln p_ij
+    (nats per step) — how unpredictable the NEXT event is once you know
+    the current one, weighted by where journeys actually spend time.
+    Completes the information-theoretic pair with
+    `stats_entropy_event_types` (static marginal entropy): marginal H
+    ignores sequence structure, the rate is the sequential predictability
+    bound a next-event model (`events_markov_stationary`'s chain, the
+    bigram LM) can at best achieve. Per-state rows expose WHICH states are
+    the unpredictable ones (high h = chaotic fan-out, low h = funnel).
+
+    Composition: pi comes from the same 5-squaring P^32 machinery as
+    `events_markov_stationary` (9-dp lockstep); row entropies come from
+    the one-step matrix; the rate is a |types|-row weighted sum. One
+    corpus-wide window shuffle; everything else is vocabulary-sized."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("i"), F.col("next_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = Window.partitionBy("i")
+    p0 = pairs.select(
+        "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
+    ).localCheckpoint(eager=True)
+    p = p0
+    for _ in range(_MKV_SQUARINGS):
+        x, y = p.alias("x"), p.alias("y")
+        p = (
+            x.join(y, F.col("x.j") == F.col("y.i"))
+            .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
+            .agg(F.round(F.sum(F.col("x.p") * F.col("y.p")), 9).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    pi_raw = p.groupBy(F.col("j").alias("i")).agg(F.avg("p").alias("pi_r"))
+    z = pi_raw.agg(F.sum("pi_r").alias("z"))
+    pi = pi_raw.crossJoin(F.broadcast(z)).select(
+        "i", F.round(F.col("pi_r") / F.col("z"), 9).alias("pi")
+    )
+    hrow = p0.groupBy("i").agg(
+        F.round(-F.sum(F.col("p") * F.log("p")), 9).alias("h")
+    )
+    joined = pi.join(hrow, "i")
+    wall = Window.partitionBy()
+    return joined.select(
+        F.col("i").alias("event_type"),
+        F.round("pi", 6).alias("stationary_p"),
+        F.round("h", 6).alias("state_entropy_nats"),
+        F.round(F.col("pi") * F.col("h"), 6).alias("contribution"),
+        F.round(F.sum(F.col("pi") * F.col("h")).over(wall), 6).alias(
+            "chain_entropy_rate"
+        ),
+    ).orderBy("event_type")
