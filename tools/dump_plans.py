@@ -178,6 +178,32 @@ SHOWCASE = {
         "count() feeding literals; the final reduction is a single-row "
         "aggregate."
     ),
+    "simsearch_binary_hamming_topk": (
+        "The 1-bit quantization tier. Things to see: packing is pure "
+        "codegen over the embeddings scan (no shuffle before the join); "
+        "the 3-row query side is a BroadcastExchange; distance is two "
+        "XOR+popcounts inside the join projection — the scan streams "
+        "8-byte signatures, not 512-byte vectors; per-query top-k is a "
+        "rank window over the filtered candidates."
+    ),
+    "multimodal_ahash_neardup_pairs": (
+        "Perceptual-hash dedup, and the HOF-CSE lesson (SCALE.md). "
+        "Things to see: signature extraction ends at a Scan ExistingRDD "
+        "leaf (localCheckpoint) — withOUT that boundary, CollapseProject "
+        "substitutes the 64-substring pixel array into the avg threshold "
+        "and both packing lambdas (147 s vs 0.9 s at sf0.1); the pair "
+        "join keys on the length bucket with the Hamming predicate as "
+        "join condition over 16 bytes/row."
+    ),
+    "events_markov_removal_attribution": (
+        "Counterfactual composition. Things to see: the final frame is "
+        "a union of five per-channel rows, each a crossJoin of two "
+        "1-row conversion aggregates whose lineage ends at checkpointed "
+        "|channels|^2 matrices — five absorbing-chain solves appear in "
+        "the plan as five independent ExistingRDD chains, built "
+        "concurrently on driver threads; the ONLY corpus-wide work is "
+        "the single user-sequence window."
+    ),
 }
 
 
