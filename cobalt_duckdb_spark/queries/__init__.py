@@ -312,6 +312,9 @@ _DRIVER_DEFER = (
     "events_periodogram_dft",
     "events_ohlc_bars",
     "events_markov_entropy_rate",
+    "events_cohort_ltv_curve",
+    "text_ngram_novelty_split",
+    "embedding_knn_hubness_audit",
 )
 
 

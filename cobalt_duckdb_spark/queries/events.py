@@ -1902,3 +1902,99 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chain_entropy_rate"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    rev AS (
+        SELECT f.cohort, e.user_id,
+               CAST(floor(date_diff('day', f.cohort, e.ts) / 7) AS BIGINT)
+                   AS week_offset,
+               e.value AS v
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+        SELECT cohort, week_offset, SUM(v) AS wrev,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM rev GROUP BY cohort, week_offset
+    ),
+    sized AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
+    SELECT w.cohort, w.week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(w.active_users AS BIGINT) AS active_buyers,
+           ROUND(SUM(w.wrev) OVER (
+                     PARTITION BY w.cohort ORDER BY w.week_offset)
+                 / s.cohort_size, 4) AS cum_ltv_per_user
+    FROM weekly w JOIN sized s USING (cohort)
+    ORDER BY w.cohort, w.week_offset
+    """,
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by the ISO week of their
+    first event, cumulative purchase revenue per cohort member by week
+    offset — the growth-analytics table behind every LTV/CAC decision, and
+    the revenue-weighted complement of `events_weekly_cohort_retention`
+    (who comes back vs what they're worth). Cohort weeks use
+    date_trunc('week') — Monday-aligned in BOTH engines — rather than
+    7-day tumbling buckets, because DuckDB's time_bucket anchors
+    multi-day intervals at 2000-01-03 while Spark windows anchor at the
+    1970 epoch: a 4-day phase shift that silently misaligns week
+    boundaries (pinned here as the discipline for calendar-week twins).
+
+    Plan: first-touch per user (one user-key aggregate), cohort broadcast
+    back onto purchases, weekly rollup, then the cumulative sum runs per
+    cohort over |weeks| rows. Event volume is touched exactly twice, both
+    map-reduce shapes."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort",
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort").cast("date"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            F.col("value").alias("v"),
+        )
+    )
+    weekly = rev.groupBy("cohort", "week_offset").agg(
+        F.sum("v").alias("wrev"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cum = Window.partitionBy("cohort").orderBy("week_offset")
+    return (
+        weekly.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("active_users").cast("bigint").alias("active_buyers"),
+            F.round(
+                F.sum("wrev").over(cum) / F.col("cohort_size"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "week_offset")
+    )

@@ -1667,3 +1667,118 @@ def simsearch_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("query_id", "rank", "vec_id", "hamming")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph hubness audit
+# ---------------------------------------------------------------------------
+
+_HUB_K = 5
+_HUB_NQ = 500  # query sample: vec_id < 500 (all of sf0.01, 10% of sf0.1)
+_HUB_TOP = 10
+
+
+@register(
+    "embedding_knn_hubness_audit",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, d.vec_id AS did,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(d.embedding AS DOUBLE[])) AS sim
+        FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id
+        WHERE q.vec_id < {_HUB_NQ}
+    ),
+    knn AS (
+        SELECT qid, did FROM (
+            SELECT qid, did,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, did) AS rn
+            FROM scored
+        ) WHERE rn <= {_HUB_K}
+    ),
+    indeg AS (
+        SELECT did AS vec_id, COUNT(*) * 1.0 AS d FROM knn GROUP BY did
+    ),
+    mom AS (
+        SELECT AVG(d) AS mu,
+               SUM(POW(d - (SELECT AVG(d) FROM indeg), 2)) / COUNT(*) AS m2,
+               SUM(POW(d - (SELECT AVG(d) FROM indeg), 3)) / COUNT(*) AS m3,
+               COUNT(*) AS n_reached
+        FROM indeg
+    )
+    SELECT CAST(row_number() OVER (ORDER BY i.d DESC, i.vec_id) AS BIGINT)
+               AS hub_rank,
+           i.vec_id,
+           CAST(i.d AS BIGINT) AS in_degree,
+           CAST(m.n_reached AS BIGINT) AS n_reached,
+           ROUND(m.m3 / POW(m.m2, 1.5), 4) AS in_degree_skew
+    FROM indeg i, mom m
+    ORDER BY hub_rank LIMIT {_HUB_TOP}
+    """,
+)
+def embedding_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: build the k-NN graph (k=5,
+    cosine) from a fixed query sample and rank vectors by IN-degree — in
+    high dimensions a few points become 'hubs' that appear in everyone's
+    neighbor lists (Radovanovic et al. 2010), which silently degrades
+    ANN recall, k-NN classification, and dedup clustering. The audit
+    reports the top hubs plus the population skewness of the in-degree
+    distribution (the standard hubness statistic: skew >> 0 = hubby
+    space; ~0 = healthy). Run this BEFORE trusting any `simsearch_*`
+    index — it is the embedding-geometry counterpart of
+    `embedding_norm_outlier_screen` (norms) and
+    `embedding_dim_variance_topk` (coordinates).
+
+    Plan: brute-force scored pairs from a BOUNDED query sample (constant
+    500 — audit cost does not scale with the corpus), per-query
+    top-k via rank window, then in-degree and its central moments on the
+    reached-node frame. Skewness is computed from explicit population
+    moments (same discipline as `agg_higher_moments` — Spark's builtin
+    and DuckDB's disagree on bias correction)."""
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HUB_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    d = emb.select(F.col("vec_id").alias("did"), F.col("embedding").alias("dv"))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("did"))
+        .select("qid", "did", cosine_similarity("qv", "dv").alias("sim"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("sim"), "did")
+    )
+    knn = scored.withColumn("rn", rn).filter(F.col("rn") <= _HUB_K)
+    indeg = knn.groupBy(F.col("did").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    mu = indeg.agg(
+        F.avg("d").alias("mu"), F.count(F.lit(1)).alias("n_reached")
+    )
+    dev = F.col("d") - F.col("mu")
+    mom = (
+        indeg.crossJoin(F.broadcast(mu))
+        .agg(
+            F.first("mu").alias("mu"),
+            (F.sum(dev * dev) / F.count(F.lit(1))).alias("m2"),
+            (F.sum(dev * dev * dev) / F.count(F.lit(1))).alias("m3"),
+            F.first("n_reached").alias("n_reached"),
+        )
+    )
+    hub_rank = F.row_number().over(Window.orderBy(F.desc("d"), "vec_id"))
+    return (
+        indeg.crossJoin(F.broadcast(mom))
+        .select(
+            hub_rank.cast("bigint").alias("hub_rank"),
+            "vec_id",
+            F.col("d").cast("bigint").alias("in_degree"),
+            F.col("n_reached").cast("bigint").alias("n_reached"),
+            F.round(F.col("m3") / F.pow("m2", 1.5), 4).alias("in_degree_skew"),
+        )
+        .orderBy("hub_rank")
+        .limit(_HUB_TOP)
+    )

@@ -1870,3 +1870,90 @@ def text_yule_k_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("yule_k"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty against a reference split (memorization screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty_split",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, list_aggregate(t[p:p+3], 'string_agg', ' ') AS g
+        FROM tok CROSS JOIN LATERAL
+            (SELECT unnest(range(1, len(t) - 2)) AS p)
+    ),
+    ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+    cand AS (
+        SELECT d.source, g.g FROM grams g JOIN documents d USING (doc_id)
+        WHERE g.doc_id % 2 = 1
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel,
+           ROUND(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty_rate
+    FROM cand c LEFT JOIN ref r ON c.g = r.g
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def text_ngram_novelty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-gram novelty of one corpus split against another (even/odd doc_id
+    halves standing in for train-vs-new-crawl): the fraction of a
+    candidate source's token 4-grams never seen in the reference split.
+    The memorization/freshness screen a training-data pipeline runs on an
+    incoming batch — a source whose novelty collapses toward 0 is
+    re-serving what the model already saw (the aggregate cousin of
+    `dedup_eval_contamination`'s per-document verdicts, and the
+    cross-split version of `text_good_turing_unseen`'s within-corpus
+    estimate).
+
+    Plan: shingle with posexplode + slice (map-only), reference grams
+    deduplicated into a hash-join build side keyed on the gram, novelty
+    = null-probe rate per source. One gram-keyed shuffle prices it; the
+    hot-gram cap (max_df) documented on the shingle joins applies
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    # size guard: Spark's sequence(1, n) flips to a DESCENDING sequence
+    # when n < 1 (short doc), where DuckDB's range() is empty — filter
+    # sub-4-token docs explicitly so both engines emit zero grams
+    tok = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 4)
+    grams = tok.select(
+        "doc_id",
+        "source",
+        "t",
+        F.posexplode(F.sequence(F.lit(1), F.size("t") - 3)).alias("_i", "p"),
+    ).select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice("t", F.col("p"), 4), " ").alias("g"),
+    )
+    ref = (
+        grams.filter(F.col("doc_id") % 2 == 0).select("g").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    cand = grams.filter(F.col("doc_id") % 2 == 1)
+    return (
+        cand.join(ref, "g", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel"),
+            F.round(
+                F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
