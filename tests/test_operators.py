@@ -1348,3 +1348,86 @@ def test_markov_removal_attribution_invariants(spark, sf_dir):
         assert r["removal_effect"] >= 0
         assert r["attribution"] >= 0
     assert abs(sum(r["attribution"] for r in rows) - 1.0) < 5e-6
+
+
+def test_round3_late_batch_invariants(spark, sf_dir):
+    """Structural invariants across the late round-3 additions — cheap
+    cross-checks that each query's semantics hold, complementing their
+    DuckDB hash oracles."""
+    import math
+
+    from cobalt_duckdb_spark.queries.advanced import orders_item_cf_similarity
+    from cobalt_duckdb_spark.queries.events import (
+        events_cohort_ltv_curve,
+        events_markov_entropy_rate,
+    )
+    from cobalt_duckdb_spark.queries.graph_analytics import (
+        graph_personalized_pagerank_error,
+    )
+    from cobalt_duckdb_spark.queries.similarity import (
+        embedding_knn_hubness_audit,
+    )
+    from cobalt_duckdb_spark.queries.text import text_ngram_novelty_split
+    from cobalt_duckdb_spark.queries.timeseries import (
+        events_ohlc_bars,
+        events_periodogram_dft,
+    )
+
+    # OHLC: low <= open, close <= high; volume >= high
+    for r in events_ohlc_bars(spark, sf_dir).collect():
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+
+    # periodogram: 5 rows, non-negative power, descending
+    p = events_periodogram_dft(spark, sf_dir).collect()
+    assert len(p) == 5
+    powers = [r["power"] for r in p]
+    assert powers == sorted(powers, reverse=True)
+    assert all(x >= 0 for x in powers)
+
+    # entropy rate: 0 <= h_i <= ln(#states); contributions sum to the rate
+    ent = events_markov_entropy_rate(spark, sf_dir).collect()
+    n_states = len(ent)
+    rate = ent[0]["chain_entropy_rate"]
+    assert 0 < rate <= math.log(n_states) + 1e-9
+    assert abs(sum(r["contribution"] for r in ent) - rate) < 5e-6
+    for r in ent:
+        assert 0 <= r["state_entropy_nats"] <= math.log(n_states) + 1e-9
+
+    # PPR: mass ~1, restart state dominates
+    ppr = {
+        r["event_type"]: r["ppr"]
+        for r in graph_personalized_pagerank_error(spark, sf_dir).collect()
+    }
+    assert abs(sum(ppr.values()) - 1.0) < 0.01
+    assert max(ppr, key=ppr.get) == "error"
+
+    # cohort LTV: cumulative per cohort is nondecreasing; buyers <= size
+    ltv = events_cohort_ltv_curve(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in ltv:
+        assert r["active_buyers"] <= r["cohort_size"]
+        by_cohort.setdefault(r["cohort"], []).append(
+            (r["week_offset"], r["cum_ltv_per_user"])
+        )
+    for series in by_cohort.values():
+        vals = [v for _, v in sorted(series)]
+        assert vals == sorted(vals)
+
+    # novelty: rates in [0, 1], novel <= n_grams
+    for r in text_ngram_novelty_split(spark, sf_dir).collect():
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        assert r["novel"] <= r["n_grams"]
+
+    # item CF: cosine in (0, 1], support >= 2, canonical pair order
+    for r in orders_item_cf_similarity(spark, sf_dir).collect():
+        assert 0 < r["cosine_sim"] <= 1.0
+        assert r["n_co"] >= 2
+        assert r["part_a"] < r["part_b"]
+
+    # hubness: in-degree bounded by k * n_queries; ranks strictly ordered
+    hubs = embedding_knn_hubness_audit(spark, sf_dir).collect()
+    degs = [r["in_degree"] for r in hubs]
+    assert degs == sorted(degs, reverse=True)
+    assert all(d >= 1 for d in degs)
