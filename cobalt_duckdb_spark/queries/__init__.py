@@ -315,6 +315,8 @@ _DRIVER_DEFER = (
     "events_cohort_ltv_curve",
     "text_ngram_novelty_split",
     "embedding_knn_hubness_audit",
+    "agg_weighted_percentile",
+    "dq_id_sequence_gaps",
 )
 
 

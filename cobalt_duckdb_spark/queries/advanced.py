@@ -2754,3 +2754,81 @@ def orders_item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ID-sequence gap detection (ingestion-hole audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_id_sequence_gaps",
+    oracle="""
+    WITH present AS (
+        SELECT event_id FROM events WHERE event_id % 97 <> 0
+    ),
+    marked AS (
+        SELECT event_id,
+               event_id - row_number() OVER (ORDER BY event_id) AS grp
+        FROM present
+    ),
+    runs AS (
+        SELECT MIN(event_id) AS run_start, MAX(event_id) AS run_end
+        FROM marked GROUP BY grp
+    ),
+    gaps AS (
+        SELECT run_end + 1 AS gap_start,
+               lead(run_start) OVER (ORDER BY run_start) - 1 AS gap_end
+        FROM runs
+    )
+    SELECT gap_start, gap_end,
+           CAST(gap_end - gap_start + 1 AS BIGINT) AS n_missing
+    FROM gaps WHERE gap_end IS NOT NULL
+    ORDER BY gap_start
+    """,
+)
+def dq_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-hole audit: find every missing run in a should-be-dense id
+    sequence (holes planted deterministically by dropping event_id % 97 = 0
+    so the detector provably fires on each of the ~103 single-id gaps at
+    sf0.01). Gaps-and-islands with the id-minus-rank trick: consecutive
+    ids share `id − row_number()`, so islands collapse in one aggregate
+    and the holes are the spaces between successive islands — the
+    id-space sibling of `dq_freshness_audit` (time-space gaps) and the
+    completeness check a backfill job runs before declaring a partition
+    whole.
+
+    Plan note: id − row_number() needs a GLOBAL rank (one range-partition
+    sort — Spark's parallel TimSort, not a single task); at 100 TB you
+    shard this by id range first (`operators/scale.py` byte-balanced
+    sharder) and run the same island logic per shard, stitching shard
+    boundaries with one extra pass over |shards| rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    present = e.filter(F.col("event_id") % 97 != 0).select("event_id")
+    marked = present.withColumn(
+        "grp",
+        F.col("event_id") - F.row_number().over(Window.orderBy("event_id")),
+    )
+    runs = marked.groupBy("grp").agg(
+        F.min("event_id").alias("run_start"),
+        F.max("event_id").alias("run_end"),
+    )
+    gaps = runs.select(
+        (F.col("run_end") + 1).alias("gap_start"),
+        (F.lead("run_start").over(Window.orderBy("run_start")) - 1).alias(
+            "gap_end"
+        ),
+    )
+    return (
+        gaps.filter(F.col("gap_end").isNotNull())
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )

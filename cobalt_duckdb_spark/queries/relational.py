@@ -823,3 +823,88 @@ def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x, l_quantity AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT flag, x, wt,
+               SUM(wt) OVER (PARTITION BY flag ORDER BY x, wt
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY flag) AS tw
+        FROM w
+    ),
+    p AS (
+        SELECT flag,
+               MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS p50_weighted,
+               MIN(CASE WHEN cw >= 0.9 * tw THEN x END) AS p90_weighted
+        FROM cum GROUP BY flag
+    )
+    SELECT flag, ROUND(p50_weighted, 2) AS p50_weighted,
+           ROUND(p90_weighted, 2) AS p90_weighted
+    FROM p ORDER BY flag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles (quantity-weighted price p50/p90 per
+    return flag) by the cumulative-weight method: sort within group, run a
+    weight prefix sum, and take the first value whose cumulative weight
+    crosses q x total — the lower-weighted-quantile definition. Neither
+    engine has a weighted-percentile builtin (Spark's percentile() takes a
+    frequency integer, not a fractional weight column), so this is the
+    portable primitive every revenue-weighted SLA metric builds on.
+    Determinism under ties: rows sharing (x, wt) permute freely in the
+    ROWS frame, but the crossing VALUE is invariant — any order within an
+    equal-x run crosses the threshold at the same x.
+
+    Plan: one keyed sort-window (prefix sums + group totals share it),
+    one conditional-min aggregate. At extreme group cardinality swap the
+    global sort for approx_percentile with a weight-expanded sketch; the
+    output contract stays."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = l.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("wt"),
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("x", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("flag")
+    cum = w.select(
+        "flag",
+        "x",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.min(
+                F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("x"))
+            ).alias("p50w"),
+            F.min(
+                F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("x"))
+            ).alias("p90w"),
+        )
+        .select(
+            "flag",
+            F.round("p50w", 2).alias("p50_weighted"),
+            F.round("p90w", 2).alias("p90_weighted"),
+        )
+        .orderBy("flag")
+    )
