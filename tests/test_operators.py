@@ -1431,3 +1431,53 @@ def test_round3_late_batch_invariants(spark, sf_dir):
     degs = [r["in_degree"] for r in hubs]
     assert degs == sorted(degs, reverse=True)
     assert all(d >= 1 for d in degs)
+
+
+def test_weighted_percentile_matches_numpy_reference(spark, sf_dir):
+    """Weighted p50/p90 recomputed in Python by explicit weight expansion
+    semantics (first value whose cumulative weight crosses q x total)."""
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.relational import agg_weighted_percentile
+
+    got = {r["flag"]: r for r in agg_weighted_percentile(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["l_quantity"])
+        )
+    for flag, pairs in by_flag.items():
+        pairs.sort()
+        tw = sum(w for _, w in pairs)
+        for q, col in ((0.5, "p50_weighted"), (0.9, "p90_weighted")):
+            cw = 0.0
+            for x, w in pairs:
+                cw += w
+                if cw >= q * tw:
+                    assert abs(got[flag][col] - round(x, 2)) < 1e-9, (flag, col)
+                    break
+
+
+def test_id_gaps_exactly_planted_holes(spark, sf_dir):
+    """Every detected gap is exactly one planted multiple-of-97 id, and
+    every in-range multiple of 97 is detected — detector completeness AND
+    soundness."""
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.queries.advanced import dq_id_sequence_gaps
+
+    gaps = dq_id_sequence_gaps(spark, sf_dir).collect()
+    ids = [
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events").select("event_id").collect()
+    ]
+    lo, hi = min(ids), max(ids)
+    expect = [i for i in range(lo, hi + 1) if i % 97 == 0 and lo < i < hi]
+    got = []
+    for g in gaps:
+        got.extend(range(g["gap_start"], g["gap_end"] + 1))
+        assert g["n_missing"] == g["gap_end"] - g["gap_start"] + 1
+    assert got == expect
