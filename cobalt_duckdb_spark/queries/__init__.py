@@ -317,6 +317,7 @@ _DRIVER_DEFER = (
     "embedding_knn_hubness_audit",
     "agg_weighted_percentile",
     "dq_id_sequence_gaps",
+    "stats_spearman_rank_corr",
 )
 
 

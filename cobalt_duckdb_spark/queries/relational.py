@@ -908,3 +908,83 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-averaged ranks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_spearman_rank_corr",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag AS flag,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   + (COUNT(*) OVER (
+                          PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+                   AS rq,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                   + (COUNT(*) OVER (
+                          PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+                   AS rp,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+                   + (COUNT(*) OVER (
+                          PARTITION BY l_returnflag, l_discount) - 1) / 2.0
+                   AS rd
+        FROM lineitem
+    )
+    SELECT flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(rq, rp), 4) AS spearman_qty_price,
+           ROUND(corr(rq, rd), 4) AS spearman_qty_discount
+    FROM ranked GROUP BY flag ORDER BY flag
+    """,
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return flag — the robust,
+    outlier-immune, monotone-relationship complement of
+    `agg_corr_quantity_price`'s Pearson r (which a single fat-tailed
+    price can dominate). Tie handling is the textbook AVERAGE rank,
+    computed without a second pass: min-rank from rank() plus
+    (tie_count − 1)/2 from a count window over the tie group — two
+    windows sharing one partition key, no dense_rank/join-back. Near-zero
+    coefficients on the synthetic tables are the expected reading (price
+    is drawn independently of quantity) — the A/A calibration discipline
+    again.
+
+    Plan: the three rank windows all partition on the SAME key (one
+    exchange, three sorts), then Pearson on ranks is one mergeable
+    moment aggregate (corr's partials). At a trillion rows swap exact
+    ranks for approx-quantile bucket mid-ranks; the contract stays."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def avg_rank(col: str) -> F.Column:
+        return (
+            F.rank().over(Window.partitionBy("l_returnflag").orderBy(col))
+            + (
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("l_returnflag", col)
+                )
+                - 1
+            )
+            / 2.0
+        )
+
+    ranked = l.select(
+        F.col("l_returnflag").alias("flag"),
+        avg_rank("l_quantity").alias("rq"),
+        avg_rank("l_extendedprice").alias("rp"),
+        avg_rank("l_discount").alias("rd"),
+    )
+    return (
+        ranked.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.corr("rq", "rp"), 4).alias("spearman_qty_price"),
+            F.round(F.corr("rq", "rd"), 4).alias("spearman_qty_discount"),
+        )
+        .orderBy("flag")
+    )
