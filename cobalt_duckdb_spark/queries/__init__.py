@@ -318,6 +318,7 @@ _DRIVER_DEFER = (
     "agg_weighted_percentile",
     "dq_id_sequence_gaps",
     "stats_spearman_rank_corr",
+    "events_gumbel_peak_analysis",
 )
 
 

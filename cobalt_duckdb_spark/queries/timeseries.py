@@ -1884,3 +1884,92 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extreme-value (Gumbel) peak-load analysis
+# ---------------------------------------------------------------------------
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+@register(
+    "events_gumbel_peak_analysis",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               COUNT(*) * 1.0 AS n
+        FROM events GROUP BY 1
+    ),
+    daily_max AS (
+        SELECT date_trunc('day', h) AS d, MAX(n) AS mx FROM hourly GROUP BY 1
+    ),
+    mom AS (
+        SELECT AVG(mx) AS mu_hat, stddev_samp(mx) AS sd, COUNT(*) AS n_days
+        FROM daily_max
+    ),
+    fit AS (
+        SELECT n_days, mu_hat, sd,
+               sd * sqrt(6.0) / pi() AS beta,
+               mu_hat - {_EULER_GAMMA} * (sd * sqrt(6.0) / pi()) AS mu
+        FROM mom
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           ROUND(mu_hat, 4) AS mean_daily_peak,
+           ROUND(mu, 4) AS gumbel_mu,
+           ROUND(beta, 4) AS gumbel_beta,
+           ROUND(mu - beta * ln(-ln(1.0 - 1.0/30)), 4) AS ret_level_30d,
+           ROUND(mu - beta * ln(-ln(1.0 - 1.0/365)), 4) AS ret_level_365d,
+           ROUND(1.0 - exp(-exp(
+               -((SELECT MAX(mx) FROM daily_max) - mu) / beta)), 6)
+               AS p_exceed_observed_max
+    FROM fit
+    """,
+)
+def events_gumbel_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of peak load: fit a Gumbel distribution to
+    the DAILY MAXIMA of the hourly event rate (block-maxima method —
+    Fisher-Tippett says maxima of light-tailed hourlies converge to
+    Gumbel) by method of moments (beta = sd*sqrt(6)/pi, mu = mean −
+    gamma*beta), then answer the capacity question averages cannot: the
+    30-day and 365-day RETURN LEVELS (the peak you expect to see once per
+    N days — what you provision for) and the exceedance probability of
+    the worst peak observed so far. The tail-risk complement of
+    `events_peak_concurrent_incidents` (observed peaks) and
+    `events_latency_percentile_rollup` (bulk quantiles).
+
+    Plan: two nested keyed rollups (hour, then day — both mergeable),
+    then closed-form arithmetic on a 1-row moment frame; the scan is the
+    entire cost at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    daily_max = hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.max("n").alias("mx")
+    )
+    mom = daily_max.agg(
+        F.avg("mx").alias("mu_hat"),
+        F.stddev_samp("mx").alias("sd"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("mx").alias("obs_max"),
+    )
+    import math
+
+    beta = F.col("sd") * math.sqrt(6.0) / math.pi
+    mu = F.col("mu_hat") - _EULER_GAMMA * beta
+
+    def ret_level(days: int) -> F.Column:
+        return mu - beta * F.log(-F.log(F.lit(1.0) - 1.0 / days))
+
+    return mom.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round("mu_hat", 4).alias("mean_daily_peak"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(ret_level(30), 4).alias("ret_level_30d"),
+        F.round(ret_level(365), 4).alias("ret_level_365d"),
+        F.round(
+            F.lit(1.0) - F.exp(-F.exp(-(F.col("obs_max") - mu) / beta)), 6
+        ).alias("p_exceed_observed_max"),
+    )
