@@ -319,6 +319,11 @@ _DRIVER_DEFER = (
     "dq_id_sequence_gaps",
     "stats_spearman_rank_corr",
     "events_gumbel_peak_analysis",
+    "embedding_isotropy_audit",
+    "simsearch_range_radius",
+    "events_interarrival_burstiness",
+    "pipeline_label_agreement_kappa",
+    "sample_horvitz_thompson_total",
 )
 
 

@@ -1341,3 +1341,171 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (Cohen's kappa) between quality rules
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_label_agreement_kappa",
+    oracle="""
+    WITH labels AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(string_split(text, ' ')) >= 40
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    cm AS (
+        SELECT COUNT(*) * 1.0 AS n,
+               SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) * 1.0 AS n11,
+               SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) * 1.0 AS n10,
+               SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) * 1.0 AS n01,
+               SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) * 1.0 AS n00
+        FROM labels
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND((n11 + n00) / n, 4) AS observed_agreement,
+           ROUND(((n11 + n10) * (n11 + n01)
+                  + (n00 + n01) * (n00 + n10)) / (n * n), 4)
+               AS expected_agreement,
+           ROUND(((n11 + n00) / n
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n00 + n01) * (n00 + n10)) / (n * n))
+                 / (1 - ((n11 + n10) * (n11 + n01)
+                         + (n00 + n01) * (n00 + n10)) / (n * n)), 4)
+               AS cohens_kappa
+    FROM cm
+    """,
+)
+def pipeline_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent quality labelers (here: a
+    char-length rule and a token-count rule standing in for two
+    annotators / two classifier versions / rule-vs-model): observed
+    agreement corrected for the agreement two labelers would reach by
+    CHANCE given their marginals. The inter-annotator-reliability gate
+    every labeling pipeline needs before trusting its labels — raw
+    agreement of 96% can still be kappa ~0 when one class dominates.
+    Swapping a rule for a model's predictions changes the two CASE
+    expressions and nothing else.
+
+    Plan: one scan building both labels map-side, one 4-cell confusion
+    aggregate, closed-form kappa on a 1-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split("text", " ")) >= 40, 1).otherwise(0).alias("b"),
+    )
+    cm = labels.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+    ) / (F.col("n") * F.col("n"))
+    return cm.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 4).alias("observed_agreement"),
+        F.round(pe, 4).alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe), 4).alias("cohens_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation from the PPS sample
+# ---------------------------------------------------------------------------
+
+_HT_EXPECTED_N = 200.0
+
+
+@register(
+    "sample_horvitz_thompson_total",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, n_chars * 1.0 AS x,
+               len(string_split(text, ' ')) * 1.0 AS y
+        FROM documents
+    ),
+    tot AS (SELECT SUM(x) AS xx, SUM(y) AS true_total FROM base),
+    sampled AS (
+        SELECT b.doc_id, b.x, b.y, {_HT_EXPECTED_N} * b.x / t.xx AS pi
+        FROM base b, tot t
+        WHERE ('0x' || substr(md5('ht:' || CAST(b.doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT / 4294967296.0 < {_HT_EXPECTED_N} * b.x / t.xx
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(SUM(y / pi), 2) AS ht_estimate_tokens,
+           ROUND((SELECT true_total FROM tot), 2) AS true_total_tokens,
+           ROUND(ABS(SUM(y / pi) - (SELECT true_total FROM tot))
+                 / (SELECT true_total FROM tot), 4) AS rel_error
+    FROM sampled
+    """,
+)
+def sample_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation — the inferential HALF of unequal-
+    probability sampling: Poisson-PPS-sample documents with inclusion
+    probability pi_i proportional to size (n_chars, the cheap proxy),
+    then estimate the corpus's TOTAL token count as sum(y_i / pi_i). The
+    1/pi weighting is what makes biased samples give unbiased totals —
+    the principle behind every "estimate corpus statistics from a 0.1%
+    sample" job at 100 TB, where y (tokenization) is expensive and only
+    computed on sampled rows. The draw is salted-md5 derandomized (same
+    discipline as the bootstrap/permutation family); true total and
+    realized relative error are emitted alongside as the self-audit —
+    possible at test scale, exactly what you CAN'T compute at 100 TB
+    (which is the point of the estimator).
+
+    Plan: one moment pass for the size total (broadcast scalar), one
+    filtered map-side draw, one weighted-sum aggregate. The expensive
+    y-column work happens only on sampled rows in a real deployment."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    )
+    tot = base.agg(
+        F.sum("x").alias("xx"), F.sum("y").alias("true_total")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ht:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    pi = F.lit(_HT_EXPECTED_N) * F.col("x") / F.col("xx")
+    sampled = (
+        base.crossJoin(F.broadcast(tot))
+        .filter(u < pi)
+        .select("y", pi.alias("pi"), "true_total")
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(F.sum(F.col("y") / F.col("pi")), 2).alias("ht_estimate_tokens"),
+        F.round(F.first("true_total"), 2).alias("true_total_tokens"),
+        F.round(
+            F.abs(F.sum(F.col("y") / F.col("pi")) - F.first("true_total"))
+            / F.first("true_total"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -1795,3 +1795,129 @@ def embedding_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hub_rank")
         .limit(_HUB_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy audit (one-pass average pairwise cosine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_isotropy_audit",
+    oracle="""
+    WITH nrm AS (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])))) AS e
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT i.i AS dim, SUM(e[i.i + 1]) AS s
+        FROM nrm CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        GROUP BY i.i
+    ),
+    agg AS (
+        SELECT (SELECT SUM(s * s) FROM comp) AS sum_sq,
+               (SELECT COUNT(*) FROM nrm) AS n
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           ROUND((sum_sq - n) / (n * (n - 1.0)), 6) AS avg_pairwise_cosine,
+           ROUND(sqrt(sum_sq) / n, 6) AS mean_vector_norm
+    FROM agg
+    """,
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit WITHOUT the pairwise join: the average pairwise
+    cosine of n normalized vectors equals (||Σv||² − n) / (n(n−1)) — the
+    resultant-vector identity — so the O(n²) statistic costs ONE pass and
+    a d-component reduction. Anisotropy (avg cosine ≫ 0, the 'narrow
+    cone' pathology of transformer embeddings, Ethayarajh 2019) inflates
+    all cosine similarities and poisons threshold-based dedup; this is
+    the 3-line screen that catches it, complementing
+    `embedding_knn_hubness_audit` (neighborhood geometry) and
+    `embedding_norm_outlier_screen` (magnitudes). ~0 here = healthy
+    isotropic space; the mean resultant norm is the companion
+    concentration measure.
+
+    Plan: normalize map-side, per-dimension component sums (d=64 groups,
+    mergeable), then scalar arithmetic — corpus touched once, no pair
+    enumeration at ANY scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from cobalt_duckdb_spark.functions.vector import l2_normalize
+
+    nrm = emb.select(l2_normalize("embedding").alias("e"))
+    comp = (
+        nrm.select(
+            F.posexplode(F.col("e")).alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    n_df = nrm.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    agg = comp.agg(F.sum(F.col("s") * F.col("s")).alias("sum_sq")).crossJoin(
+        F.broadcast(n_df)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(
+            (F.col("sum_sq") - F.col("n")) / (F.col("n") * (F.col("n") - 1.0)),
+            6,
+        ).alias("avg_pairwise_cosine"),
+        F.round(F.sqrt("sum_sq") / F.col("n"), 6).alias("mean_vector_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (radius) similarity search
+# ---------------------------------------------------------------------------
+
+_RANGE_RADIUS = 0.75
+_RANGE_QUERY_ID = 0
+
+
+@register(
+    "simsearch_range_radius",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = {_RANGE_QUERY_ID}
+    )
+    SELECT vec_id,
+           ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              (SELECT qvec FROM q)), 6)
+               AS distance
+    FROM embeddings
+    WHERE 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                       (SELECT qvec FROM q))
+          <= {_RANGE_RADIUS}
+    ORDER BY distance, vec_id
+    """,
+)
+def simsearch_range_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: EVERY vector within cosine distance
+    0.75 of the query — the other retrieval primitive next to
+    top-k (dedup thresholds, geofence-style matching, and recall-oriented
+    candidate generation are range queries, not k queries: the caller
+    bounds QUALITY, not COUNT). Same broadcast-query scan as the
+    flagship, but the predicate replaces the rank window — no sort, no
+    window, result size data-dependent by design.
+
+    Plan: map-only filtered scan with the distance predicate inlined
+    (whole-stage codegen), broadcast 1-row query; a TakeOrdered final
+    presentation sort over only the survivors. IVF cell pruning composes
+    in front unchanged (`simsearch_ivf_topk`) when the corpus is
+    indexed."""
+    from cobalt_duckdb_spark.functions.vector import cosine_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _RANGE_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    dist = cosine_distance("embedding", "qv")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(dist <= _RANGE_RADIUS)
+        .select("vec_id", F.round(dist, 6).alias("distance"))
+        .orderBy("distance", "vec_id")
+    )

@@ -1973,3 +1973,68 @@ def events_gumbel_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.exp(-F.exp(-(F.col("obs_max") - mu) / beta)), 6
         ).alias("p_exceed_observed_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (Poisson-process test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, ts,
+               epoch(ts - lag(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap), 4) AS mean_gap_s,
+           ROUND(stddev_samp(gap) / AVG(gap), 4) AS cv,
+           ROUND((stddev_samp(gap) - AVG(gap))
+                 / (stddev_samp(gap) + AVG(gap)), 4) AS burstiness_b
+    FROM arr WHERE gap IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: coefficient of variation of
+    the gaps between consecutive arrivals, plus the Goh-Barabási
+    burstiness parameter B = (σ−μ)/(σ+μ) ∈ [−1, 1]. This is the
+    POINT-PROCESS test the count-based anomaly family can't do: CV = 1
+    (B = 0) is exactly Poisson, CV < 1 is pacing/regularity (bot-like
+    metronome traffic), CV > 1 is bursts (retry storms, thundering
+    herds). Reading ~1.0 on the synthetic stream is the calibration pass;
+    `text_term_burstiness` is the same dispersion idea over token counts.
+
+    Plan: one type-keyed lag window (microsecond-exact gaps), one moment
+    aggregate — a two-shuffle query at any scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id), ts)"
+        )
+        / 1e6
+    )
+    arr = e.select("event_type", gap.alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap"), 4).alias("mean_gap_s"),
+            F.round(F.stddev_samp("gap") / F.avg("gap"), 4).alias("cv"),
+            F.round(
+                (F.stddev_samp("gap") - F.avg("gap"))
+                / (F.stddev_samp("gap") + F.avg("gap")),
+                4,
+            ).alias("burstiness_b"),
+        )
+        .orderBy("event_type")
+    )
