@@ -324,6 +324,8 @@ _DRIVER_DEFER = (
     "events_interarrival_burstiness",
     "pipeline_label_agreement_kappa",
     "sample_horvitz_thompson_total",
+    "events_mann_kendall_trend",
+    "dq_functional_dependency_profile",
 )
 
 

@@ -2832,3 +2832,94 @@ def dq_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_functional_dependency_profile",
+    oracle="""
+    WITH cands AS (
+        SELECT 'customer.c_nationkey -> nation.n_regionkey' AS fd,
+               COUNT(DISTINCT c_nationkey) AS n_lhs, MAX(cnt) AS max_rhs
+        FROM (
+            SELECT c_nationkey, COUNT(DISTINCT n_regionkey) AS cnt
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY c_nationkey
+        )
+        UNION ALL
+        SELECT 'orders.o_orderkey -> o_custkey',
+               COUNT(DISTINCT o_orderkey), MAX(cnt)
+        FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS cnt
+              FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey -> l_returnflag',
+               COUNT(DISTINCT l_orderkey), MAX(cnt)
+        FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS cnt
+              FROM lineitem GROUP BY 1)
+    )
+    SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+           CAST(max_rhs AS BIGINT) AS max_rhs_per_lhs,
+           CAST(CASE WHEN max_rhs = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM cands ORDER BY fd
+    """,
+)
+def dq_functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for candidate A→B dependencies,
+    measure max distinct(B) per A — the FD holds iff that maximum is 1.
+    The schema-discovery primitive behind normalization checks, join-key
+    validation, and "is this column derivable?" pruning decisions
+    (a held FD means B need not be shuffled — it rides with A). The
+    candidate set shows one FD that holds by construction (order →
+    customer), one that holds through a join (nation → region), and one
+    that provably FAILS (order → returnflag varies within an order) —
+    the detector must separate them, not bless everything.
+
+    Plan: each candidate is one grouped COUNT DISTINCT + a max rollup —
+    mergeable partial aggregates; candidates union on 1-row frames.
+    Adding a candidate adds a branch, never a rescan of others."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def profile(name: str, grouped: DataFrame) -> DataFrame:
+        return grouped.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.max("cnt").cast("bigint").alias("max_rhs_per_lhs"),
+        )
+
+    f1 = profile(
+        "customer.c_nationkey -> nation.n_regionkey",
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("n_regionkey").alias("cnt")),
+    )
+    f2 = profile(
+        "orders.o_orderkey -> o_custkey",
+        o.groupBy("o_orderkey").agg(F.countDistinct("o_custkey").alias("cnt")),
+    )
+    f3 = profile(
+        "lineitem.l_orderkey -> l_returnflag",
+        l.groupBy("l_orderkey").agg(
+            F.countDistinct("l_returnflag").alias("cnt")
+        ),
+    )
+    return (
+        f1.unionByName(f2)
+        .unionByName(f3)
+        .select(
+            "fd",
+            "n_lhs",
+            "max_rhs_per_lhs",
+            F.when(F.col("max_rhs_per_lhs") == 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("holds"),
+        )
+        .orderBy("fd")
+    )

@@ -2038,3 +2038,95 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+_MK_Z975 = 1.959963984540054
+
+
+@register(
+    "events_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, SUM(value) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    s AS (
+        SELECT SUM(sgn) * 1.0 AS s,
+               (SELECT COUNT(*) * 1.0 FROM daily) AS n
+        FROM pairs
+    ),
+    z AS (
+        SELECT n, s, n * (n - 1) * (2 * n + 5) / 18.0 AS var_s,
+               CASE WHEN s > 0
+                    THEN (s - 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                    WHEN s < 0
+                    THEN (s + 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                    ELSE 0.0 END AS z
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS mk_s,
+           ROUND(var_s, 2) AS var_s, ROUND(z, 4) AS mk_z,
+           CAST(CASE WHEN ABS(z) > {_MK_Z975} THEN 1 ELSE 0 END AS BIGINT)
+               AS trend_significant
+    FROM z
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily purchase revenue: S = sum of
+    pairwise sign comparisons over all day pairs, normal-approximate Z
+    with the continuity correction, significance at the two-sided 5%
+    level. The NONPARAMETRIC trend detector — no linearity or
+    distribution assumption, immune to outliers that wreck an OLS slope
+    (`events_holt_linear_trend` fits the magnitude; this tests the
+    existence). S near 0 on the synthetic stream is the expected A/A
+    reading.
+
+    Plan: corpus collapses to |days| rows first; the pairwise sign join
+    runs on that BOUNDED daily frame (30 days = 435 pairs — and at ANY
+    horizon, days², not events², with the 10-year frame still being
+    ~6.7M cheap comparisons). The no-ties variance formula applies —
+    revenue sums are continuous; a tie-corrected variant subtracts the
+    tie-group term."""
+    from pyspark.sql import functions as _F
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(sgn.alias("sgn"))
+    n_df = daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    s = pairs.agg(F.sum("sgn").cast("double").alias("s")).crossJoin(
+        F.broadcast(n_df)
+    )
+    var_s = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("mk_s"),
+        F.round(var_s, 2).alias("var_s"),
+        F.round(z, 4).alias("mk_z"),
+        F.when(F.abs(z) > _MK_Z975, 1).otherwise(0).cast("bigint").alias(
+            "trend_significant"
+        ),
+    )
