@@ -326,6 +326,8 @@ _DRIVER_DEFER = (
     "sample_horvitz_thompson_total",
     "events_mann_kendall_trend",
     "dq_functional_dependency_profile",
+    "dedup_family_size_report",
+    "stats_power_analysis_mde",
 )
 
 

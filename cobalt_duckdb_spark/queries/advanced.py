@@ -2923,3 +2923,108 @@ def dq_functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("fd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (minimum detectable effect)
+# ---------------------------------------------------------------------------
+
+_Z_975 = 1.959963984540054  # two-sided alpha = 0.05
+_Z_80 = 0.8416212335729143  # power = 0.80
+
+
+@register(
+    "stats_power_analysis_mde",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) * 1.0 AS n, AVG(value) AS m, var_samp(value) AS v
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT (SELECT n FROM arms WHERE arm = 'A') AS n_a,
+               (SELECT n FROM arms WHERE arm = 'B') AS n_b,
+               (SELECT m FROM arms WHERE arm = 'A') AS m_a,
+               (SELECT v FROM arms WHERE arm = 'A') AS v_a,
+               (SELECT v FROM arms WHERE arm = 'B') AS v_b
+    ),
+    calc AS (
+        SELECT n_a, n_b, m_a,
+               sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b)
+                    / (n_a + n_b - 2)) AS sd_pooled,
+               ({_Z_975} + {_Z_80}) * sqrt(v_a / n_a + v_b / n_b) AS mde
+        FROM wide
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(sd_pooled, 4) AS sd_pooled,
+           ROUND(mde, 4) AS mde_abs,
+           ROUND(mde / m_a, 4) AS mde_rel,
+           CAST(CEIL(2 * POW(({_Z_975} + {_Z_80}) * sd_pooled
+                             / (0.01 * m_a), 2)) AS BIGINT)
+               AS n_per_arm_for_1pct
+    FROM calc
+    """,
+)
+def stats_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis on the SAME hash-assigned arms as
+    `stats_ab_test_welch`: the minimum detectable effect at alpha=0.05 /
+    power=0.80 given current arm sizes and variances — MDE =
+    (z_0.975 + z_0.80) * SE(diff) — plus the sample size per arm needed
+    to detect a 1% relative lift. The question experimenters must answer
+    BEFORE shipping a test ('can this experiment even see the effect we
+    care about?'); the Welch query answers the after. z-quantiles are
+    pinned literals on both engines, so no CDF inversion is evaluated in
+    either plan.
+
+    Plan: one filtered scan -> 2-arm moment aggregate -> closed-form
+    arithmetic on a 1-row frame."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    arms = (
+        e.select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("v").alias("v_b")
+    )
+    wide = a.crossJoin(b)
+    sd_pooled = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("v_a") + (F.col("n_b") - 1) * F.col("v_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    mde = (_Z_975 + _Z_80) * F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(sd_pooled, 4).alias("sd_pooled"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("m_a"), 4).alias("mde_rel"),
+        F.ceil(
+            2 * F.pow((_Z_975 + _Z_80) * sd_pooled / (0.01 * F.col("m_a")), 2)
+        )
+        .cast("bigint")
+        .alias("n_per_arm_for_1pct"),
+    )

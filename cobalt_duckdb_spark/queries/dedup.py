@@ -821,3 +821,93 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     the binomial-theory stderr alongside. See
     ``operators.dedup.minhash_estimator_audit``."""
     return D.minhash_estimator_audit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup family-size report (the dedup executive summary)
+# ---------------------------------------------------------------------------
+
+
+def _family_size_oracle() -> str:
+    lsh = " ".join(D.minhash_lsh_oracle_sql(threshold=0.5).split())
+    prefix = _CONNECTED_GROUPS_ORACLE_TEMPLATE.replace("__LSH_PAIRS__", lsh)
+    # reuse everything up to `comp`, swap the report tail
+    prefix = prefix.split("SELECT c.doc_id AS doc_id")[0].rstrip()
+    return (
+        prefix
+        + """,
+    fam AS (SELECT keeper_id, COUNT(*) * 1.0 AS gs FROM comp GROUP BY 1),
+    hist AS (
+        SELECT gs, COUNT(*) * 1.0 AS nf, SUM(gs) AS nd FROM fam GROUP BY gs
+    ),
+    tot AS (SELECT COUNT(*) * 1.0 AS n FROM documents),
+    allrows AS (
+        SELECT gs, nf, nd FROM hist
+        UNION ALL
+        SELECT 1.0, t.n - COALESCE((SELECT SUM(nd) FROM hist), 0),
+               t.n - COALESCE((SELECT SUM(nd) FROM hist), 0)
+        FROM tot t
+    )
+    SELECT CAST(gs AS BIGINT) AS family_size,
+           CAST(nf AS BIGINT) AS n_families,
+           CAST(nd AS BIGINT) AS n_docs,
+           ROUND(nd / (SELECT n FROM tot), 4) AS pct_corpus,
+           ROUND(SUM(nd - nf) OVER () / (SELECT n FROM tot), 4)
+               AS dedup_drop_rate
+    FROM allrows
+    ORDER BY family_size
+    """
+    )
+
+
+@register("dedup_family_size_report", oracle=_family_size_oracle())
+def dedup_family_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup EXECUTIVE SUMMARY: distribution of near-duplicate family
+    sizes (including the singleton mass the pair pipeline never sees) and
+    the headline number every curation review asks for — the drop rate if
+    each family keeps one representative. Composes the same LSH-screen →
+    connected-components machinery as `dedup_connected_groups` and
+    collapses it to the |distinct sizes|-row report that actually goes in
+    the datacard; on crawl corpora this histogram's tail (a handful of
+    10k-member boilerplate families) is where most of the removable mass
+    lives, which per-pair or per-doc outputs cannot show.
+
+    Plan: family sizes are one aggregate over the component labels; the
+    singleton row comes from total-minus-covered arithmetic (no scan of
+    non-duplicated docs); drop rate is a window sum over the tiny
+    histogram frame."""
+    from cobalt_duckdb_spark.operators.graph import dedup_groups
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup_groups(D.minhash_lsh_pairs(docs, threshold=0.5))
+    fam = groups.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("double").alias("gs")
+    )
+    hist = fam.groupBy("gs").agg(
+        F.count(F.lit(1)).cast("double").alias("nf"),
+        F.sum("gs").alias("nd"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    covered = hist.agg(
+        F.coalesce(F.sum("nd"), F.lit(0.0)).alias("cov")
+    )
+    singles = (
+        tot.crossJoin(covered)
+        .select(
+            F.lit(1.0).alias("gs"),
+            (F.col("n") - F.col("cov")).alias("nf"),
+            (F.col("n") - F.col("cov")).alias("nd"),
+        )
+    )
+    allrows = hist.unionByName(singles).crossJoin(F.broadcast(tot))
+    wall = Window.partitionBy()
+    return allrows.select(
+        F.col("gs").cast("bigint").alias("family_size"),
+        F.col("nf").cast("bigint").alias("n_families"),
+        F.col("nd").cast("bigint").alias("n_docs"),
+        F.round(F.col("nd") / F.col("n"), 4).alias("pct_corpus"),
+        F.round(
+            F.sum(F.col("nd") - F.col("nf")).over(wall) / F.col("n"), 4
+        ).alias("dedup_drop_rate"),
+    ).orderBy("family_size")
