@@ -328,6 +328,7 @@ _DRIVER_DEFER = (
     "dq_functional_dependency_profile",
     "dedup_family_size_report",
     "stats_power_analysis_mde",
+    "dq_value_drift_psi",
 )
 
 
