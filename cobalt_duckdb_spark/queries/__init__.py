@@ -329,6 +329,7 @@ _DRIVER_DEFER = (
     "dedup_family_size_report",
     "stats_power_analysis_mde",
     "dq_value_drift_psi",
+    "sample_raking_calibration",
 )
 
 

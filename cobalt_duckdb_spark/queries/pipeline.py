@@ -1509,3 +1509,129 @@ def sample_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Raking / post-stratification weight calibration
+# ---------------------------------------------------------------------------
+
+_RAKE_SAMPLE_P = 0.2
+
+
+@register(
+    "sample_raking_calibration",
+    oracle=f"""
+    WITH samp AS (
+        SELECT lang, source, 1.0 AS w0
+        FROM documents
+        WHERE ('0x' || substr(md5('rake:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT / 4294967296.0 < {_RAKE_SAMPLE_P}
+    ),
+    t_lang AS (SELECT lang, COUNT(*) * 1.0 AS t FROM documents GROUP BY lang),
+    t_src AS (
+        SELECT source, COUNT(*) * 1.0 AS t FROM documents GROUP BY source
+    ),
+    r1 AS (
+        SELECT s.lang, s.source,
+               s.w0 * tl.t / SUM(s.w0) OVER (PARTITION BY s.lang) AS w1
+        FROM samp s JOIN t_lang tl USING (lang)
+    ),
+    r2 AS (
+        SELECT lang, source,
+               w1 * ts.t / SUM(w1) OVER (PARTITION BY source) AS w2
+        FROM r1 JOIN t_src ts USING (source)
+    ),
+    chk AS (
+        SELECT r.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               SUM(r.w2) AS raked_total,
+               MAX(tl.t) AS target_total
+        FROM r2 r JOIN t_lang tl USING (lang)
+        GROUP BY r.lang
+    )
+    SELECT lang, n_sampled,
+           ROUND(raked_total, 4) AS raked_total,
+           ROUND(target_total, 4) AS target_total,
+           ROUND(ABS(raked_total - target_total) / target_total, 6)
+               AS rel_margin_dev
+    FROM chk ORDER BY lang
+    """,
+)
+def sample_raking_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking (iterative proportional fitting) weight calibration: a
+    derandomized 20% document sample has its weights adjusted to match
+    the FULL corpus's lang margin, then its source margin — one IPF sweep
+    — and the output audits how well the first margin survived the second
+    adjustment (full convergence = more sweeps of the same two window
+    steps). This is how survey statisticians and data-mix engineers make
+    a cheap sample speak for the population when strata are only known
+    marginally (lang x source cells too sparse to post-stratify
+    directly). Completes the design-based family: PPS draw
+    (`sample_pps_systematic`), HT estimation
+    (`sample_horvitz_thompson_total`), calibration (this).
+
+    Plan: two margin aggregates (broadcast), two window-normalized weight
+    updates keyed on the margin columns, one audit rollup — each IPF
+    sweep is two keyed shuffles of the SAMPLE only, never the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rake:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    samp = docs.filter(u < _RAKE_SAMPLE_P).select(
+        "lang", "source", F.lit(1.0).alias("w0")
+    )
+    t_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("t_l")
+    )
+    t_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("t_s")
+    )
+    r1 = samp.join(F.broadcast(t_lang), "lang").select(
+        "lang",
+        "source",
+        (
+            F.col("w0")
+            * F.col("t_l")
+            / F.sum("w0").over(Window.partitionBy("lang"))
+        ).alias("w1"),
+    )
+    r2 = r1.join(F.broadcast(t_src), "source").select(
+        "lang",
+        "source",
+        (
+            F.col("w1")
+            * F.col("t_s")
+            / F.sum("w1").over(Window.partitionBy("source"))
+        ).alias("w2"),
+    )
+    chk = (
+        r2.join(F.broadcast(t_lang), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("w2").alias("raked_total"),
+            F.max("t_l").alias("target_total"),
+        )
+    )
+    return chk.select(
+        "lang",
+        "n_sampled",
+        F.round("raked_total", 4).alias("raked_total"),
+        F.round("target_total", 4).alias("target_total"),
+        F.round(
+            F.abs(F.col("raked_total") - F.col("target_total"))
+            / F.col("target_total"),
+            6,
+        ).alias("rel_margin_dev"),
+    ).orderBy("lang")
