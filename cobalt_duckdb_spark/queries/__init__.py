@@ -330,6 +330,8 @@ _DRIVER_DEFER = (
     "stats_power_analysis_mde",
     "dq_value_drift_psi",
     "sample_raking_calibration",
+    "orders_fulfillment_leadtime_sla",
+    "events_dau_wau_mau_stickiness",
 )
 
 

@@ -1998,3 +1998,78 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM ud),
+    m AS (
+        SELECT s.d,
+               COUNT(DISTINCT CASE WHEN u.d = s.d THEN u.user_id END) AS dau,
+               COUNT(DISTINCT CASE WHEN u.d > s.d - INTERVAL '7 days'
+                                   THEN u.user_id END) AS wau,
+               COUNT(DISTINCT u.user_id) AS mau
+        FROM spine s JOIN ud u
+          ON u.d <= s.d AND u.d > s.d - INTERVAL '30 days'
+        GROUP BY s.d
+    )
+    SELECT d, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           ROUND(dau * 1.0 / mau, 4) AS stickiness
+    FROM m ORDER BY d
+    """,
+)
+def events_dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + DAU/MAU stickiness per day — THE growth dashboard's
+    first row. Trailing distinct-user windows can't be window frames
+    (COUNT DISTINCT doesn't slide), so the standard shape is: dedupe to
+    the user-day frame (the one expensive pass over raw events, after
+    which everything is |users x active-days|), then a day-spine range
+    join counts each trailing window with conditional distincts — one
+    join whose fan-out is bounded by 30 rows per user-day, independent of
+    event volume. Complements `events_weekly_cohort_retention` (cohort
+    view) with the calendar view.
+
+    Scale: raw events touched once (the DISTINCT user-day rollup); the
+    range join and triple distinct run on the compacted frame. At 1e9
+    users swap the exact distincts for per-day HLL sketches merged over
+    the window (`agg_approx_sketches` shows the sketch idiom); the spine
+    join shape is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    spine = ud.select("d").distinct().select(F.col("d").alias("sd"))
+    joined = spine.join(
+        ud,
+        (F.col("d") <= F.col("sd"))
+        & (F.col("d") > F.col("sd") - F.expr("INTERVAL 30 DAYS")),
+    )
+    m = joined.groupBy("sd").agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("sd"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("d") > F.col("sd") - F.expr("INTERVAL 7 DAYS"),
+                F.col("user_id"),
+            )
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return m.select(
+        F.col("sd").alias("d"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
+    ).orderBy("d")
