@@ -332,6 +332,8 @@ _DRIVER_DEFER = (
     "sample_raking_calibration",
     "orders_fulfillment_leadtime_sla",
     "events_dau_wau_mau_stickiness",
+    "events_haar_wavelet_energy",
+    "orders_tier_migration_matrix",
 )
 
 

@@ -2130,3 +2130,97 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend_significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet multi-resolution energy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_haar_wavelet_energy",
+    oracle="""
+    WITH hourly AS (
+        SELECT row_number() OVER (ORDER BY h) - 1 AS t, n FROM (
+            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+                   COUNT(*) * 1.0 AS n
+            FROM events GROUP BY 1)
+    ),
+    lv AS (
+        SELECT l.lvl, (1 << l.lvl) AS blk, t // (1 << l.lvl) AS b,
+               CASE WHEN (t % (1 << l.lvl)) < (1 << (l.lvl - 1))
+                    THEN n ELSE -n END AS sn
+        FROM hourly CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS lvl) l
+    ),
+    details AS (
+        SELECT lvl, b, blk, SUM(sn) / blk AS detail, COUNT(*) AS cnt
+        FROM lv GROUP BY lvl, b, blk HAVING COUNT(*) = blk
+    )
+    SELECT CAST(lvl AS BIGINT) AS level, CAST(blk AS BIGINT) AS block_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           ROUND(SUM(detail * detail) / COUNT(*), 4) AS mean_sq_detail
+    FROM details GROUP BY lvl, blk ORDER BY lvl
+    """,
+)
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar multi-resolution energy: the mean squared Haar detail
+    coefficient (half-block mean minus half-block mean) of the hourly
+    event-rate series at dyadic scales 2/4/8/16 h — which TIMESCALE the
+    series' variance lives at. White noise decays ~2x per level (the
+    synthetic calibration reading); load oscillating on a 4 h cycle would
+    spike level 2; a drifting mean pushes energy to the coarsest level.
+    The time-frequency complement of `events_periodogram_dft` (global
+    frequencies, no localization) and `events_changepoint_cusum` (single
+    break): wavelet energy localizes WHERE in scale the structure sits.
+    Incomplete trailing blocks are dropped exactly (HAVING count = block
+    size) on both engines.
+
+    Plan: one hourly rollup + rank window; the level axis is a 4-row
+    broadcast cross join; details are one keyed aggregate per (level,
+    block) over the ~720-point frame — corpus volume only prices the
+    first rollup."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("t"), "n"
+        )
+    )
+    levels = spark.range(1, 5).select(F.col("id").cast("int").alias("lvl"))
+    blk = F.expr("shiftleft(1, lvl)")
+    half = F.expr("shiftleft(1, lvl - 1)")
+    lv = hourly.crossJoin(F.broadcast(levels)).select(
+        "lvl",
+        blk.alias("blk"),
+        F.floor(F.col("t") / blk).alias("b"),
+        F.when((F.col("t") % blk) < half, F.col("n"))
+        .otherwise(-F.col("n"))
+        .alias("sn"),
+    )
+    details = (
+        lv.groupBy("lvl", "b", "blk")
+        .agg(
+            (F.sum("sn") / F.col("blk")).alias("detail"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("blk"))
+    )
+    return (
+        details.groupBy("lvl", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.round(
+                F.sum(F.col("detail") * F.col("detail")) / F.count(F.lit(1)), 4
+            ).alias("mean_sq_detail"),
+        )
+        .select(
+            F.col("lvl").cast("bigint").alias("level"),
+            F.col("blk").cast("bigint").alias("block_hours"),
+            "n_blocks",
+            "mean_sq_detail",
+        )
+        .orderBy("level")
+    )

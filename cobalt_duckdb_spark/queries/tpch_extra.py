@@ -856,3 +856,101 @@ def orders_fulfillment_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer value-tier migration matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_tier_migration_matrix",
+    oracle="""
+    WITH halves AS (
+        SELECT o_custkey,
+               CASE WHEN epoch_us(o_orderdate) <
+                        (SELECT quantile_cont(epoch_us(o_orderdate), 0.5)
+                         FROM orders)
+                    THEN 1 ELSE 2 END AS half,
+               SUM(o_totalprice) AS spend
+        FROM orders GROUP BY 1, 2
+    ),
+    tiers AS (
+        SELECT o_custkey, half,
+               ntile(3) OVER (PARTITION BY half ORDER BY spend, o_custkey)
+                   AS tier
+        FROM halves
+    ),
+    wide AS (
+        SELECT a.o_custkey, a.tier AS tier_h1, b.tier AS tier_h2
+        FROM tiers a JOIN tiers b
+          ON a.o_custkey = b.o_custkey AND a.half = 1 AND b.half = 2
+    )
+    SELECT CAST(tier_h1 AS BIGINT) AS tier_h1,
+           CAST(tier_h2 AS BIGINT) AS tier_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY tier_h1), 4) AS row_share
+    FROM wide GROUP BY tier_h1, tier_h2 ORDER BY tier_h1, tier_h2
+    """,
+)
+def orders_tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier MIGRATION matrix: spend terciles computed
+    independently in each calendar half (split at the median order date),
+    then the 3x3 matrix of how customers move between tiers — the CRM
+    churn-vs-upgrade view a static segmentation (`features_customer_rfm`)
+    cannot show. Row shares near 1/3 everywhere = tiers are not sticky
+    (synthetic spend has no persistence — the A/A reading); a real base
+    shows a heavy diagonal. Tercile boundaries use ntile with a
+    deterministic (spend, custkey) order so both engines cut identically.
+
+    Plan: per-(customer, half) spend rollup, two ntile windows keyed on
+    the half, a self-join on custkey (both sides the compact customer
+    frame), one 9-cell matrix aggregate with a row-normalizing window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "o_orderdate)"
+    )
+    med = o.agg(F.expr(
+        "percentile(timestampdiff(MICROSECOND, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate), 0.5)"
+    ).alias("m"))
+    halves = (
+        o.crossJoin(F.broadcast(med))
+        .select(
+            "o_custkey",
+            F.when(us < F.col("m"), 1).otherwise(2).alias("half"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    tiers = halves.select(
+        "o_custkey",
+        "half",
+        F.ntile(3)
+        .over(Window.partitionBy("half").orderBy("spend", "o_custkey"))
+        .alias("tier"),
+    )
+    a = tiers.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("tier").alias("tier_h1")
+    )
+    b = tiers.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("tier").alias("tier_h2")
+    )
+    wide = a.join(b, "o_custkey")
+    row = Window.partitionBy("tier_h1")
+    return (
+        wide.groupBy("tier_h1", "tier_h2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("tier_h1").cast("bigint").alias("tier_h1"),
+            F.col("tier_h2").cast("bigint").alias("tier_h2"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(F.col("n") / F.sum("n").over(row), 4).alias("row_share"),
+        )
+        .orderBy("tier_h1", "tier_h2")
+    )
