@@ -334,6 +334,8 @@ _DRIVER_DEFER = (
     "events_dau_wau_mau_stickiness",
     "events_haar_wavelet_energy",
     "orders_tier_migration_matrix",
+    "events_rolling_beta_24h",
+    "dq_distinct_chao1_estimate",
 )
 
 

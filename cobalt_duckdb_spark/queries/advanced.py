@@ -3132,3 +3132,91 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(wall), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Chao1 distinct-count estimation from a sample
+# ---------------------------------------------------------------------------
+
+_CHAO_SAMPLE_P = 0.02
+
+
+@register(
+    "dq_distinct_chao1_estimate",
+    oracle=f"""
+    WITH samp AS (
+        SELECT user_id FROM events
+        WHERE ('0x' || substr(md5('ndv:' || CAST(event_id AS VARCHAR)), 1, 8))
+              ::BIGINT / 4294967296.0 < {_CHAO_SAMPLE_P}
+    ),
+    freq AS (SELECT user_id, COUNT(*) AS c FROM samp GROUP BY user_id),
+    s AS (
+        SELECT COUNT(*) * 1.0 AS d_obs,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 AS f1,
+               SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) * 1.0 AS f2
+        FROM freq
+    )
+    SELECT CAST(d_obs AS BIGINT) AS d_observed,
+           CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+           ROUND(d_obs + f1 * f1 / (2 * GREATEST(f2, 1)), 2)
+               AS chao1_estimate,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+               AS true_distinct
+    FROM s
+    """,
+)
+def dq_distinct_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimation: infer TOTAL distinct users from
+    a derandomized 2% event sample via the abundance estimate D = d_obs +
+    f1²/(2·f2) — singletons (seen once) and doubletons (seen twice) carry
+    the information about how many identities the sample MISSED. The
+    sampling-based NDV estimator a query optimizer (and any 100 TB
+    profiling job that can't afford a full distinct) runs on a block
+    sample; the same statistic estimates unseen-vocabulary mass
+    (`text_good_turing_unseen` is the probability-mass sibling; HLL
+    sketches answer a different question — exact-pass approximate, not
+    sample-extrapolated). True distinct emitted alongside as the
+    self-audit, computable only at test scale.
+
+    Plan: map-side hashed draw, one (user) count, one 3-number frequency
+    rollup, closed form — the full-data side appears only in the audit
+    column."""
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ndv:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    freq = (
+        e.filter(u < _CHAO_SAMPLE_P)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = freq.agg(
+        F.count(F.lit(1)).cast("double").alias("d_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("double")
+        .alias("f2"),
+    )
+    truth = e.agg(F.countDistinct("user_id").cast("bigint").alias("td"))
+    return s.crossJoin(F.broadcast(truth)).select(
+        F.col("d_obs").cast("bigint").alias("d_observed"),
+        F.col("f1").cast("bigint").alias("f1"),
+        F.col("f2").cast("bigint").alias("f2"),
+        F.round(
+            F.col("d_obs")
+            + F.col("f1") * F.col("f1") / (2 * F.greatest(F.col("f2"), F.lit(1.0))),
+            2,
+        ).alias("chao1_estimate"),
+        F.col("td").alias("true_distinct"),
+    )

@@ -2224,3 +2224,81 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling regression beta (trailing-window OLS slope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_beta_24h",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1.0
+                   AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+                   AS y
+        FROM events GROUP BY 1
+    ),
+    roll AS (
+        SELECT h, COUNT(*) OVER w AS n, SUM(x) OVER w AS sx,
+               SUM(y) OVER w AS sy, SUM(x * y) OVER w AS sxy,
+               SUM(x * x) OVER w AS sxx
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS beta_24h
+    FROM roll WHERE n = 24 ORDER BY h
+    """,
+)
+def events_rolling_beta_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope: how many purchases ride on each click, hour by
+    hour, re-fit over a trailing 24 h window — the time-varying
+    sensitivity ('beta') finance computes between instruments and growth
+    teams compute between funnel stages; a static `agg_corr_*` hides
+    exactly the regime changes this exposes. The slope comes from
+    closed-form sufficient statistics (n, Σx, Σy, Σxy, Σx²) maintained by
+    BOUNDED window frames — five running sums on ONE sort, no per-window
+    refit, no UDF; the first 23 warm-up rows are excluded exactly (n=24
+    filter) on both engines.
+
+    Plan: one hourly conditional rollup, one trailing-frame window over
+    the ~720-row series. At per-key scale (per segment per hour) the
+    identical frame partitions by the key; sums stay mergeable."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    roll = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        roll.filter(F.col("n") == 24)
+        .select(
+            "h",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.when(denom != 0, denom),
+                6,
+            ).alias("beta_24h"),
+        )
+        .orderBy("h")
+    )
