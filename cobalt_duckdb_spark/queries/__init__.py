@@ -336,6 +336,7 @@ _DRIVER_DEFER = (
     "orders_tier_migration_matrix",
     "events_rolling_beta_24h",
     "dq_distinct_chao1_estimate",
+    "graph_degree_assortativity",
 )
 
 

@@ -670,3 +670,103 @@ def graph_personalized_pagerank_error(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy(F.desc("ppr"), "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-activity graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH ua AS (
+        SELECT DISTINCT user_id, event_type,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM ua a JOIN ua b ON a.h = b.h AND a.event_type = b.event_type
+                            AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT u AS node, COUNT(*) * 1.0 AS d FROM (
+            SELECT u FROM edges UNION ALL SELECT v FROM edges
+        ) t(u) GROUP BY u
+    ),
+    edge_deg AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM edges e JOIN deg da ON e.u = da.node
+                     JOIN deg db ON e.v = db.node
+    ),
+    sym AS (SELECT dx, dy FROM edge_deg UNION ALL SELECT dy, dx FROM edge_deg)
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           ROUND(corr(dx, dy), 4) AS degree_assortativity
+    FROM sym
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the purchase co-activity
+    graph (users linked when they purchase in the same hour): Pearson
+    correlation of endpoint degrees over the symmetrized edge list.
+    Positive = hubs attach to hubs (social networks), negative = hub-and-
+    spoke (infrastructure), ~0 = degree-neutral wiring — the one-number
+    topology fingerprint that tells you whether degree-targeted
+    interventions (hub removal, hub seeding) will cascade. Completes the
+    structural family: triangles (local clustering), k-core (cohesion
+    depth), LPA (communities), assortativity (mixing pattern).
+
+    Plan: co-activity edges from an hour-bucketed self-join (per-bucket
+    fan-out bounded by hourly actives — the blocking discipline of the
+    dedup joins); degrees in one aggregate; the statistic is corr's
+    mergeable moments over edge-degree pairs. Nothing is collected."""
+    e = load_table(spark, sf_dir, "events")
+    ua = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .distinct()
+    )
+    a, b = ua.alias("a"), ua.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    edge_deg = edges.join(da, "u").join(db, "v").select("dx", "dy")
+    sym = edge_deg.unionAll(
+        edge_deg.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    return (
+        sym.agg(F.round(F.corr("dx", "dy"), 4).alias("degree_assortativity"))
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("ne").alias("n_edges"),
+            F.col("nn").alias("n_nodes"),
+            "degree_assortativity",
+        )
+    )
