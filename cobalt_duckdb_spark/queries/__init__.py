@@ -337,6 +337,8 @@ _DRIVER_DEFER = (
     "events_rolling_beta_24h",
     "dq_distinct_chao1_estimate",
     "graph_degree_assortativity",
+    "text_theil_length_inequality",
+    "text_heaps_law_fit",
 )
 
 

@@ -1957,3 +1957,210 @@ def text_ngram_novelty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition of document lengths
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_theil_length_inequality",
+    oracle="""
+    WITH g AS (
+        SELECT source, COUNT(*) * 1.0 AS ng, AVG(n_chars) AS mg,
+               SUM(n_chars * ln(n_chars)) AS slx
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(ng) AS n, SUM(ng * mg) / SUM(ng) AS mu FROM g),
+    w AS (
+        SELECT SUM((g.ng * g.mg) / (t.n * t.mu)
+                   * (g.slx / (g.ng * g.mg) - ln(g.mg))) AS t_within
+        FROM g, tot t
+    ),
+    b AS (
+        SELECT SUM((g.ng * g.mg) / (t.n * t.mu) * ln(g.mg / t.mu)) AS t_between
+        FROM g, tot t
+    )
+    SELECT ROUND((SELECT t_within FROM w), 6) AS theil_within,
+           ROUND((SELECT t_between FROM b), 6) AS theil_between,
+           ROUND((SELECT t_within FROM w) + (SELECT t_between FROM b), 6)
+               AS theil_total,
+           ROUND((SELECT t_between FROM b)
+                 / ((SELECT t_within FROM w) + (SELECT t_between FROM b)), 4)
+               AS between_share
+    """,
+)
+def text_theil_length_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of document lengths, DECOMPOSED into
+    within-source and between-source components — the property Gini
+    (`stats_key_skew_profiler`) famously lacks: T_total = T_within +
+    T_between exactly, so the index answers "is my token-budget imbalance
+    caused by a few outlier docs everywhere, or by whole sources being
+    long-form vs short-form?" — which decides whether the mix lever is
+    per-doc truncation or per-source reweighting
+    (`mix_waterfill_budget`). A ~3% between-share on the synthetic
+    corpus = sources are exchangeable in length.
+
+    Plan: ONE per-source moment aggregate (n, mean, sum x·ln x — all
+    mergeable) carries the entire decomposition; totals broadcast; the
+    corpus is scanned once and per-document terms never materialize."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.avg("n_chars").alias("mg"),
+        F.sum(F.col("n_chars") * F.log("n_chars")).alias("slx"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        (F.sum(F.col("ng") * F.col("mg")) / F.sum("ng")).alias("mu"),
+    )
+    gt = g.crossJoin(F.broadcast(tot))
+    share = (F.col("ng") * F.col("mg")) / (F.col("n") * F.col("mu"))
+    agg = gt.agg(
+        F.sum(
+            share
+            * (F.col("slx") / (F.col("ng") * F.col("mg")) - F.log("mg"))
+        ).alias("t_within"),
+        F.sum(share * F.log(F.col("mg") / F.col("mu"))).alias("t_between"),
+    )
+    return agg.select(
+        F.round("t_within", 6).alias("theil_within"),
+        F.round("t_between", 6).alias("theil_between"),
+        F.round(F.col("t_within") + F.col("t_between"), 6).alias(
+            "theil_total"
+        ),
+        F.round(
+            F.col("t_between") / (F.col("t_within") + F.col("t_between")), 4
+        ).alias("between_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit + closed-vocabulary detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    firstdoc AS (
+        SELECT fd AS doc_id, COUNT(*) AS cnt_new
+        FROM (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w)
+        GROUP BY fd
+    ),
+    per_doc AS (
+        SELECT d.doc_id,
+               SUM(d.cnt_tok) OVER (ORDER BY d.doc_id) AS cum_tokens,
+               SUM(COALESCE(f.cnt_new, 0)) OVER (ORDER BY d.doc_id)
+                   AS cum_vocab
+        FROM (SELECT doc_id, COUNT(*) AS cnt_tok FROM tok GROUP BY doc_id) d
+        LEFT JOIN firstdoc f ON f.doc_id = d.doc_id
+    ),
+    pts AS (
+        SELECT ln(cum_tokens) AS lx, ln(cum_vocab) AS ly, cum_vocab,
+               cum_tokens
+        FROM per_doc WHERE doc_id % 25 = 24
+    ),
+    fit AS (
+        SELECT COUNT(*) * 1.0 AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx,
+               MAX(cum_vocab) AS v_final, MAX(cum_tokens) AS t_final
+        FROM pts
+    ),
+    halfway AS (
+        SELECT MAX(cum_vocab) AS v_half FROM per_doc
+        WHERE doc_id <= (SELECT MAX(doc_id) FROM per_doc) / 2
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN ABS((n * sxy - sx * sy) / (n * sxx - sx * sx)) < 5e-5
+                THEN 0.0
+                ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+           END AS heaps_beta,
+           ROUND(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n), 4) AS heaps_k,
+           CAST(v_final AS BIGINT) AS vocab_final,
+           CAST(t_final AS BIGINT) AS tokens_final,
+           ROUND((SELECT v_half FROM halfway) / v_final, 4)
+               AS half_corpus_vocab_ratio
+    FROM fit
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V(n) = K·n^beta over the cumulative vocabulary-growth
+    curve (log-log OLS at every-25-docs checkpoints), plus the
+    closed-vocabulary diagnostic: the fraction of final vocabulary
+    already seen at half the corpus. Natural corpora run beta ~0.4-0.6
+    and keep discovering types; this synthetic corpus reads beta ~0 with
+    half-corpus ratio 1.0 — a CLOSED vocabulary, which is exactly what a
+    curation pipeline needs flagged (a crawl source whose growth curve
+    flattens has stopped contributing new content, whatever its volume —
+    the growth-curve cousin of `text_ngram_novelty_split`). Pairs with
+    `text_zipf_law_fit`: Zipf describes the frequency ranks, Heaps the
+    type-discovery rate; the two exponents are theoretically linked.
+
+    Plan: first-occurrence attribution is a vocab-keyed min aggregate
+    (NOT a running distinct — no per-prefix state); the growth curve is
+    one ordered prefix-sum window over the |docs| frame; the fit is
+    closed-form moments over 20 checkpoints."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    firstdoc = (
+        tok.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt_new"))
+    )
+    d = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt_tok"))
+    ww = Window.orderBy("doc_id")
+    per_doc = (
+        d.join(firstdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("cnt_tok").over(ww).alias("cum_tokens"),
+            F.sum(F.coalesce("cnt_new", F.lit(0))).over(ww).alias("cum_vocab"),
+        )
+    )
+    pts = per_doc.filter(F.col("doc_id") % 25 == 24).select(
+        F.log("cum_tokens").alias("lx"),
+        F.log("cum_vocab").alias("ly"),
+        "cum_vocab",
+        "cum_tokens",
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.max("cum_vocab").alias("v_final"),
+        F.max("cum_tokens").alias("t_final"),
+    )
+    max_doc = per_doc.agg((F.max("doc_id") / 2).alias("half_doc"))
+    v_half = (
+        per_doc.crossJoin(F.broadcast(max_doc))
+        .filter(F.col("doc_id") <= F.col("half_doc"))
+        .agg(F.max("cum_vocab").cast("double").alias("v_half"))
+    )
+    beta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return fit.crossJoin(F.broadcast(v_half)).select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.when(F.abs(beta) < 5e-5, F.lit(0.0))
+        .otherwise(F.round(beta, 4))
+        .alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4).alias(
+            "heaps_k"
+        ),
+        F.col("v_final").cast("bigint").alias("vocab_final"),
+        F.col("t_final").cast("bigint").alias("tokens_final"),
+        F.round(F.col("v_half") / F.col("v_final"), 4).alias(
+            "half_corpus_vocab_ratio"
+        ),
+    )
