@@ -339,6 +339,8 @@ _DRIVER_DEFER = (
     "graph_degree_assortativity",
     "text_theil_length_inequality",
     "text_heaps_law_fit",
+    "events_bot_detection_screen",
+    "orders_open_aging_buckets",
 )
 
 

@@ -954,3 +954,87 @@ def orders_tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier_h1", "tier_h2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_aging_buckets",
+    oracle="""
+    WITH as_of AS (SELECT MAX(o_orderdate) AS now_ts FROM orders),
+    aged AS (
+        SELECT o_orderkey, o_totalprice,
+               date_diff('day', o_orderdate, (SELECT now_ts FROM as_of))
+                   AS age_days
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    bucketed AS (
+        SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 90 THEN '31-90'
+                    WHEN age_days <= 365 THEN '91-365'
+                    ELSE '365+' END AS age_bucket,
+               o_totalprice
+        FROM aged
+    )
+    SELECT age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS open_value,
+           ROUND(SUM(o_totalprice) * 100.0
+                 / SUM(SUM(o_totalprice)) OVER (), 2) AS pct_value
+    FROM bucketed GROUP BY age_bucket ORDER BY age_bucket
+    """,
+)
+def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging: orders still in status 'O' bucketed by age at the
+    as-of date (max order date stands in for 'now' so the query is frozen
+    and differential-testable — the same as-of discipline as
+    `dq_freshness_audit`), with order counts and value concentration per
+    bucket. The receivables/work-in-progress report every operations
+    dashboard carries; the 365+ bucket holding most open value is the
+    classic stuck-backlog signal.
+
+    Plan: status filter pushed to the scan, broadcast as-of scalar,
+    map-side bucketing, one 4-group rollup with a grand-total window on
+    the tiny frame."""
+    o = load_table(spark, sf_dir, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("now_ts"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "o_totalprice",
+            F.datediff(
+                F.col("now_ts").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    return (
+        aged.select(bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+        )
+        .select(
+            "age_bucket",
+            "n_orders",
+            "open_value",
+            F.round(
+                F.col("open_value") * 100.0 / F.sum("open_value").over(wall),
+                2,
+            ).alias("pct_value"),
+        )
+        .orderBy("age_bucket")
+    )
