@@ -341,6 +341,8 @@ _DRIVER_DEFER = (
     "text_heaps_law_fit",
     "events_bot_detection_screen",
     "orders_open_aging_buckets",
+    "stats_anova_dow_effect",
+    "sql_api_try_error_safe_parsing",
 )
 
 

@@ -3220,3 +3220,160 @@ def dq_distinct_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chao1_estimate"),
         F.col("td").alias("true_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (day-of-week effect)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_anova_dow_effect",
+    oracle="""
+    WITH g AS (
+        SELECT dayofweek(ts) AS dow, COUNT(*) * 1.0 AS n, AVG(value) AS m,
+               SUM(value * value) AS ss
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm, COUNT(*) AS k FROM g
+    ),
+    parts AS (
+        SELECT SUM(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+               SUM(g.ss - g.n * g.m * g.m) AS ssw,
+               MAX(t.nt) AS nt, MAX(t.k) AS k
+        FROM g, tot t
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n,
+           ROUND(ssb / (k - 1) / (ssw / (nt - k)), 4) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM parts
+    """,
+)
+def stats_anova_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of purchase value across day-of-week: F statistic
+    (between-group vs within-group mean square) and eta-squared effect
+    size from ONE pass of per-group moments (n, mean, sum-of-squares —
+    the within sum-of-squares falls out of SS − n·m² per group, no second
+    scan). The k-group generalization of `stats_ab_test_welch`'s
+    two-arm test: before slicing a metric seven ways on a dashboard, this
+    is the one number saying whether the slicing explains ANYTHING
+    (F ~ 0.93, eta² ~ 0.003 here: day-of-week explains nothing — the A/A
+    reading). The day-grouping LABELS never reach the output, so Spark's
+    1=Sunday and DuckDB's 0=Sunday conventions partition identically.
+
+    Plan: one grouped moment aggregate (7 cells), broadcast grand totals,
+    closed-form F on a 1-row frame."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = e.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m")).alias("ssw"),
+        F.max("nt").alias("nt"),
+        F.max("k").alias("k"),
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nt").cast("bigint").alias("n"),
+        F.round(
+            F.col("ssb")
+            / (F.col("k") - 1)
+            / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe error handling: try_cast / try_divide over dirty data
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_try_error_safe_parsing",
+    oracle="""
+    WITH raw AS (
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                    WHEN doc_id % 3 = 1 THEN substr(text, 1, 4)
+                    ELSE '' END AS dirty,
+               TRY_CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                             ELSE doc_id % 5 END AS DOUBLE) AS denom,
+               n_chars
+        FROM documents
+    ),
+    parsed AS (
+        SELECT source, TRY_CAST(dirty AS BIGINT) AS v,
+               n_chars / NULLIF(denom, 0) AS safe_div
+        FROM raw
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(v) AS BIGINT) AS n_parsed,
+           ROUND(COUNT(v) * 1.0 / COUNT(*), 4) AS parse_rate,
+           CAST(SUM(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_guarded,
+           CAST(SUM(v) AS BIGINT) AS parsed_sum
+    FROM parsed GROUP BY source ORDER BY source
+    """,
+)
+def sql_api_try_error_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error discipline over dirty data: Spark 4 runs with
+    ansi.enabled=true, where a bad CAST or a zero division ABORTS the
+    job — the correct production posture (silent NULL-on-error hides
+    corruption), which makes try_cast / try_divide the explicit opt-in
+    for ingest columns that are EXPECTED to be dirty. A third of the
+    synthetic column parses (numeric), a third is alphabetic garbage, a
+    third empty; a fifth of denominators are zero — the query counts
+    exactly what was salvaged vs guarded, per source, which is the
+    ingest-report shape. DuckDB mirrors with TRY_CAST and NULLIF-guarded
+    division (its / is NULL-on-zero by default — pinning this pair IS the
+    cross-engine semantics documentation).
+
+    Plan: pure map-side expressions + one keyed rollup; error-safety
+    costs nothing at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.substring("text", 1, 4))
+        .otherwise(F.lit(""))
+    )
+    denom = F.when(F.col("doc_id") % 5 == 0, 0.0).otherwise(
+        (F.col("doc_id") % 5).cast("double")
+    )
+    parsed = docs.select(
+        "source",
+        dirty.try_cast("bigint").alias("v"),
+        F.try_divide(F.col("n_chars"), F.nullif(denom, F.lit(0.0))).alias(
+            "safe_div"
+        ),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("v").cast("bigint").alias("n_parsed"),
+            F.round(F.count("v") / F.count(F.lit(1)), 4).alias("parse_rate"),
+            F.sum(F.when(F.col("safe_div").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div_guarded"),
+            F.sum("v").cast("bigint").alias("parsed_sum"),
+        )
+        .orderBy("source")
+    )
