@@ -343,6 +343,7 @@ _DRIVER_DEFER = (
     "orders_open_aging_buckets",
     "stats_anova_dow_effect",
     "sql_api_try_error_safe_parsing",
+    "cluster_purity_nmi_vs_labels",
 )
 
 

@@ -1921,3 +1921,130 @@ def simsearch_range_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(dist, 6).alias("distance"))
         .orderBy("distance", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# External cluster validation: purity + NMI against ground-truth labels
+# ---------------------------------------------------------------------------
+
+_CV_K = 10
+
+
+def _cluster_validation_oracle() -> str:
+    from cobalt_duckdb_spark.operators.clustering import kmeans_oracle_sql
+
+    base = kmeans_oracle_sql(k=_CV_K, iterations=2)
+    prefix = base.split("SELECT cid, CAST(COUNT(*)")[0].rstrip()
+    assert prefix.endswith(")")
+    return (
+        prefix
+        + """,
+    assigned AS (
+        SELECT a.vec_id, a.cid, emb.label
+        FROM a2 a JOIN embeddings emb ON a.vec_id = emb.vec_id
+        WHERE a.rn = 1
+    ),
+    joint AS (
+        SELECT cid, label, COUNT(*) * 1.0 AS nij FROM assigned GROUP BY 1, 2
+    ),
+    n_tot AS (SELECT SUM(nij) AS n FROM joint),
+    hl AS (
+        SELECT -SUM(p * ln(p)) AS h FROM (
+            SELECT SUM(nij) / (SELECT n FROM n_tot) AS p
+            FROM joint GROUP BY label)
+    ),
+    hc AS (
+        SELECT -SUM(p * ln(p)) AS h FROM (
+            SELECT SUM(nij) / (SELECT n FROM n_tot) AS p
+            FROM joint GROUP BY cid)
+    ),
+    hj AS (
+        SELECT -SUM(nij / (SELECT n FROM n_tot)
+                    * ln(nij / (SELECT n FROM n_tot))) AS h
+        FROM joint
+    ),
+    pur AS (
+        SELECT SUM(mx) / (SELECT n FROM n_tot) AS purity FROM (
+            SELECT cid, MAX(nij) AS mx FROM joint GROUP BY cid)
+    )
+    SELECT CAST((SELECT n FROM n_tot) AS BIGINT) AS n_points,
+           ROUND((SELECT purity FROM pur), 4) AS purity,
+           ROUND(((SELECT h FROM hl) + (SELECT h FROM hc)
+                  - (SELECT h FROM hj))
+                 / (((SELECT h FROM hl) + (SELECT h FROM hc)) / 2), 4)
+               AS nmi
+    """
+    )
+
+
+@register("cluster_purity_nmi_vs_labels", oracle=_cluster_validation_oracle())
+def cluster_purity_nmi_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL cluster validation: k-means (k=10, same deterministic
+    2-iteration trainer as `cluster_kmeans_lloyd`) scored against the
+    embeddings' ground-truth `label` column with purity (majority-label
+    mass per cluster) and normalized mutual information (NMI, arithmetic
+    normalization) — the supervised half of clustering evaluation next to
+    `cluster_silhouette_audit`'s internal geometry. Purity alone inflates
+    with k (k = n gives purity 1); NMI's entropy normalization is what
+    makes cluster counts comparable — reporting BOTH is the discipline.
+    Low scores against these synthetic labels are themselves the honest
+    reading: the label field does not organize this embedding space.
+
+    Plan: the trainer's broadcast-centroid assignment feeds a
+    |k x labels| contingency aggregate; every entropy term is arithmetic
+    over that tiny frame. One corpus-scale stage (assignment), as in the
+    trainer itself."""
+    from cobalt_duckdb_spark.operators.clustering import kmeans_lloyd
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = (
+        kmeans_lloyd(vecs, k=_CV_K, iterations=2)
+        .select("vec_id", "cid")
+        .join(emb.select("vec_id", "label"), "vec_id")
+    )
+    joint = assigned.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).cast("double").alias("nij")
+    )
+    n_tot = joint.agg(F.sum("nij").alias("n"))
+    jt = joint.crossJoin(F.broadcast(n_tot))
+    hl = (
+        jt.groupBy("label")
+        .agg((F.sum("nij") / F.first("n")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("hl"))
+    )
+    hc = (
+        jt.groupBy("cid")
+        .agg((F.sum("nij") / F.first("n")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("hc"))
+    )
+    hj = jt.agg(
+        (
+            -F.sum(
+                (F.col("nij") / F.col("n")) * F.log(F.col("nij") / F.col("n"))
+            )
+        ).alias("hj")
+    )
+    pur = (
+        jt.groupBy("cid")
+        .agg(F.max("nij").alias("mx"), F.first("n").alias("n"))
+        .agg((F.sum("mx") / F.first("n")).alias("purity"))
+    )
+    return (
+        n_tot.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hj))
+        .crossJoin(F.broadcast(pur))
+        .select(
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round("purity", 4).alias("purity"),
+            F.round(
+                (F.col("hl") + F.col("hc") - F.col("hj"))
+                / ((F.col("hl") + F.col("hc")) / 2),
+                4,
+            ).alias("nmi"),
+        )
+    )
