@@ -344,6 +344,7 @@ _DRIVER_DEFER = (
     "stats_anova_dow_effect",
     "sql_api_try_error_safe_parsing",
     "cluster_purity_nmi_vs_labels",
+    "events_stl_strength",
 )
 
 

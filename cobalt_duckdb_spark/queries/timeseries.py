@@ -2302,3 +2302,89 @@ def events_rolling_beta_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition strength
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_stl_strength",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               COUNT(*) * 1.0 AS n
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT h, n, hour(h) AS hod,
+               AVG(n) OVER (ORDER BY h
+                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS t,
+               COUNT(*) OVER (ORDER BY h
+                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS wn
+        FROM hourly
+    ),
+    full_w AS (SELECT h, n, hod, t FROM tr WHERE wn = 24),
+    seas AS (
+        SELECT *, AVG(n - t) OVER (PARTITION BY hod) AS s FROM full_w
+    ),
+    comp AS (
+        SELECT var_samp(n - t - s) AS vr,
+               var_samp(n - t) AS v_sr,
+               var_samp(n - s) AS v_tr
+        FROM seas
+    )
+    SELECT ROUND(GREATEST(0, 1 - vr / v_sr), 4) AS seasonal_strength,
+           ROUND(GREATEST(0, 1 - vr / v_tr), 4) AS trend_strength,
+           ROUND(vr, 4) AS var_residual
+    FROM comp
+    """,
+)
+def events_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition strength (Hyndman's F_S/F_T features):
+    trend = centered 24 h moving average, seasonal = hour-of-day means of
+    the detrended series, and the two strengths 1 − Var(R)/Var(S+R) and
+    1 − Var(R)/Var(T+R) say how much of the series is cycle vs drift vs
+    noise. THE feature pair time-series classification and forecasting
+    pipelines compute for every metric before choosing a model family
+    (near-zero both = white noise, model nothing — the synthetic
+    reading). Composes the spectral (`events_periodogram_dft`) and
+    wavelet (`events_haar_wavelet_energy`) views with the decomposition
+    view; partial edge windows are excluded exactly (wn = 24) on both
+    engines.
+
+    Plan: hourly rollup, one centered window, one hour-of-day partition
+    average, one variance rollup — all on the ~720-row series frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wc = Window.orderBy("h").rowsBetween(-11, 12)
+    tr = hourly.select(
+        "h",
+        "n",
+        F.hour("h").alias("hod"),
+        F.avg("n").over(wc).alias("t"),
+        F.count(F.lit(1)).over(wc).alias("wn"),
+    ).filter(F.col("wn") == 24)
+    seas = tr.withColumn(
+        "s",
+        F.avg(F.col("n") - F.col("t")).over(Window.partitionBy("hod")),
+    )
+    comp = seas.agg(
+        F.var_samp(F.col("n") - F.col("t") - F.col("s")).alias("vr"),
+        F.var_samp(F.col("n") - F.col("t")).alias("v_sr"),
+        F.var_samp(F.col("n") - F.col("s")).alias("v_tr"),
+    )
+    return comp.select(
+        F.round(
+            F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("v_sr")), 4
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("v_tr")), 4
+        ).alias("trend_strength"),
+        F.round("vr", 4).alias("var_residual"),
+    )
