@@ -1481,3 +1481,75 @@ def test_id_gaps_exactly_planted_holes(spark, sf_dir):
         got.extend(range(g["gap_start"], g["gap_end"] + 1))
         assert g["n_missing"] == g["gap_end"] - g["gap_start"] + 1
     assert got == expect
+
+
+def test_round3_final_batch_invariants(spark, sf_dir):
+    """Invariant sweep over the closing round-3 additions."""
+    from cobalt_duckdb_spark.queries.advanced import (
+        dq_functional_dependency_profile,
+        dq_value_drift_psi,
+        stats_anova_dow_effect,
+        stats_power_analysis_mde,
+    )
+    from cobalt_duckdb_spark.queries.dedup import dedup_family_size_report
+    from cobalt_duckdb_spark.queries.events import events_bot_detection_screen
+    from cobalt_duckdb_spark.queries.pipeline import (
+        sample_horvitz_thompson_total,
+        sample_raking_calibration,
+    )
+    from cobalt_duckdb_spark.queries.similarity import (
+        cluster_purity_nmi_vs_labels,
+    )
+    from cobalt_duckdb_spark.queries.timeseries import (
+        events_mann_kendall_trend,
+        events_stl_strength,
+    )
+    from cobalt_duckdb_spark.queries.tpch_extra import (
+        orders_open_aging_buckets,
+    )
+
+    r = cluster_purity_nmi_vs_labels(spark, sf_dir).collect()[0]
+    assert 0 < r["purity"] <= 1 and 0 <= r["nmi"] <= 1
+
+    r = events_stl_strength(spark, sf_dir).collect()[0]
+    assert 0 <= r["seasonal_strength"] <= 1
+    assert 0 <= r["trend_strength"] <= 1
+
+    r = stats_anova_dow_effect(spark, sf_dir).collect()[0]
+    assert r["f_stat"] > 0 and 0 <= r["eta_squared"] <= 1
+    assert r["k_groups"] == 7
+
+    psi = dq_value_drift_psi(spark, sf_dir).collect()
+    assert len(psi) == 10
+    assert psi[0]["psi_total"] >= 0
+    assert abs(sum(p["p_ref"] for p in psi) - 1.0) < 0.01
+    assert abs(sum(p["p_cur"] for p in psi) - 1.0) < 0.01
+
+    for r in sample_raking_calibration(spark, sf_dir).collect():
+        assert r["n_sampled"] > 0 and r["rel_margin_dev"] >= 0
+
+    bots = events_bot_detection_screen(spark, sf_dir).collect()
+    assert all(0 <= r["bot_score"] <= 3 for r in bots)
+    scores = [r["bot_score"] for r in bots]
+    assert scores == sorted(scores, reverse=True)
+
+    aging = orders_open_aging_buckets(spark, sf_dir).collect()
+    assert abs(sum(r["pct_value"] for r in aging) - 100.0) < 0.1
+
+    r = events_mann_kendall_trend(spark, sf_dir).collect()[0]
+    assert r["trend_significant"] == (1 if abs(r["mk_z"]) > 1.96 else 0)
+
+    fam = dedup_family_size_report(spark, sf_dir).collect()
+    assert abs(sum(r["pct_corpus"] for r in fam) - 1.0) < 0.01
+    assert any(r["family_size"] == 1 for r in fam)
+    assert all(0 <= r["dedup_drop_rate"] <= 1 for r in fam)
+
+    r = sample_horvitz_thompson_total(spark, sf_dir).collect()[0]
+    assert r["rel_error"] < 0.2
+
+    r = stats_power_analysis_mde(spark, sf_dir).collect()[0]
+    assert r["mde_abs"] > 0 and r["n_per_arm_for_1pct"] > r["n_a"]
+
+    fd = {r["fd"]: r["holds"] for r in dq_functional_dependency_profile(spark, sf_dir).collect()}
+    assert fd["orders.o_orderkey -> o_custkey"] == 1
+    assert fd["lineitem.l_orderkey -> l_returnflag"] == 0
