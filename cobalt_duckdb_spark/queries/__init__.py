@@ -345,6 +345,7 @@ _DRIVER_DEFER = (
     "sql_api_try_error_safe_parsing",
     "cluster_purity_nmi_vs_labels",
     "events_stl_strength",
+    "text_watermark_greenlist_detect",
 )
 
 

@@ -2164,3 +2164,102 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "half_corpus_vocab_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM watermark (greenlist) detection
+# ---------------------------------------------------------------------------
+
+_WM_MIN_TOKENS = 20
+_WM_FLAG_Z = 4.0
+
+
+@register(
+    "text_watermark_greenlist_detect",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, p, t[p] AS w, t[p - 1] AS prev
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        CROSS JOIN LATERAL (SELECT unnest(range(2, len(t) + 1)) AS p)
+    ),
+    scored AS (
+        SELECT doc_id, COUNT(*) * 1.0 AS n,
+               SUM(CASE WHEN ('0x' || substr(md5(prev || '|' || w), 1, 8))
+                            ::BIGINT % 2 = 0
+                        THEN 1 ELSE 0 END) * 1.0 AS hits
+        FROM tok GROUP BY doc_id
+    ),
+    z AS (
+        SELECT d.source, (s.hits - s.n / 2) / sqrt(s.n / 4) AS zval
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE s.n >= {_WM_MIN_TOKENS}
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(zval), 4) AS mean_z,
+           ROUND(stddev_samp(zval), 4) AS sd_z,
+           CAST(SUM(CASE WHEN zval > {_WM_FLAG_Z} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM z GROUP BY source ORDER BY source
+    """,
+)
+def text_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM watermark detection (Kirchenbauer et al. 2023, greenlist
+    scheme): a watermarking sampler hashes each previous token to split
+    the vocabulary into green/red halves and boosts green tokens; the
+    DETECTOR recounts — here green membership is the salted-md5 parity of
+    (prev, current), gamma = 1/2 — and scores each document
+    z = (hits − n/2)/sqrt(n/4). Unwatermarked text MUST read mean_z ~ 0,
+    sd_z ~ 1, nothing over z = 4 (one-in-3e-5 false positives) — which
+    is exactly what the synthetic corpus shows, making this the
+    calibration run of the synthetic-text screen a training-data pipeline
+    increasingly needs (watermarked model output leaking into crawl
+    data). Swap the md5 parity for a real scheme's PRF and nothing else
+    changes.
+
+    Plan: bigram explode (map-only), per-doc hit counting (one doc-key
+    aggregate), per-source z rollup — the detector is two shuffles at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    tok = docs.select(
+        "doc_id", "source", t.alias("t"),
+        F.posexplode(F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)")).alias("i", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        F.element_at("t", F.col("i") + 1).alias("prev"),
+    )
+    green = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("prev"), F.lit("|"), F.col("w"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    scored = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(green, 1).otherwise(0)).cast("double").alias("hits"),
+    )
+    z = scored.filter(F.col("n") >= _WM_MIN_TOKENS).select(
+        "source",
+        (
+            (F.col("hits") - F.col("n") / 2) / F.sqrt(F.col("n") / 4)
+        ).alias("zval"),
+    )
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("zval"), 4).alias("mean_z"),
+            F.round(F.stddev_samp("zval"), 4).alias("sd_z"),
+            F.sum(F.when(F.col("zval") > _WM_FLAG_Z, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
