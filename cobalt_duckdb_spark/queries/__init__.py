@@ -347,6 +347,7 @@ _DRIVER_DEFER = (
     "events_stl_strength",
     "text_watermark_greenlist_detect",
     "stats_hill_tail_index",
+    "multimodal_scene_cut_stub",
 )
 
 

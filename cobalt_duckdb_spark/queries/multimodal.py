@@ -343,3 +343,135 @@ def multimodal_ahash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
         .orderBy("hamming", "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection over stub-decoded video frames
+# ---------------------------------------------------------------------------
+
+_CUT_FRAMES = 8
+_CUT_BITS = 8
+_CUT_THRESHOLD = 5
+
+
+@register(
+    "multimodal_scene_cut_stub",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 2
+    ),
+    px AS (
+        SELECT doc_id, f.f, i.i,
+               ascii(substr(text,
+                   1 + CAST(floor((f.f * {_CUT_BITS} + i.i) * (n_chars - 1)
+                                  / 63.0) AS BIGINT),
+                   1)) AS v
+        FROM media
+        CROSS JOIN (SELECT unnest(range(0, {_CUT_FRAMES})) AS f) f
+        CROSS JOIN (SELECT unnest(range(0, {_CUT_BITS})) AS i) i
+    ),
+    sig AS (
+        SELECT doc_id, f,
+               CAST(SUM(CASE WHEN v >= fav THEN (1 << i) ELSE 0 END)
+                    AS BIGINT) AS h
+        FROM (SELECT doc_id, f, i, v,
+                     AVG(v) OVER (PARTITION BY doc_id, f) AS fav
+              FROM px)
+        GROUP BY doc_id, f
+    ),
+    cuts AS (
+        SELECT doc_id,
+               bit_count(xor(h, lag(h) OVER (
+                   PARTITION BY doc_id ORDER BY f))) AS d
+        FROM sig
+    )
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media,
+           ROUND(AVG(d), 4) AS mean_frame_delta,
+           CAST(SUM(CASE WHEN d >= {_CUT_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           ROUND(SUM(CASE WHEN d >= {_CUT_THRESHOLD} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(DISTINCT doc_id), 4) AS cuts_per_media
+    FROM cuts WHERE d IS NOT NULL
+    """,
+)
+def multimodal_scene_cut_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection — the video-curation primitive (sample frames,
+    hash each, flag consecutive-frame signature jumps): 8 'frames' are
+    sampled from successive eighths of the stub-decoded byte stream, each
+    frame collapses to an 8-bit average-hash, and a cut is a
+    frame-to-frame Hamming jump >= 5/8. The temporal sibling of
+    `multimodal_ahash_neardup_pairs` (same locality-preserving stub
+    decode, same threshold-vs-mean hashing — ACROSS media there, WITHIN
+    media here); a real pipeline swaps the decode stage for actual frame
+    extraction (`multimodal_frame_sample_plan` is the byte-offset
+    planner) and keeps this plan intact. Cut statistics feed sampling
+    policy: frame-sample densely near cuts, sparsely in static scenes.
+
+    Plan: frame/pixel axes are tiny broadcast cross joins; per-frame
+    hashing is one keyed aggregate over the (media x frames x bits)
+    frame; cut detection is a lag window per media. No pair joins —
+    temporal comparison is linear in media count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", "text", "n_chars"
+    )
+    frames = spark.range(_CUT_FRAMES).select(F.col("id").cast("int").alias("f"))
+    bits = spark.range(_CUT_BITS).select(F.col("id").cast("int").alias("i"))
+    px = (
+        media.crossJoin(F.broadcast(frames))
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "f",
+            "i",
+            F.ascii(
+                F.substring(
+                    F.col("text"),
+                    (
+                        F.lit(1)
+                        + F.floor(
+                            (F.col("f") * _CUT_BITS + F.col("i"))
+                            * (F.col("n_chars") - 1)
+                            / F.lit(63.0)
+                        )
+                    ).cast("int"),
+                    1,
+                )
+            ).alias("v"),
+        )
+    )
+    fav = F.avg("v").over(Window.partitionBy("doc_id", "f"))
+    sig = (
+        px.withColumn("fav", fav)
+        .groupBy("doc_id", "f")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") >= F.col("fav"),
+                    F.expr("shiftleft(1, i)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("h")
+        )
+    )
+    d = F.bit_count(
+        F.col("h").bitwiseXOR(
+            F.lag("h").over(Window.partitionBy("doc_id").orderBy("f"))
+        )
+    )
+    cuts = sig.select("doc_id", d.alias("d")).filter(F.col("d").isNotNull())
+    return cuts.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_media"),
+        F.round(F.avg("d"), 4).alias("mean_frame_delta"),
+        F.sum(F.when(F.col("d") >= _CUT_THRESHOLD, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.round(
+            F.sum(F.when(F.col("d") >= _CUT_THRESHOLD, 1).otherwise(0))
+            / F.countDistinct("doc_id"),
+            4,
+        ).alias("cuts_per_media"),
+    )
