@@ -348,6 +348,8 @@ _DRIVER_DEFER = (
     "text_watermark_greenlist_detect",
     "stats_hill_tail_index",
     "multimodal_scene_cut_stub",
+    "events_window_funnel_depth",
+    "lineitem_revenue_waterfall",
 )
 
 

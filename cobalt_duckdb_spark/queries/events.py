@@ -2195,3 +2195,113 @@ def events_bot_detection_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bot_score"), F.desc("events_per_day"), "user_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel depth (ClickHouse windowFunnel shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_window_funnel_depth",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL '1 hour'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= v.t1 + INTERVAL '1 hour'
+        GROUP BY e.user_id
+    ),
+    depth AS (
+        SELECT v.user_id,
+               CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS funnel_depth
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT funnel_depth, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS share
+    FROM depth GROUP BY funnel_depth ORDER BY funnel_depth
+    """,
+)
+def events_window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel depth — the ClickHouse `windowFunnel` shape this
+    engine otherwise lacks: starting from each user's FIRST view, how far
+    through view -> click -> purchase they get with the whole chain
+    confined to ONE hour (the ordered-within-deadline semantics;
+    `events_signup_to_purchase_funnel` is the unboxed lifetime funnel,
+    and the near-total depth-1 reading here is exactly what a 1 h
+    deadline does to a ~21 min-median-gap stream — the deadline is the
+    finding). Semantics pinned as first-attempt anchoring (earliest
+    qualifying event per stage), which keeps every stage a keyed MIN
+    instead of a sequential scan.
+
+    Plan: stage k is one filtered aggregate joined to stage k-1 on
+    user_id (events scanned once per stage with the type filter pushed
+    down — 3 narrow passes, no window sort, no per-user state); depth
+    resolution is two broadcast-scale left joins."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        v.join(c.select("user_id", F.lit(1).alias("has_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("has_p")), "user_id", "left")
+        .select(
+            F.when(F.col("has_p").isNotNull(), 3)
+            .when(F.col("has_c").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_depth")
+        )
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    return (
+        depth.groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            "funnel_depth",
+            "n_users",
+            F.round(
+                F.col("n_users") / F.sum("n_users").over(wall), 4
+            ).alias("share"),
+        )
+        .orderBy("funnel_depth")
+    )

@@ -1038,3 +1038,86 @@ def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue waterfall decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_revenue_waterfall",
+    oracle="""
+    WITH comp AS (
+        SELECT SUM(l_extendedprice) AS gross,
+               -SUM(l_extendedprice * l_discount) AS discount_effect,
+               SUM(l_extendedprice * (1 - l_discount) * l_tax) AS tax_effect,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS net
+        FROM lineitem
+    ),
+    rows_ AS (
+        SELECT 1 AS step, 'gross_revenue' AS component, gross AS amount
+        FROM comp
+        UNION ALL
+        SELECT 2, 'discount', discount_effect FROM comp
+        UNION ALL
+        SELECT 3, 'tax', tax_effect FROM comp
+    )
+    SELECT CAST(step AS BIGINT) AS step, component,
+           ROUND(amount, 2) AS amount,
+           ROUND(SUM(amount) OVER (ORDER BY step), 2) AS running_total,
+           ROUND((SELECT net FROM comp), 2) AS final_net
+    FROM rows_ ORDER BY step
+    """,
+)
+def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall: gross -> −discount -> +tax -> net, as the
+    step/running-total table a waterfall chart renders — with the
+    reconciliation column proving the running total LANDS on the
+    independently-computed net (the decomposition identity gross·(1−d) +
+    gross·(1−d)·t = net, checked in-query; a mismatch means a component
+    was double-counted — the classic waterfall bug). The same one-pass
+    conditional-aggregate discipline as `q1_pricing_summary`, presented
+    as the reporting shape finance consumes.
+
+    Plan: ONE scan computing all components as parallel aggregates, then
+    a 3-row union with a running-sum window. Adding a waterfall step
+    adds an aggregate expression, never a scan."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    comp = l.agg(
+        F.sum("l_extendedprice").alias("gross"),
+        (-F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "discount_effect"
+        ),
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+        ).alias("tax_effect"),
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("net"),
+    )
+    rows = None
+    for step, name, col in (
+        (1, "gross_revenue", "gross"),
+        (2, "discount", "discount_effect"),
+        (3, "tax", "tax_effect"),
+    ):
+        r = comp.select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("component"),
+            F.col(col).alias("amount"),
+            F.col("net"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    run = Window.orderBy("step")
+    return rows.select(
+        F.col("step").cast("bigint").alias("step"),
+        "component",
+        F.round("amount", 2).alias("amount"),
+        F.round(F.sum("amount").over(run), 2).alias("running_total"),
+        F.round("net", 2).alias("final_net"),
+    ).orderBy("step")
