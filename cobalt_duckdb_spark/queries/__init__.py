@@ -350,6 +350,7 @@ _DRIVER_DEFER = (
     "multimodal_scene_cut_stub",
     "events_window_funnel_depth",
     "lineitem_revenue_waterfall",
+    "text_umass_keyword_coherence",
 )
 
 
