@@ -351,6 +351,7 @@ _DRIVER_DEFER = (
     "events_window_funnel_depth",
     "lineitem_revenue_waterfall",
     "text_umass_keyword_coherence",
+    "train_triplet_margin_audit",
 )
 
 

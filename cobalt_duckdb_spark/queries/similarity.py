@@ -2048,3 +2048,111 @@ def cluster_purity_nmi_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triplet margin audit (contrastive training-pair mining)
+# ---------------------------------------------------------------------------
+
+_TRIP_NQ = 100
+_TRIP_MARGIN = 0.05
+
+
+@register(
+    "train_triplet_margin_audit",
+    oracle=f"""
+    WITH nrm AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])))) AS e
+        FROM embeddings
+    ),
+    anchors AS (SELECT * FROM nrm WHERE vec_id < {_TRIP_NQ}),
+    scored AS (
+        SELECT a.vec_id AS aid, a.label AS albl, d.label AS dlbl,
+               list_inner_product(a.e, d.e) AS sim
+        FROM anchors a JOIN nrm d ON a.vec_id <> d.vec_id
+    ),
+    pos AS (
+        SELECT aid, albl, MAX(sim) AS pos_sim
+        FROM scored WHERE albl = dlbl GROUP BY aid, albl
+    ),
+    neg AS (
+        SELECT aid, MAX(sim) AS neg_sim
+        FROM scored WHERE albl <> dlbl GROUP BY aid
+    )
+    SELECT p.albl AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           ROUND(AVG(p.pos_sim - n.neg_sim), 6) AS mean_margin,
+           ROUND(MIN(p.pos_sim - n.neg_sim), 6) AS min_margin,
+           CAST(SUM(CASE WHEN p.pos_sim - n.neg_sim < {_TRIP_MARGIN}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_margin_violations
+    FROM pos p JOIN neg n USING (aid)
+    GROUP BY p.albl ORDER BY p.albl
+    """,
+)
+def train_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet audit: for each anchor in a bounded
+    sample, the hardest POSITIVE (best same-label neighbor) against the
+    hardest NEGATIVE (best other-label neighbor), reported as per-label
+    margin statistics and the count of margin violations (pos − neg <
+    0.05) — i.e., how often the hardest negative beats the positive, the
+    exact quantity a triplet/InfoNCE loss optimizes and the health check
+    run on mined pairs BEFORE burning GPU time on them
+    (`simsearch_hard_negatives` mines the negatives; this scores whether
+    the resulting triplets carry signal). High violation rates against
+    these synthetic labels = the labels don't structure the space — the
+    same honest reading as `cluster_purity_nmi_vs_labels`, measured at
+    the pair level.
+
+    Plan: normalize once, bounded anchor sample broadcast against the
+    corpus scan (single dot fold per pair — the hubness-audit discipline),
+    two conditional MAX aggregates per anchor, label-sized rollup."""
+    from cobalt_duckdb_spark.functions.vector import dot_product, l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select("vec_id", "label", l2_normalize("embedding").alias("e"))
+    anchors = nrm.filter(F.col("vec_id") < _TRIP_NQ).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("e").alias("ae"),
+    )
+    d = nrm.select(
+        F.col("vec_id").alias("did"),
+        F.col("label").alias("dlbl"),
+        F.col("e").alias("de"),
+    )
+    scored = (
+        d.crossJoin(F.broadcast(anchors))
+        .filter(F.col("aid") != F.col("did"))
+        .select(
+            "aid", "albl", "dlbl", dot_product("ae", "de").alias("sim")
+        )
+    )
+    pos = (
+        scored.filter(F.col("albl") == F.col("dlbl"))
+        .groupBy("aid", "albl")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    neg = (
+        scored.filter(F.col("albl") != F.col("dlbl"))
+        .groupBy("aid")
+        .agg(F.max("sim").alias("neg_sim"))
+    )
+    margin = F.col("pos_sim") - F.col("neg_sim")
+    return (
+        pos.join(neg, "aid")
+        .groupBy(F.col("albl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.round(F.avg(margin), 6).alias("mean_margin"),
+            F.round(F.min(margin), 6).alias("min_margin"),
+            F.sum(F.when(margin < _TRIP_MARGIN, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_margin_violations"),
+        )
+        .orderBy("label")
+    )
