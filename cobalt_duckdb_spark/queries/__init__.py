@@ -352,6 +352,7 @@ _DRIVER_DEFER = (
     "lineitem_revenue_waterfall",
     "text_umass_keyword_coherence",
     "train_triplet_margin_audit",
+    "events_revenue_drawdown",
 )
 
 

@@ -2456,3 +2456,64 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue drawdown profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_revenue_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, SUM(value) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    dd AS (
+        SELECT d, rev, MAX(rev) OVER (ORDER BY d) AS peak,
+               1 - rev / MAX(rev) OVER (ORDER BY d) AS drawdown
+        FROM daily
+    )
+    SELECT ROUND(MAX(drawdown), 6) AS max_drawdown,
+           ROUND(AVG(drawdown), 6) AS mean_drawdown,
+           CAST(SUM(CASE WHEN drawdown > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS days_below_90pct_peak,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM dd
+    """,
+)
+def events_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown profile of daily purchase revenue against its RUNNING
+    PEAK: max drawdown (worst day relative to the best day seen so far),
+    mean drawdown, and days spent more than 10% below peak — the
+    risk/recovery lens finance applies to equity curves, applied to a
+    revenue stream (a metric that 'only' shows stable averages can still
+    spend a third of its days 10%+ under its own high-water mark — that
+    gap is what on-call pages and forecasting buffers are sized to). The
+    running-peak shape is one cumulative-max window, the same prefix
+    machinery as `events_changepoint_cusum`'s running extrema.
+
+    Plan: day rollup, one ordered window carrying cumulative max +
+    derived drawdown, one summary aggregate — |days|-frame work after a
+    single scan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        (1 - F.col("rev") / F.max("rev").over(w)).alias("drawdown")
+    )
+    return dd.agg(
+        F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+        F.round(F.avg("drawdown"), 6).alias("mean_drawdown"),
+        F.sum(F.when(F.col("drawdown") > 0.1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("days_below_90pct_peak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
