@@ -1553,3 +1553,99 @@ def test_round3_final_batch_invariants(spark, sf_dir):
     fd = {r["fd"]: r["holds"] for r in dq_functional_dependency_profile(spark, sf_dir).collect()}
     assert fd["orders.o_orderkey -> o_custkey"] == 1
     assert fd["lineitem.l_orderkey -> l_returnflag"] == 0
+
+
+def test_round3_closing_wave_invariants(spark, sf_dir):
+    """Invariant sweep over the closing-wave queries."""
+    import math
+
+    from cobalt_duckdb_spark.queries.events import events_window_funnel_depth
+    from cobalt_duckdb_spark.queries.similarity import (
+        embedding_isotropy_audit,
+        train_triplet_margin_audit,
+    )
+    from cobalt_duckdb_spark.queries.text import (
+        text_heaps_law_fit,
+        text_theil_length_inequality,
+        text_umass_keyword_coherence,
+        text_watermark_greenlist_detect,
+    )
+    from cobalt_duckdb_spark.queries.timeseries import (
+        events_haar_wavelet_energy,
+        events_revenue_drawdown,
+        events_rolling_beta_24h,
+        stats_hill_tail_index,
+    )
+    from cobalt_duckdb_spark.queries.tpch_extra import (
+        lineitem_revenue_waterfall,
+        orders_tier_migration_matrix,
+    )
+    from cobalt_duckdb_spark.queries.advanced import dq_distinct_chao1_estimate
+
+    # watermark null-calibration: |mean_z| small, sd in sane band, no flags
+    wm = text_watermark_greenlist_detect(spark, sf_dir).collect()
+    assert all(abs(r["mean_z"]) < 1.5 and r["n_flagged"] == 0 for r in wm)
+
+    # hill alpha positive; threshold below max
+    r = stats_hill_tail_index(spark, sf_dir).collect()[0]
+    assert r["hill_alpha"] > 0 and r["mean_log_excess"] > 0
+
+    # funnel: shares sum to 1, monotone depth counts present
+    fn = events_window_funnel_depth(spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in fn) - 1.0) < 0.01
+
+    # waterfall reconciles: last running_total == final_net
+    wf = lineitem_revenue_waterfall(spark, sf_dir).collect()
+    assert abs(wf[-1]["running_total"] - wf[-1]["final_net"]) < 0.05
+
+    # coherence: both sets present, 45 pairs each, finite scores
+    co = text_umass_keyword_coherence(spark, sf_dir).collect()
+    assert {r["keyword_set"] for r in co} == {"top_df", "top_burstiness"}
+    assert all(r["n_pairs"] == 45 and math.isfinite(r["umass_coherence"]) for r in co)
+
+    # triplet margins: bounded in [-2, 2]; violations <= anchors
+    tm = train_triplet_margin_audit(spark, sf_dir).collect()
+    for r in tm:
+        assert -2 <= r["min_margin"] <= r["mean_margin"] <= 2
+        assert r["n_margin_violations"] <= r["n_anchors"]
+
+    # drawdown in [0, 1]; days-below <= n_days
+    r = events_revenue_drawdown(spark, sf_dir).collect()[0]
+    assert 0 <= r["mean_drawdown"] <= r["max_drawdown"] <= 1
+    assert r["days_below_90pct_peak"] <= r["n_days"]
+
+    # haar: 4 levels, non-negative energies
+    hw = events_haar_wavelet_energy(spark, sf_dir).collect()
+    assert [r["level"] for r in hw] == [1, 2, 3, 4]
+    assert all(r["mean_sq_detail"] >= 0 for r in hw)
+
+    # migration: row shares sum to 1 per tier_h1
+    mm = orders_tier_migration_matrix(spark, sf_dir).collect()
+    rows = {}
+    for r in mm:
+        rows.setdefault(r["tier_h1"], 0.0)
+        rows[r["tier_h1"]] += r["row_share"]
+    assert all(abs(v - 1.0) < 0.01 for v in rows.values())
+
+    # rolling beta defined on full windows only
+    rb = events_rolling_beta_24h(spark, sf_dir).collect()
+    assert all(r["beta_24h"] is not None for r in rb)
+
+    # chao1 >= observed distinct; estimate within 2x of truth here
+    r = dq_distinct_chao1_estimate(spark, sf_dir).collect()[0]
+    assert r["chao1_estimate"] >= r["d_observed"]
+    assert r["chao1_estimate"] < 2 * r["true_distinct"]
+
+    # theil decomposition: parts sum to total; all non-negative
+    r = text_theil_length_inequality(spark, sf_dir).collect()[0]
+    assert abs(r["theil_within"] + r["theil_between"] - r["theil_total"]) < 1e-5
+    assert r["theil_within"] >= 0 and r["theil_total"] > 0
+
+    # heaps: saturation diagnostic in (0, 1]; k positive
+    r = text_heaps_law_fit(spark, sf_dir).collect()[0]
+    assert 0 < r["half_corpus_vocab_ratio"] <= 1.0
+    assert r["heaps_k"] > 0
+
+    # isotropy: near-zero avg pairwise cosine on healthy space
+    r = embedding_isotropy_audit(spark, sf_dir).collect()[0]
+    assert abs(r["avg_pairwise_cosine"]) < 0.05
