@@ -353,6 +353,7 @@ _DRIVER_DEFER = (
     "text_umass_keyword_coherence",
     "train_triplet_margin_audit",
     "events_revenue_drawdown",
+    "pipeline_mix_entropy_shift",
 )
 
 

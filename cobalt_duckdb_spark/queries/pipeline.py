@@ -1635,3 +1635,116 @@ def sample_raking_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_margin_dev"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Mix-entropy shift under an admission screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_mix_entropy_shift",
+    oracle="""
+    WITH scr AS (
+        SELECT source,
+               CASE WHEN n_chars BETWEEN 120 AND 450
+                    AND len(string_split(text, ' ')) >= 25
+                    THEN 1 ELSE 0 END AS admitted
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, COUNT(*) * 1.0 AS n_before,
+               SUM(admitted) * 1.0 AS n_after
+        FROM scr GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM per_src),
+    shares AS (
+        SELECT p.source, p.n_before, p.n_after,
+               p.n_before / t.tb AS sb, p.n_after / t.ta AS sa
+        FROM per_src p, tot t
+    ),
+    ent AS (
+        SELECT -SUM(sb * ln(sb)) AS h_before,
+               -SUM(CASE WHEN sa > 0 THEN sa * ln(sa) ELSE 0 END) AS h_after
+        FROM shares
+    )
+    SELECT s.source,
+           CAST(s.n_before AS BIGINT) AS n_before,
+           CAST(s.n_after AS BIGINT) AS n_after,
+           ROUND(s.sb, 4) AS share_before, ROUND(s.sa, 4) AS share_after,
+           ROUND(s.n_after / s.n_before, 4) AS admission_rate,
+           ROUND((SELECT h_before FROM ent), 4) AS mix_entropy_before,
+           ROUND((SELECT h_after FROM ent), 4) AS mix_entropy_after
+    FROM shares s ORDER BY s.source
+    """,
+)
+def pipeline_mix_entropy_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: how an admission screen (here a
+    length/token-count gate — the cheap first filter of the
+    `pipeline_corpus_curation` chain) reshapes the SOURCE MIX — per-source
+    admission rates, before/after shares, and the Shannon entropy of the
+    mix on both sides. A filter that looks neutral can quietly collapse
+    mix entropy by disproportionately admitting one source — the
+    diversity regression `mix_temperature_sample` and
+    `mix_waterfill_budget` then can't undo, which is why this audit runs
+    BETWEEN screening and mixing. Near-equal entropies here = the gate is
+    mix-neutral on synthetic data (the A/A reading).
+
+    Plan: one scan computing the admission flag map-side, one per-source
+    rollup, entropy on the |sources|-row share frame; the audit costs
+    one pass regardless of filter complexity."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    admitted = (
+        F.when(
+            F.col("n_chars").between(120, 450)
+            & (F.size(F.split("text", " ")) >= 25),
+            1,
+        )
+        .otherwise(0)
+    )
+    per_src = (
+        docs.select("source", admitted.alias("admitted"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_before"),
+            F.sum("admitted").cast("double").alias("n_after"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    shares = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_before",
+        "n_after",
+        (F.col("n_before") / F.col("tb")).alias("sb"),
+        (F.col("n_after") / F.col("ta")).alias("sa"),
+    )
+    ent = shares.agg(
+        (-F.sum(F.col("sb") * F.log("sb"))).alias("h_before"),
+        (
+            -F.sum(
+                F.when(F.col("sa") > 0, F.col("sa") * F.log("sa")).otherwise(
+                    0.0
+                )
+            )
+        ).alias("h_after"),
+    )
+    return (
+        shares.crossJoin(F.broadcast(ent))
+        .select(
+            "source",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.col("n_after").cast("bigint").alias("n_after"),
+            F.round("sb", 4).alias("share_before"),
+            F.round("sa", 4).alias("share_after"),
+            F.round(F.col("n_after") / F.col("n_before"), 4).alias(
+                "admission_rate"
+            ),
+            F.round("h_before", 4).alias("mix_entropy_before"),
+            F.round("h_after", 4).alias("mix_entropy_after"),
+        )
+        .orderBy("source")
+    )
