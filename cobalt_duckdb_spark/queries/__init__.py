@@ -354,6 +354,7 @@ _DRIVER_DEFER = (
     "train_triplet_margin_audit",
     "events_revenue_drawdown",
     "pipeline_mix_entropy_shift",
+    "text_sif_information_density",
 )
 
 

@@ -2423,3 +2423,89 @@ def text_umass_keyword_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keyword_set")
     )
+
+
+# ---------------------------------------------------------------------------
+# SIF (smooth inverse frequency) information-density profile
+# ---------------------------------------------------------------------------
+
+_SIF_A = 0.001
+
+
+@register(
+    "text_sif_information_density",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    p AS (
+        SELECT w, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM tok) AS pw
+        FROM tok GROUP BY w
+    ),
+    weighted AS (
+        SELECT t.source, {_SIF_A} / ({_SIF_A} + p.pw) AS sw
+        FROM tok t JOIN p ON t.w = p.w
+    ),
+    per_src AS (
+        SELECT source, COUNT(*) * 1.0 AS n_tokens, SUM(sw) AS sif_mass
+        FROM weighted GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS tn, SUM(sif_mass) AS tm FROM per_src)
+    SELECT s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(s.n_tokens / t.tn, 4) AS raw_share,
+           ROUND(s.sif_mass / t.tm, 4) AS sif_share,
+           ROUND((s.sif_mass / t.tm) / (s.n_tokens / t.tn), 4)
+               AS information_density
+    FROM per_src s, tot t ORDER BY s.source
+    """,
+)
+def text_sif_information_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIF (smooth inverse frequency, Arora et al. 2017) information
+    density per source: each token carries weight a/(a + p(w)) — the
+    weighting that turns naive averaged word vectors into a strong
+    sentence embedding by collapsing stopword/boilerplate mass — and a
+    source's density is its share of SIF-weighted mass relative to its
+    raw token share. Density < 1 = the source's volume is cheaper than it
+    looks (frequent-word heavy); the token-level budget view next to
+    `text_theil_length_inequality` (char budget) and
+    `mix_waterfill_budget` (doc budget). Also the exact weight table a
+    SIF pooling UDF would broadcast, so the profile doubles as the
+    pooling precomputation.
+
+    Plan: tokenize once, vocabulary-sized probability table broadcast
+    back onto the token stream, per-source mass rollup — two keyed
+    shuffles, both on frames far smaller than the stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    n_tok = tok.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    p = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(n_tok))
+        .select("w", (F.col("c") / F.col("nt")).alias("pw"))
+    )
+    weighted = tok.join(F.broadcast(p), "w").select(
+        "source", (F.lit(_SIF_A) / (_SIF_A + F.col("pw"))).alias("sw")
+    )
+    per_src = weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tokens"),
+        F.sum("sw").alias("sif_mass"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("tn"), F.sum("sif_mass").alias("tm")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_tokens") / F.col("tn"), 4).alias("raw_share"),
+            F.round(F.col("sif_mass") / F.col("tm"), 4).alias("sif_share"),
+            F.round(
+                (F.col("sif_mass") / F.col("tm"))
+                / (F.col("n_tokens") / F.col("tn")),
+                4,
+            ).alias("information_density"),
+        )
+        .orderBy("source")
+    )
