@@ -355,6 +355,8 @@ _DRIVER_DEFER = (
     "events_revenue_drawdown",
     "pipeline_mix_entropy_shift",
     "text_sif_information_density",
+    "orders_repurchase_interval",
+    "events_error_share_pchart",
 )
 
 

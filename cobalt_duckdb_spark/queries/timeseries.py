@@ -2517,3 +2517,78 @@ def events_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_below_90pct_peak"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p-chart: proportion control chart for the error share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_error_share_pchart",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, COUNT(*) * 1.0 AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+                   AS x
+        FROM events GROUP BY 1
+    ),
+    pbar AS (SELECT SUM(x) / SUM(n) AS p FROM daily),
+    chart AS (
+        SELECT d.d, d.n, d.x / d.n AS share,
+               p.p + 3 * sqrt(p.p * (1 - p.p) / d.n) AS ucl,
+               GREATEST(p.p - 3 * sqrt(p.p * (1 - p.p) / d.n), 0) AS lcl
+        FROM daily d, pbar p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND((SELECT p FROM pbar), 6) AS center_line,
+           CAST(SUM(CASE WHEN share > ucl OR share < lcl
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS out_of_control_days,
+           ROUND(MAX(share), 6) AS max_share,
+           ROUND(MIN(share), 6) AS min_share
+    FROM chart
+    """,
+)
+def events_error_share_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart on the daily ERROR SHARE: center line = pooled
+    proportion, control limits p̄ ± 3·sqrt(p̄(1−p̄)/n_day) — per-day
+    limits that WIDEN on low-traffic days, which is exactly what naive
+    fixed thresholds get wrong (a 25% error share is alarming on a
+    10k-event day and noise on a 40-event day). The PROPORTION member of
+    the SPC family next to `events_ewma_user_value` (level) and
+    `events_changepoint_cusum` (drift); zero out-of-control days on
+    binomially-generated data is the chart's calibration property, not a
+    blind spot.
+
+    Plan: one day rollup with conditional sums, broadcast pooled rate,
+    limit arithmetic and the breach count on the |days| frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    pbar = daily.agg((F.sum("x") / F.sum("n")).alias("p"))
+    sig = F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n"))
+    chart = daily.crossJoin(F.broadcast(pbar)).select(
+        "p",
+        (F.col("x") / F.col("n")).alias("share"),
+        (F.col("p") + 3 * sig).alias("ucl"),
+        F.greatest(F.col("p") - 3 * sig, F.lit(0.0)).alias("lcl"),
+    )
+    return chart.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.first("p"), 6).alias("center_line"),
+        F.sum(
+            F.when(
+                (F.col("share") > F.col("ucl")) | (F.col("share") < F.col("lcl")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("out_of_control_days"),
+        F.round(F.max("share"), 6).alias("max_share"),
+        F.round(F.min("share"), 6).alias("min_share"),
+    )

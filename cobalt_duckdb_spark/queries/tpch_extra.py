@@ -1121,3 +1121,53 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("amount").over(run), 2).alias("running_total"),
         F.round("net", 2).alias("final_net"),
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase interval percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_repurchase_interval",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey,
+               date_diff('day', lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+        FROM orders
+    )
+    SELECT CAST(COUNT(gap) AS BIGINT) AS n_intervals,
+           ROUND(quantile_cont(gap, 0.5), 2) AS p50_days,
+           ROUND(quantile_cont(gap, 0.9), 2) AS p90_days,
+           ROUND(AVG(gap), 2) AS mean_days
+    FROM iv WHERE gap IS NOT NULL
+    """,
+)
+def orders_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cycle: the distribution of day gaps between a
+    customer's consecutive orders (p50 = the natural reorder cadence that
+    sets replenishment-campaign timing; p90 = the churn-alarm threshold —
+    a customer beyond their own p90 cycle is the win-back trigger). The
+    inter-PURCHASE sibling of `events_interarrival_burstiness`'s
+    inter-event view, on the orders table where money changes hands.
+
+    Plan: one customer-keyed lag window over orders, one exact-percentile
+    aggregate; approx swap documented at the usual scale point."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ),
+    )
+    iv = o.select(gap.alias("gap")).filter(F.col("gap").isNotNull())
+    return iv.agg(
+        F.count("gap").cast("bigint").alias("n_intervals"),
+        F.round(F.expr("percentile(gap, 0.5)"), 2).alias("p50_days"),
+        F.round(F.expr("percentile(gap, 0.9)"), 2).alias("p90_days"),
+        F.round(F.avg("gap"), 2).alias("mean_days"),
+    )
