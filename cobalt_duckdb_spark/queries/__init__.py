@@ -357,6 +357,7 @@ _DRIVER_DEFER = (
     "text_sif_information_density",
     "orders_repurchase_interval",
     "events_error_share_pchart",
+    "stats_gmm_em_one_step",
 )
 
 

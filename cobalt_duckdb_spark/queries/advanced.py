@@ -3377,3 +3377,125 @@ def sql_api_try_error_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# One EM step of a two-component Gaussian mixture
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_gmm_em_one_step",
+    oracle="""
+    WITH x AS (
+        SELECT value AS v FROM events WHERE event_type = 'purchase'
+    ),
+    init AS (
+        SELECT quantile_cont(v, 0.25) AS mu1, quantile_cont(v, 0.75) AS mu2,
+               stddev_samp(v) AS s0
+        FROM x
+    ),
+    e_step AS (
+        SELECT x.v,
+               exp(-0.5 * POW((x.v - i.mu1) / i.s0, 2)) AS f1,
+               exp(-0.5 * POW((x.v - i.mu2) / i.s0, 2)) AS f2
+        FROM x, init i
+    ),
+    resp AS (
+        SELECT v, f1 / (f1 + f2) AS r1, f2 / (f1 + f2) AS r2 FROM e_step
+        WHERE f1 + f2 > 0
+    ),
+    m_step AS (
+        SELECT SUM(r1) AS n1, SUM(r2) AS n2,
+               SUM(r1 * v) / SUM(r1) AS mu1,
+               SUM(r2 * v) / SUM(r2) AS mu2,
+               COUNT(*) AS n
+        FROM resp
+    ),
+    sig AS (
+        SELECT m.n1, m.n2, m.mu1, m.mu2, m.n,
+               sqrt(SUM(r.r1 * POW(r.v - m.mu1, 2)) / m.n1) AS s1,
+               sqrt(SUM(r.r2 * POW(r.v - m.mu2, 2)) / m.n2) AS s2
+        FROM resp r, m_step m
+        GROUP BY m.n1, m.n2, m.mu1, m.mu2, m.n
+    )
+    SELECT 1 AS component, ROUND(n1 / n, 4) AS weight,
+           ROUND(mu1, 4) AS mu, ROUND(s1, 4) AS sigma FROM sig
+    UNION ALL
+    SELECT 2, ROUND(n2 / n, 4), ROUND(mu2, 4), ROUND(s2, 4) FROM sig
+    ORDER BY component
+    """,
+)
+def stats_gmm_em_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM step of a 2-component Gaussian mixture on purchase values,
+    from a DETERMINISTIC initialization (mu = p25/p75, shared sd) — the
+    soft-assignment counterpart of the hard-assignment k-means trainer
+    (`cluster_kmeans_lloyd`): responsibilities are posterior weights, the
+    M-step re-estimates (weight, mu, sigma) per component. Pinned as
+    exactly one step for the same reason every iterative query here is —
+    a replayable recurrence is what a differential oracle can check;
+    more steps chain the identical stage with the usual checkpoint
+    cadence. Near-equal weights with overlapping components = the honest
+    unimodal reading on this data (the BIC-style 'is it even bimodal'
+    check falls out of comparing these sigmas to the pooled sd).
+
+    Plan: E-step is map-side arithmetic against a broadcast 1-row init;
+    each M-step statistic is one mergeable aggregate; sigma needs the
+    second pass over responsibilities (classic two-pass EM in SQL). Two
+    scans of the filtered slice, zero shuffles beyond the aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.filter(F.col("event_type") == "purchase").select(
+        F.col("value").alias("v")
+    )
+    init = x.agg(
+        F.expr("percentile(v, 0.25)").alias("mu1"),
+        F.expr("percentile(v, 0.75)").alias("mu2"),
+        F.stddev_samp("v").alias("s0"),
+    )
+    f1 = F.exp(-0.5 * F.pow((F.col("v") - F.col("mu1")) / F.col("s0"), 2))
+    f2 = F.exp(-0.5 * F.pow((F.col("v") - F.col("mu2")) / F.col("s0"), 2))
+    resp = (
+        x.crossJoin(F.broadcast(init))
+        .select("v", f1.alias("f1"), f2.alias("f2"))
+        .filter(F.col("f1") + F.col("f2") > 0)
+        .select(
+            "v",
+            (F.col("f1") / (F.col("f1") + F.col("f2"))).alias("r1"),
+            (F.col("f2") / (F.col("f1") + F.col("f2"))).alias("r2"),
+        )
+    )
+    m = resp.agg(
+        F.sum("r1").alias("n1"),
+        F.sum("r2").alias("n2"),
+        (F.sum(F.col("r1") * F.col("v")) / F.sum("r1")).alias("mu1"),
+        (F.sum(F.col("r2") * F.col("v")) / F.sum("r2")).alias("mu2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    sig = resp.crossJoin(F.broadcast(m)).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.first("mu1").alias("mu1"),
+        F.first("mu2").alias("mu2"),
+        F.first("n").alias("n"),
+        F.sqrt(
+            F.sum(F.col("r1") * F.pow(F.col("v") - F.col("mu1"), 2))
+            / F.first("n1")
+        ).alias("s1"),
+        F.sqrt(
+            F.sum(F.col("r2") * F.pow(F.col("v") - F.col("mu2"), 2))
+            / F.first("n2")
+        ).alias("s2"),
+    )
+    c1 = sig.select(
+        F.lit(1).alias("component"),
+        F.round(F.col("n1") / F.col("n"), 4).alias("weight"),
+        F.round("mu1", 4).alias("mu"),
+        F.round("s1", 4).alias("sigma"),
+    )
+    c2 = sig.select(
+        F.lit(2).alias("component"),
+        F.round(F.col("n2") / F.col("n"), 4).alias("weight"),
+        F.round("mu2", 4).alias("mu"),
+        F.round("s2", 4).alias("sigma"),
+    )
+    return c1.unionByName(c2).orderBy("component")
