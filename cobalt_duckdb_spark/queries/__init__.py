@@ -358,6 +358,7 @@ _DRIVER_DEFER = (
     "orders_repurchase_interval",
     "events_error_share_pchart",
     "stats_gmm_em_one_step",
+    "sample_method_bakeoff",
 )
 
 

@@ -1748,3 +1748,116 @@ def pipeline_mix_entropy_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling-method bake-off
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_method_bakeoff",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) * 1.0 AS y,
+               ('0x' || substr(md5('bake:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT / 4294967296.0 AS u,
+               row_number() OVER (ORDER BY doc_id) AS rn,
+               row_number() OVER (PARTITION BY source ORDER BY
+                   md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS srn,
+               COUNT(*) OVER (PARTITION BY source) AS sn
+        FROM documents
+    ),
+    truth AS (SELECT AVG(y) AS mu FROM base),
+    est AS (
+        SELECT 'bernoulli_10pct' AS method, AVG(y) AS est, COUNT(*) AS n
+        FROM base WHERE u < 0.1
+        UNION ALL
+        SELECT 'systematic_every_10th', AVG(y), COUNT(*)
+        FROM base WHERE rn % 10 = 1
+        UNION ALL
+        SELECT 'stratified_by_source_10pct', AVG(y), COUNT(*)
+        FROM base WHERE srn <= CAST(CEIL(sn * 0.1) AS BIGINT)
+    )
+    SELECT e.method, CAST(e.n AS BIGINT) AS n_sampled,
+           ROUND(e.est, 4) AS estimate,
+           ROUND(t.mu, 4) AS true_mean,
+           ROUND(ABS(e.est - t.mu) / t.mu, 6) AS rel_error
+    FROM est e, truth t ORDER BY e.method
+    """,
+)
+def sample_method_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-method bake-off on one target statistic (mean tokens/doc):
+    derandomized Bernoulli 10%, systematic every-10th (implicit
+    stratification over the id order — typically the lowest-variance
+    cheap option, as its winning rel_error here shows), and
+    hash-shuffled proportional stratification by source, each scored
+    against the full-data truth. The side-by-side a pipeline runs ONCE
+    per corpus before standardizing its profiling sample design —
+    complements the single-method family (`sample_pps_systematic` draws,
+    `sample_horvitz_thompson_total` corrects, `sample_raking_calibration`
+    post-adjusts) with the selection step.
+
+    Plan: one scan computes every method's membership flag (two rank
+    windows + one hash), three conditional aggregates, truth alongside —
+    the bake-off costs one pass, not one pass per method."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bake:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+        u.alias("u"),
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("srn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("sn"),
+    )
+    truth = base.agg(F.avg("y").alias("mu"))
+    ests = None
+    for name, cond in (
+        ("bernoulli_10pct", F.col("u") < 0.1),
+        ("systematic_every_10th", F.col("rn") % 10 == 1),
+        (
+            "stratified_by_source_10pct",
+            F.col("srn") <= F.ceil(F.col("sn") * 0.1).cast("bigint"),
+        ),
+    ):
+        e = base.filter(cond).agg(
+            F.lit(name).alias("method"),
+            F.avg("y").alias("est"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        ests = e if ests is None else ests.unionByName(e)
+    return (
+        ests.crossJoin(F.broadcast(truth))
+        .select(
+            "method",
+            F.col("n").alias("n_sampled"),
+            F.round("est", 4).alias("estimate"),
+            F.round("mu", 4).alias("true_mean"),
+            F.round(F.abs(F.col("est") - F.col("mu")) / F.col("mu"), 6).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("method")
+    )
