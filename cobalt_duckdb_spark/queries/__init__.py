@@ -359,6 +359,7 @@ _DRIVER_DEFER = (
     "events_error_share_pchart",
     "stats_gmm_em_one_step",
     "sample_method_bakeoff",
+    "events_growth_accounting",
 )
 
 

@@ -2305,3 +2305,109 @@ def events_window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("funnel_depth")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(w) AS fw FROM uw GROUP BY user_id),
+    flags AS (
+        SELECT u.user_id, u.w, f.fw,
+               lag(u.w) OVER (PARTITION BY u.user_id ORDER BY u.w) AS prev_w
+        FROM uw u JOIN firsts f USING (user_id)
+    ),
+    staged AS (
+        SELECT w,
+               CASE WHEN w = fw THEN 'new'
+                    WHEN prev_w = w - INTERVAL '7 days' THEN 'retained'
+                    ELSE 'resurrected' END AS stage
+        FROM flags
+    ),
+    active AS (SELECT w, stage, COUNT(*) AS n FROM staged GROUP BY w, stage),
+    churn AS (
+        SELECT w + INTERVAL '7 days' AS w, 'churned' AS stage, COUNT(*) AS n
+        FROM (
+            SELECT user_id, w,
+                   lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+            FROM uw
+        )
+        WHERE next_w IS NULL OR next_w > w + INTERVAL '7 days'
+        GROUP BY w + INTERVAL '7 days'
+    ),
+    allr AS (
+        SELECT * FROM active UNION ALL
+        SELECT * FROM churn WHERE w <= (SELECT MAX(w) FROM uw)
+    )
+    SELECT w AS week, stage, CAST(n AS BIGINT) AS n_users
+    FROM allr ORDER BY week, stage
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the weekly statement every growth team closes
+    the books with: each active user is NEW (first week), RETAINED
+    (active last week too), or RESURRECTED (returning after a gap), and
+    CHURNED counts last week's actives who didn't return (the identity
+    actives_t = new_t + retained_t + resurrected_t and retained_t =
+    actives_{t−1} − churned_t is the net-growth decomposition).
+    Calendar-weeks use Monday-aligned date_trunc on both engines (the
+    cohort-LTV discipline). Complements retention (diagonal view) and
+    DAU/MAU (volume view) with the flow view.
+
+    Plan: one distinct user-week compaction, one user-keyed lag/lead
+    window each for entry and exit classification, week-sized rollups —
+    raw event volume touched once."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("w").alias("fw"))
+    wu = Window.partitionBy("user_id").orderBy("w")
+    flags = uw.join(firsts, "user_id").select(
+        "w", "fw", F.lag("w").over(wu).alias("prev_w")
+    )
+    stage = (
+        F.when(F.col("w") == F.col("fw"), "new")
+        .when(
+            F.col("prev_w") == F.col("w") - F.expr("INTERVAL 7 DAYS"),
+            "retained",
+        )
+        .otherwise("resurrected")
+    )
+    active = (
+        flags.select("w", stage.alias("stage"))
+        .groupBy("w", "stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nxt = uw.select(
+        "w", F.lead("w").over(wu).alias("next_w")
+    )
+    churn = (
+        nxt.filter(
+            F.col("next_w").isNull()
+            | (F.col("next_w") > F.col("w") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select((F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("w"))
+        .groupBy("w")
+        .agg(F.lit("churned").alias("stage"), F.count(F.lit(1)).alias("n"))
+    )
+    max_w = uw.agg(F.max("w").alias("mw"))
+    allr = active.unionByName(
+        churn.crossJoin(F.broadcast(max_w))
+        .filter(F.col("w") <= F.col("mw"))
+        .select("w", "stage", "n")
+    )
+    return allr.select(
+        F.col("w").alias("week"),
+        "stage",
+        F.col("n").cast("bigint").alias("n_users"),
+    ).orderBy("week", "stage")
