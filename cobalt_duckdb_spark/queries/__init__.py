@@ -360,6 +360,7 @@ _DRIVER_DEFER = (
     "stats_gmm_em_one_step",
     "sample_method_bakeoff",
     "events_growth_accounting",
+    "events_slo_burn_rate_alerts",
 )
 
 

@@ -2592,3 +2592,93 @@ def events_error_share_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("share"), 6).alias("max_share"),
         F.round(F.min("share"), 6).alias("min_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SRE multiwindow error-budget burn rate
+# ---------------------------------------------------------------------------
+
+_SLO_BUDGET = 0.25  # error-share objective for the synthetic stream
+
+
+@register(
+    "events_slo_burn_rate_alerts",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+               COUNT(*) * 1.0 AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+                   AS err
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT h,
+               SUM(err) OVER w1 / NULLIF(SUM(n) OVER w1, 0) AS rate_1h,
+               SUM(err) OVER w6 / NULLIF(SUM(n) OVER w6, 0) AS rate_6h,
+               COUNT(*) OVER w6 AS n6
+        FROM hourly
+        WINDOW w1 AS (ORDER BY h ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+               w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    ),
+    burn AS (
+        SELECT h, rate_1h / {_SLO_BUDGET} AS burn_1h,
+               rate_6h / {_SLO_BUDGET} AS burn_6h
+        FROM win WHERE n6 = 6
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(MAX(burn_1h), 4) AS max_burn_1h,
+           ROUND(AVG(burn_6h), 4) AS mean_burn_6h,
+           CAST(SUM(CASE WHEN burn_1h > 14.4 AND burn_6h > 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_page_alerts,
+           CAST(SUM(CASE WHEN burn_6h > 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ticket_alerts
+    FROM burn
+    """,
+)
+def events_slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-rate alerting (the Google SRE workbook's
+    multiwindow multi-burn-rate policy): hourly error share over trailing
+    1 h and 6 h windows, normalized by the SLO budget into burn rates,
+    with page alerts requiring BOTH the fast window to burn > 14.4x AND
+    the slow window > 6x — the two-window AND is what kills the
+    flappiness of single-window threshold alerts. Mean burn < 1 with
+    zero alerts on the synthetic stream = the SLO holds (the same
+    calibration posture as the p-chart, which flags DISTRIBUTIONAL
+    breaks; burn rate flags BUDGET exhaustion speed).
+
+    Plan: hourly conditional rollup, two trailing frames on one sort,
+    threshold arithmetic on the ~720-row series."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("err"),
+    )
+    w1 = Window.orderBy("h").rowsBetween(0, 0)
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    win = hourly.select(
+        "h",
+        (F.sum("err").over(w1) / F.sum("n").over(w1)).alias("rate_1h"),
+        (F.sum("err").over(w6) / F.sum("n").over(w6)).alias("rate_6h"),
+        F.count(F.lit(1)).over(w6).alias("n6"),
+    ).filter(F.col("n6") == 6)
+    burn = win.select(
+        (F.col("rate_1h") / _SLO_BUDGET).alias("burn_1h"),
+        (F.col("rate_6h") / _SLO_BUDGET).alias("burn_6h"),
+    )
+    return burn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(F.max("burn_1h"), 4).alias("max_burn_1h"),
+        F.round(F.avg("burn_6h"), 4).alias("mean_burn_6h"),
+        F.sum(
+            F.when((F.col("burn_1h") > 14.4) & (F.col("burn_6h") > 6), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_page_alerts"),
+        F.sum(F.when(F.col("burn_6h") > 6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ticket_alerts"),
+    )
