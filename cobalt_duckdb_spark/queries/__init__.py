@@ -361,6 +361,7 @@ _DRIVER_DEFER = (
     "sample_method_bakeoff",
     "events_growth_accounting",
     "events_slo_burn_rate_alerts",
+    "text_char_entropy_bound",
 )
 
 

@@ -2509,3 +2509,73 @@ def text_sif_information_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy compression bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_entropy_bound",
+    oracle="""
+    WITH chars AS (
+        SELECT source, substr(text, p, 1) AS ch
+        FROM documents CROSS JOIN LATERAL
+            (SELECT unnest(range(1, length(text) + 1)) AS p)
+    ),
+    dist AS (
+        SELECT source, ch, COUNT(*) * 1.0 AS c,
+               SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
+        FROM chars GROUP BY source, ch
+    )
+    SELECT source,
+           CAST(MAX(tot) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS alphabet_size,
+           ROUND(-SUM((c / tot) * log2(c / tot)), 4) AS entropy_bits_per_char,
+           ROUND(-SUM((c / tot) * log2(c / tot)) / 8.0, 4)
+               AS min_compress_ratio
+    FROM dist GROUP BY source ORDER BY source
+    """,
+)
+def text_char_entropy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zeroth-order character entropy per source — Shannon's lower bound on
+    what ANY character-level compressor can achieve (entropy/8 = the best
+    possible bytes-out/bytes-in ratio under an order-0 model), computed
+    WITHOUT a codec: the standard gzip-ratio quality heuristic
+    (low-entropy text = repetitive/boilerplate; near-8-bits = binary
+    junk mislabeled as text) needs zlib in a UDF, but its order-0 bound
+    is pure SQL and engine-portable. ~4.17 bits over a 25-symbol
+    alphabet here = near-uniform letter soup, the expected synthetic
+    reading; real corpora sit near 4.1-4.5 for English prose and DROP
+    under boilerplate. Complements `text_mojibake_screen` (encoding
+    damage) and `text_repetition_scores` (token-level redundancy) at the
+    character level.
+
+    Plan: character explode (map-only row multiplier), per-(source,char)
+    count with a source-total window, entropy rollup on the
+    |sources x alphabet| frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    from pyspark.sql import Window
+
+    dist = (
+        chars.groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn("tot", F.sum("c").over(Window.partitionBy("source")))
+    )
+    p = F.col("c") / F.col("tot")
+    ent = -F.sum(p * F.log2(p))
+    return (
+        dist.groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("alphabet_size"),
+            F.round(ent, 4).alias("entropy_bits_per_char"),
+            F.round(ent / 8.0, 4).alias("min_compress_ratio"),
+        )
+        .orderBy("source")
+    )
