@@ -362,6 +362,7 @@ _DRIVER_DEFER = (
     "events_growth_accounting",
     "events_slo_burn_rate_alerts",
     "text_char_entropy_bound",
+    "events_volume_anomaly_weekday_adjusted",
 )
 
 

@@ -2682,3 +2682,75 @@ def events_slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_ticket_alerts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday-adjusted volume anomaly screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_volume_anomaly_weekday_adjusted",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, dayofweek(ts) AS dow,
+               COUNT(*) * 1.0 AS n
+        FROM events GROUP BY 1, 2
+    ),
+    adj AS (
+        SELECT d, n,
+               AVG(n) OVER (PARTITION BY dow) AS dow_mean,
+               n - AVG(n) OVER (PARTITION BY dow) AS resid
+        FROM daily
+    ),
+    stats AS (SELECT stddev_samp(resid) AS s FROM adj)
+    SELECT a.d AS day, CAST(a.n AS BIGINT) AS n_events,
+           ROUND(a.dow_mean, 2) AS weekday_baseline,
+           ROUND(a.resid / t.s, 4) AS adjusted_z
+    FROM adj a, stats t
+    WHERE ABS(a.resid / t.s) > 1.5
+    ORDER BY a.d
+    """,
+)
+def events_volume_anomaly_weekday_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-ADJUSTED volume anomaly: daily event counts scored
+    against their own weekday's baseline (residual z over the pooled
+    residual spread), flagging |z| > 1.5 — the screen that stops every
+    Monday from paging as a 'spike' and every Sunday as a 'drop', which
+    is what an unadjusted daily z-score (`events_value_zscore_outliers`'
+    volume analog) inevitably does on weekly-seasonal traffic. The
+    weekday PARTITION never reaches the output, so Spark's 1=Sunday vs
+    DuckDB's 0=Sunday labeling is irrelevant (the ANOVA query's
+    discipline).
+
+    Plan: day rollup, one weekday-partition mean window, one scalar
+    residual-spread broadcast, filter — |days|-frame work after one
+    scan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dow_mean = F.avg("n").over(Window.partitionBy("dow"))
+    adj = daily.select(
+        "d",
+        "n",
+        dow_mean.alias("dow_mean"),
+        (F.col("n") - dow_mean).alias("resid"),
+    )
+    stats = adj.agg(F.stddev_samp("resid").alias("s"))
+    return (
+        adj.crossJoin(F.broadcast(stats))
+        .filter(F.abs(F.col("resid") / F.col("s")) > 1.5)
+        .select(
+            F.col("d").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("dow_mean", 2).alias("weekday_baseline"),
+            F.round(F.col("resid") / F.col("s"), 4).alias("adjusted_z"),
+        )
+        .orderBy("day")
+    )
