@@ -363,6 +363,8 @@ _DRIVER_DEFER = (
     "events_slo_burn_rate_alerts",
     "text_char_entropy_bound",
     "events_volume_anomaly_weekday_adjusted",
+    "agg_trimmed_mean_comparison",
+    "text_doc_length_lognormal_fit",
 )
 
 

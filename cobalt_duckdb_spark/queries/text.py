@@ -2579,3 +2579,78 @@ def text_char_entropy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lognormal fit of document lengths
+# ---------------------------------------------------------------------------
+
+_LN_ZQ = (
+    -1.2815515655446004, -0.8416212335729143, -0.5244005127080409,
+    -0.2533471031357997, 0.0, 0.2533471031357997, 0.5244005127080409,
+    0.8416212335729143, 1.2815515655446004,
+)
+
+
+def _lognormal_oracle() -> str:
+    decile_terms = ", ".join(
+        f"ABS(quantile_cont(lx, {q / 10}) - (mu + sigma * {z!r}))"
+        for q, z in zip(range(1, 10), _LN_ZQ)
+    )
+    return f"""
+    WITH lx_t AS (SELECT ln(n_chars * 1.0) AS lx FROM documents),
+    fit AS (
+        SELECT AVG(lx) AS mu, stddev_samp(lx) AS sigma,
+               COUNT(*) AS n
+        FROM lx_t
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_docs,
+           ROUND(f.mu, 4) AS lognorm_mu,
+           ROUND(f.sigma, 4) AS lognorm_sigma,
+           ROUND(exp(f.mu), 2) AS fitted_median_chars,
+           ROUND(exp(f.mu + f.sigma * f.sigma / 2), 2) AS fitted_mean_chars,
+           ROUND((SELECT GREATEST({decile_terms}) FROM lx_t), 4)
+               AS max_decile_gap_logspace
+    FROM fit f
+    """
+
+
+@register("text_doc_length_lognormal_fit", oracle=_lognormal_oracle())
+def text_doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of the document-length distribution (the canonical
+    model for text lengths): mu/sigma from log-space moments, the implied
+    median exp(mu) and mean exp(mu + sigma^2/2), and the fit-quality
+    check — the largest absolute gap between empirical log-space deciles
+    and the fitted mu + sigma*z_q line (z constants pinned identically on
+    both engines, same discipline as the BH query's erf literals). The
+    distributional summary a workload synthesizer or shard planner
+    consumes instead of raw histograms; a large decile gap says lengths
+    are NOT lognormal and the planner should fall back to
+    `dq_equidepth_deciles`' empirical bins.
+
+    Plan: one log-moment aggregate plus one exact-decile aggregate over
+    the same projection; the Q-Q comparison is arithmetic on 9 numbers."""
+    docs = load_table(spark, sf_dir, "documents")
+    lx = docs.select(F.log(F.col("n_chars") * 1.0).alias("lx"))
+    fit = lx.agg(
+        F.avg("lx").alias("mu"),
+        F.stddev_samp("lx").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile(lx, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs"),
+    )
+    gaps = [
+        F.abs(F.element_at("qs", i + 1) - (F.col("mu") + F.col("sigma") * z))
+        for i, z in enumerate(_LN_ZQ)
+    ]
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round("mu", 4).alias("lognorm_mu"),
+        F.round("sigma", 4).alias("lognorm_sigma"),
+        F.round(F.exp("mu"), 2).alias("fitted_median_chars"),
+        F.round(
+            F.exp(F.col("mu") + F.col("sigma") * F.col("sigma") / 2), 2
+        ).alias("fitted_mean_chars"),
+        F.round(F.greatest(*gaps), 4).alias("max_decile_gap_logspace"),
+    )
