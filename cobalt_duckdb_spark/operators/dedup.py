@@ -250,11 +250,8 @@ def minhash_lsh_pairs(
     without it Spark recomputes the interpreted shingling per consumer,
     which dominates runtime. (At 100 TB this table would be written once to
     Parquet; MEMORY_AND_DISK is the single-job equivalent.)"""
-    from pyspark import StorageLevel
 
-    ex = shingle_hashes(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ex = shingle_hashes(docs, id_col, text_col, n).localCheckpoint(eager=False)
     exploded = ex.withColumnRenamed("h", "x")
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
@@ -462,7 +459,6 @@ def simhash_pairs(
     both sides, and without a persist Spark recomputes the full shingle →
     md5 → 64-bit-sum lineage per side (measured ~2× the query time). One row
     per doc, so it always fits."""
-    from pyspark import StorageLevel
 
     sh = (
         simhash(docs, id_col, text_col)
@@ -472,7 +468,7 @@ def simhash_pairs(
             ),
             id_col,
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     right = sh.select(
         F.col(id_col).alias("b_id"),
@@ -1174,11 +1170,8 @@ def lsh_quality_audit(
     At 100 TB you run this on a sampled shard (the screen's collision
     behavior is scale-free in the pair density); corpus-wide here. The one
     shingle table is persisted and feeds signatures, truth, and sizes."""
-    from pyspark import StorageLevel
 
-    ex = shingle_hashes(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ex = shingle_hashes(docs, id_col, text_col, n).localCheckpoint(eager=False)
     # --- truth: exact Jaccard via inverted index over shingle hashes
     common = (
         ex.select(F.col(id_col).alias("a_id"), F.col("ns").alias("a_ns"), "h")
@@ -1447,11 +1440,8 @@ def minhash_estimator_audit(
     the hash family is broken; if ≪, the pairs are degenerate. This is the
     MinHash sibling of `lsh_quality_audit` (that audits the BANDING, this
     audits the SKETCH)."""
-    from pyspark import StorageLevel
 
-    ex = shingle_hashes(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ex = shingle_hashes(docs, id_col, text_col, n).localCheckpoint(eager=False)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"sig{i}"

@@ -105,7 +105,10 @@ def pagerank(
     vector and every step teleports (1−d) to it instead of to uniform.
     Nodes absent from ``reset`` get zero restart mass. ``reset=None`` keeps
     the classic uniform behavior (bit-identical to before the parameter
-    existed).
+    existed). Degenerate resets are DEFINED, not confusing: duplicate node
+    rows pre-sum, weight on nodes outside the edge list is excluded from
+    the normalizer (so in-graph restart mass still sums to 1), and a reset
+    whose in-graph mass is ≤ 0 degrades to the uniform restart.
 
     Scale shape — the standard Pregel-without-Pregel loop: each step is one
     join of the rank vector against the edge list (both hash-partitioned on
@@ -138,14 +141,32 @@ def pagerank(
     # N as a 1-row frame cross-joined in (broadcast, no driver round-trip)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     if reset is not None:
-        rtot = reset.agg(F.sum("weight").alias("rtot"))
+        # Defensive normalization (round-3 advice): duplicate node rows are
+        # pre-summed (defined semantics instead of double-counted mass), the
+        # normalizer is the reset mass restricted to IN-GRAPH nodes (weight
+        # on absent nodes would otherwise be silently dropped AFTER
+        # normalization, leaving the rank vector summing to < 1), and a
+        # non-positive in-graph reset mass degrades to the uniform restart
+        # instead of null/NaN ranks.
+        in_graph = (
+            reset.groupBy("node")
+            .agg(F.sum("weight").alias("weight"))
+            .withColumnRenamed("node", "rnode")
+            .join(nodes, nodes.node == F.col("rnode"), "semi")
+        )
+        rtot = in_graph.agg(F.sum("weight").alias("rtot"))
         reset_norm = (
-            nodes.join(reset.withColumnRenamed("node", "rnode"),
-                       nodes.node == F.col("rnode"), "left")
+            nodes.join(in_graph, nodes.node == F.col("rnode"), "left")
             .crossJoin(F.broadcast(rtot))
+            .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
-                (F.coalesce("weight", F.lit(0.0)) / F.col("rtot")).alias("rw"),
+                F.when(
+                    F.col("rtot") > 0,
+                    F.coalesce("weight", F.lit(0.0)) / F.col("rtot"),
+                )
+                .otherwise(F.lit(1.0) / F.col("n_nodes"))
+                .alias("rw"),
             )
             .coalesce(1)
             .localCheckpoint(eager=True)
@@ -295,7 +316,6 @@ def label_propagation(
     rounds exactly as :func:`connected_components` does."""
     from pyspark.sql import Window
 
-    from pyspark import StorageLevel
 
     # the edge list is consumed once per round (and often derives from an
     # expensive self-join) — materialize it, and truncate the label
@@ -311,7 +331,7 @@ def label_propagation(
                 F.col(w).alias("wt"),
             )
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     labels = (
         bidir.select(F.col("u").alias("node")).distinct().select(

@@ -67,10 +67,17 @@ def minhash_lsh_token_pairs(
 ) -> DataFrame:
     """MLlib MinHashLSH over hashed token sets (sparse binary vectors).
     Alternative to the hand-rolled MinHash+banding in operators/dedup.py —
-    same candidate-generation idea, library implementation."""
-    from pyspark.ml.feature import MinHashLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
-    from pyspark.sql.functions import udf
+    same candidate-generation idea, library implementation.
+
+    The token-set → sparse-vector step is ``HashingTF(binary=True)`` — a JVM
+    transformer (MurmurHash3 on the token string, deterministic across runs,
+    processes, and cluster layouts), so NO Python appears anywhere in the
+    plan. Round-3 advice: the previous row-at-a-time ``@udf(VectorUDT())``
+    sparse-vector builder was exactly the BatchEvalPython pattern
+    tools/plan_audit.py bans, surviving only because this operator is
+    pytest-reachable rather than registry-reachable; test_plans now audits
+    it too."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from cobalt_duckdb_spark.functions.text import tokens
 
@@ -79,22 +86,10 @@ def minhash_lsh_token_pairs(
         F.array_distinct(tokens(text_col)).alias("toks"),
     ).filter(F.size("toks") > 0)
 
-    @udf(VectorUDT())
-    def to_sparse(toks):
-        import hashlib
-
-        # md5-based index: stable across worker processes (builtin hash()
-        # varies with PYTHONHASHSEED → nondeterministic buckets)
-        idx = sorted(
-            {
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
-                % vocab_size
-                for t in toks
-            }
-        )
-        return Vectors.sparse(vocab_size, idx, [1.0] * len(idx))
-
-    vecs = tokenized.select(F.col(id_col), to_sparse("toks").alias("features"))
+    hasher = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=vocab_size, binary=True
+    )
+    vecs = hasher.transform(tokenized).select(F.col(id_col), "features")
     lsh = MinHashLSH(
         inputCol="features",
         outputCol="hashes",

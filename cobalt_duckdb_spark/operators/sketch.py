@@ -137,7 +137,7 @@ def heavy_hitters_with_cms(
     counts = (
         toks.groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     x = token_hash(F.col("item"))
     cells = counts.select(

@@ -159,6 +159,33 @@ _DRIVER_VERIFIED = frozenset(
         # re-checking burns slots without new signal.
         "agg_approx_sketches", "infer_embed_index_search_e2e",
         "infer_tokenize_stats",
+        # --- r03 greens (CORRECTNESS_r03.json; all green except
+        # pipeline_corpus_curation, which retries in r04 with its HUGEINT
+        # oracle fix).
+        "text_pii_redaction", "udaf_label_centroids", "udtf_sentence_split",
+        "multimodal_feature_extract", "sketch_cms_heavy_hitters",
+        "split_train_valid_test_hash", "split_stratified_sample",
+        "pack_sequences_budget", "mix_temperature_sample",
+        "features_customer_rfm", "skyline_cheap_small_parts",
+        "dq_histogram_totalprice", "stats_chi2_lang_source",
+        "dq_equidepth_deciles", "q2_top_supplier_per_nation",
+        "q4_late_order_priority", "q12_case_aggregation",
+        "q14_promo_revenue_share", "q16_supplier_part_counts",
+        "q19_or_of_ands_predicates", "q22_inactive_wealthy_customers",
+        "q10_returned_revenue_by_customer", "q18_large_volume_orders",
+        "q7_cross_nation_trade", "q15_top_revenue_supplier",
+        "q21_sole_late_supplier", "q8_market_share",
+        "q20_nested_in_supplier_parts", "q9_product_profit_by_nation_year",
+        "q11_important_part_values", "q13_customer_order_distribution",
+        "q17_small_quantity_revenue", "pivot_event_type_totals",
+        "events_multi_resolution_rollup", "events_gap_filled_minutes",
+        "events_signup_to_purchase_funnel", "events_weekly_cohort_retention",
+        "events_seasonal_hour_anomaly", "events_peak_concurrent_incidents",
+        "events_ewma_user_value", "events_mad_robust_outliers",
+        "events_latency_percentile_rollup", "events_time_weighted_avg_value",
+        "events_top_trigram_paths", "sample_weighted_reservoir",
+        "sample_per_user_event_cap", "graph_pagerank_event_flow",
+        "graph_triangle_parts",
         # --- r01 greens.
         "agg_corr_quantity_price",
         "agg_count_distinct", "agg_cube_lineitem", "agg_rollup_revenue",
@@ -190,11 +217,67 @@ _DRIVER_VERIFIED = frozenset(
 
 # Previously driver-RED names: fixed this round, so they jump the fresh
 # queue — a fix must be re-verified before never-checked work.
-_DRIVER_RETRY = (
-    "text_pii_redaction",
-    "udaf_label_centroids",
-    "udtf_sentence_split",
-    "multimodal_feature_extract",
+# r04: pipeline_corpus_curation's r3 hash-red root cause was the oracle's
+# uncasted SUM(BIGINT) → HUGEINT → pandas float64 (see its docstring); the
+# fix must be driver-confirmed.
+_DRIVER_RETRY = ("pipeline_corpus_curation",)
+
+# Round-4 window picks (slots 2-49): the highest-divergence-risk entries
+# among the never-driver-checked backlog, per the r3 verdict — the Spark 4
+# surface, the cross-engine-trap stats/timeseries pack, the two queries
+# whose oracles carried the same latent HUGEINT promotion the retry had
+# (caught by check_oracle's new dtype-kind gate), the r3 scale-fix targets,
+# and the new bucketed join operators. Explicitly ordered so round-4
+# registrations can't displace them out of the 50-slot window.
+_DRIVER_PRIORITY = (
+    "udtf_polymorphic_windows",
+    "udtf_table_argument_sessions",
+    "udaf_arrow_source_stats",
+    "json_props_variant",
+    "sql_api_recursive_reachability",
+    "sql_api_pipe_syntax",
+    "events_cohort_ltv_curve",
+    "events_holt_linear_trend",
+    "stats_benjamini_hochberg_fdr",
+    "pack_padding_waste_audit",
+    "pipeline_incremental_admission",
+    "join_asof_bucketed_click_before_error",
+    "join_asof_tolerance_click_before_error",
+    "join_range_bucketed_incident_clicks",
+    "dedup_embedding_srp_lsh",
+    "dedup_semdedup_dropped",
+    "dedup_incremental_lsh_near",
+    "dedup_containment_pairs",
+    "dedup_lsh_quality_audit",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "stats_ab_test_welch",
+    "stats_poisson_bootstrap_ci",
+    "stats_permutation_test_hashed",
+    "stats_propensity_match_att",
+    "stats_diff_in_diff",
+    "stats_gmm_em_one_step",
+    "stats_hill_tail_index",
+    "stats_spearman_rank_corr",
+    "events_survival_km",
+    "events_markov_stationary",
+    "events_markov_absorption",
+    "events_markov_removal_attribution",
+    "events_stl_strength",
+    "events_periodogram_dft",
+    "events_haar_wavelet_energy",
+    "text_good_turing_unseen",
+    "embedding_pca_power_iteration",
+    "embedding_knn_hubness_audit",
+    "multimodal_ahash_neardup_pairs",
+    "multimodal_crossmodal_stub_topk",
+    "graph_kcore_peeling",
+    "graph_scc_mutual_reachability",
+    "graph_lpa_communities",
+    "sql_api_parameterized_query",
+    "sql_api_try_error_safe_parsing",
+    "agg_decimal_exact_money",
+    "text_textrank_keywords",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally
@@ -371,8 +454,11 @@ _DRIVER_DEFER = (
 def _rotate_registry() -> None:
     flagship = "flagship_knn_cosine_topk"
     retries = [n for n in _DRIVER_RETRY if n in QUERIES]
-    skip = {flagship, *retries}
-    defer = [n for n in _DRIVER_DEFER if n in QUERIES]
+    priority = [
+        n for n in _DRIVER_PRIORITY if n in QUERIES and n not in retries
+    ]
+    skip = {flagship, *retries, *priority}
+    defer = [n for n in _DRIVER_DEFER if n in QUERIES and n not in skip]
     fresh = [
         n
         for n in QUERIES
@@ -380,7 +466,8 @@ def _rotate_registry() -> None:
     ]
     stale = [n for n in QUERIES if n not in skip and n in _DRIVER_VERIFIED]
     ordered = {
-        n: QUERIES[n] for n in [flagship, *retries, *fresh, *defer, *stale]
+        n: QUERIES[n]
+        for n in [flagship, *retries, *priority, *fresh, *defer, *stale]
     }
     QUERIES.clear()
     QUERIES.update(ordered)

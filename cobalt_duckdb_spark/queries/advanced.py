@@ -1181,7 +1181,8 @@ def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(1.0 - SUM(s) * 1.0 / SUM(n * mx), 6) AS waste_ratio
         FROM nb
         UNION ALL
-        SELECT 'length_sorted', COUNT(*), SUM(s), SUM(n * mx),
+        SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(s) AS BIGINT), CAST(SUM(n * mx) AS BIGINT),
                ROUND(1.0 - SUM(s) * 1.0 / SUM(n * mx), 6)
         FROM sb
     ) ORDER BY policy

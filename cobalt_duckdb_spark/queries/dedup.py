@@ -326,7 +326,6 @@ def dedup_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on shared shingles — never |eval|×|train| pairs), eval side
     filtered before the join so the index probe ships only eval shingles.
     One shared shingle pass via operators/dedup.shingle_hashes."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     # two consumers (eval probe + train index) of one shingle pass — persist
@@ -334,7 +333,7 @@ def dedup_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         D.shingle_hashes(d, "doc_id", "text", 3)
         .join(d.select("doc_id", "source"), "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     ev = ex.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("eval_id"), F.col("ns").alias("eval_ns"), "h"
@@ -780,9 +779,8 @@ def dedup_cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared boilerplate). The CDC complement to the fixed-stride
     ``text_chunk_sliding_windows`` and span-level ``dedup_shared_span_report``."""
     chunks = D.cdc_chunks(load_table(spark, sf_dir, "documents"))
-    from pyspark import StorageLevel
 
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = chunks.localCheckpoint(eager=False)
     totals = chunks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.round(F.avg("n_tokens"), 4).alias("avg_chunk_tokens"),

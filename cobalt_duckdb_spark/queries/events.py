@@ -1610,14 +1610,17 @@ def _removal_oracle() -> str:
     return f"""WITH {all_ctes}
     , eff AS (
         SELECT channel, conv_full, conv_removed,
-               ROUND(1 - conv_removed / conv_full, 9) AS removal_effect
+               CASE WHEN conv_full = 0 THEN 0.0
+                    ELSE ROUND(1 - conv_removed / conv_full, 9)
+               END AS removal_effect
         FROM ({sel})
     )
     SELECT channel, ROUND(conv_full, 6) AS conv_full,
            ROUND(conv_removed, 6) AS conv_removed,
            ROUND(removal_effect, 6) AS removal_effect,
-           ROUND(removal_effect / SUM(removal_effect) OVER (), 6)
-               AS attribution
+           CASE WHEN SUM(removal_effect) OVER () = 0 THEN 0.0
+                ELSE ROUND(removal_effect / SUM(removal_effect) OVER (), 6)
+           END AS attribution
     FROM eff ORDER BY channel
     """
 
@@ -1770,23 +1773,29 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
             .select(F.lit(c).alias("channel"), "conv_full", "conv_removed")
         )
         rows = row if rows is None else rows.unionByName(row)
+    # Zero guards (round-3 advice), mirrored in the oracle: a slice with no
+    # observed conversions (conv_full = 0) or all-zero removal effects
+    # degrades to clean 0.0 rows instead of null/NaN attribution.
     eff = rows.select(
         "channel",
         "conv_full",
         "conv_removed",
-        F.round(
-            F.lit(1.0) - F.col("conv_removed") / F.col("conv_full"), 9
-        ).alias("removal_effect"),
+        F.when(F.col("conv_full") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(1.0) - F.col("conv_removed") / F.col("conv_full"), 9)
+        )
+        .alias("removal_effect"),
     )
     wall = Window.partitionBy()
+    tot_eff = F.sum("removal_effect").over(wall)
     return eff.select(
         "channel",
         F.round("conv_full", 6).alias("conv_full"),
         F.round("conv_removed", 6).alias("conv_removed"),
         F.round("removal_effect", 6).alias("removal_effect"),
-        F.round(
-            F.col("removal_effect") / F.sum("removal_effect").over(wall), 6
-        ).alias("attribution"),
+        F.when(tot_eff == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("removal_effect") / tot_eff, 6))
+        .alias("attribution"),
     ).orderBy("channel")
 
 

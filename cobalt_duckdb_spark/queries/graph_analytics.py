@@ -339,7 +339,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _LPA_MIN_W)
         .select("pa", "pb")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     adj = edges.select(
         F.col("pa").alias("node"), F.col("pb").alias("nb")

@@ -100,24 +100,31 @@ _PIPELINE_ORACLE = f"""
         FROM d5
     )
     SELECT * FROM (
+        /* Every branch casts BOTH aggregates to BIGINT — DuckDB SUM(BIGINT)
+           returns HUGEINT, whose pandas conversion is float64; see the
+           query docstring for the round-3 driver-red root cause. */
         SELECT 0 AS stage_idx, 'raw' AS stage,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(tc) AS BIGINT) AS n_tokens FROM raw
         UNION ALL
-        SELECT 1, 'quality', COUNT(*), SUM(tc) FROM q
+        SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(tc) AS BIGINT) FROM q
         UNION ALL
-        SELECT 2, 'exact_dedup', COUNT(*), SUM(tc) FROM e2
+        SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(tc) AS BIGINT) FROM e2
         UNION ALL
-        SELECT 3, 'near_dedup', COUNT(*), SUM(tc) FROM n2
+        SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(tc) AS BIGINT) FROM n2
         UNION ALL
-        SELECT 4, 'decontaminated', COUNT(*), SUM(tc) FROM d5
+        SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(tc) AS BIGINT) FROM d5
         UNION ALL
         SELECT 5 + CASE WHEN bucket < 80 THEN 0
                         WHEN bucket < 90 THEN 1 ELSE 2 END,
                CASE WHEN bucket < 80 THEN 'split_train'
                     WHEN bucket < 90 THEN 'split_valid'
                     ELSE 'split_test' END,
-               COUNT(*), SUM(tc)
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(tc) AS BIGINT)
         FROM sp
         GROUP BY 1, 2
     )
@@ -137,8 +144,17 @@ def _stage_audit(df: DataFrame, idx: int, name: str) -> DataFrame:
 @register("pipeline_corpus_curation", oracle=_PIPELINE_ORACLE)
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel; see module docstring. Returns one row per
-    stage: (stage_idx, stage, n_docs, n_tokens)."""
-    from pyspark import StorageLevel
+    stage: (stage_idx, stage, n_docs, n_tokens).
+
+    Round-3 driver hash-red ROOT CAUSE (fixed): the oracle's union branches
+    1-5 left ``SUM(tc)`` uncasted; DuckDB promotes SUM(BIGINT) to HUGEINT,
+    the union column became HUGEINT, and DuckDB's pandas conversion turns
+    HUGEINT into float64 — so the oracle emitted 27165.0 where Spark emitted
+    int64 27165. Deterministic, not flaky: the driver's canonicalization
+    preserves the int/float distinction (hash-red every driver run), while
+    tools/check_oracle.py's "%.12g" stringifier collapsed it (green every
+    judge run). Fix = explicit CAST(... AS BIGINT) in every branch, plus a
+    dtype-kind gate in check_oracle so this class can't ship again."""
     from pyspark.sql import Window
 
     raw = load_table(spark, sf_dir, "documents").select(
@@ -162,7 +178,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e2.withColumn("rn2", rn2)
         .filter(F.col("rn2") == 1)
         .select("doc_id", "text", "source", "tc")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
 
     train = n2.filter(F.col("source") != _EVAL_SOURCE)
@@ -183,9 +199,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )
-    d5 = train.join(contaminated, "doc_id", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    d5 = train.join(contaminated, "doc_id", "left_anti").localCheckpoint(eager=False)
 
     bucket = D.token_hash(F.col("doc_id").cast("string")) % 100
     sp = d5.select(
@@ -1007,11 +1021,16 @@ def _incremental_admission_oracle() -> str:
         SELECT 0 AS stage_idx, 'arrived' AS stage,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(tc) AS BIGINT) AS n_tokens FROM rawb
-        UNION ALL SELECT 1, 'quality', COUNT(*), SUM(tc) FROM q
-        UNION ALL SELECT 2, 'no_exact_corpus_dup', COUNT(*), SUM(tc) FROM s2
-        UNION ALL SELECT 3, 'no_bag_corpus_dup', COUNT(*), SUM(tc) FROM s3
-        UNION ALL SELECT 4, 'batch_deduped', COUNT(*), SUM(tc) FROM s4
-        UNION ALL SELECT 5, 'admitted', COUNT(*), SUM(tc) FROM s5
+        UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(tc) AS BIGINT) FROM q
+        UNION ALL SELECT 2, 'no_exact_corpus_dup', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(tc) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'no_bag_corpus_dup', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(tc) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'batch_deduped', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(tc) AS BIGINT) FROM s4
+        UNION ALL SELECT 5, 'admitted', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(tc) AS BIGINT) FROM s5
     ) ORDER BY stage_idx
     """
 
@@ -1048,7 +1067,7 @@ def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFram
     )
     corpus_fp = corpus.select(
         exact_fp.alias("c_exact"), bag_fp.alias("c_bag")
-    ).persist()
+    ).localCheckpoint(eager=False)
     rawb = d.filter(F.col("source") != "src0").select(
         "doc_id",
         "text",
@@ -1074,7 +1093,7 @@ def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFram
         s3.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     flagged = D.minhash_lsh_incremental(
         corpus, s4.select("doc_id", "text"), threshold=0.5

@@ -1065,7 +1065,6 @@ def simsearch_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical greedy trajectory. At scale only the pool construction
     (batch exact KNN / ANN) touches the corpus; MMR itself is O(pool²) on
     broadcast-sized data regardless of corpus size."""
-    from pyspark import StorageLevel
     from cobalt_duckdb_spark.functions.vector import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1081,7 +1080,7 @@ def simsearch_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(_MMR_POOL)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     pool = poolv.select("vec_id", "rel")
     a, b = poolv.alias("a"), poolv.alias("b")
@@ -1218,7 +1217,6 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
        entries in [−1, 1] (C^64 alone would underflow at ~λ⁶⁴) and 9-dp
        rounding is the cross-engine fixed point (k-means discipline), with
        the final direction rounded at 6 dp."""
-    from pyspark import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
     long = emb.select(
@@ -1236,7 +1234,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.avg(F.col("a.c") * F.col("b.c")).alias("val"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
 
     def _normalized(mat: DataFrame) -> DataFrame:

@@ -405,7 +405,6 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back on their keys (bigram vocab can exceed broadcast size at
     100 TB, so these stay shuffle joins on uniform hash keys); the per-doc
     aggregate is the only doc-keyed shuffle."""
-    from pyspark import StorageLevel
 
     from cobalt_duckdb_spark.operators.dedup import fan_out
 
@@ -420,7 +419,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(t) >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     big_c = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c12")

@@ -28,6 +28,8 @@ import types
 
 import numpy as np
 import pandas as pd
+import os
+
 import pytest
 
 from cobalt_duckdb_spark.functions.inference import (
@@ -177,3 +179,49 @@ def test_tokenizer_fallback_branch_without_package(monkeypatch):
     tok, backend = load_tokenizer_backend()
     assert backend == "fallback"
     assert tok("hello 世界 123") == "hello 世 界 123"
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_REAL_MODEL") != "1",
+    reason="real-weights smoke is opt-in: set SPARK_GRAFT_REAL_MODEL=1 "
+    "with sentence-transformers + weights installed",
+)
+def test_real_model_end_to_end_smoke(spark, sf_dir):
+    """Env-gated REAL-backend smoke (round-3 verdict item 7): when
+    sentence-transformers weights are actually present, the embed →
+    index → search path must run on the real kernel and hold the same
+    invariants the fallback tests pin — backend selection, output
+    shape/dtype, unit-norm embeddings, and the byte-bounded Arrow batch
+    budget. Skips cleanly in this container (no weights)."""
+    import numpy as np
+    import pandas as pd
+
+    from cobalt_duckdb_spark.functions.inference import (
+        load_embed_backend,
+        make_embedder_udf,
+    )
+
+    encode, backend = load_embed_backend("cl-nagoya/ruri-large", dim=1024)
+    assert backend == "sentence_transformers", (
+        "SPARK_GRAFT_REAL_MODEL=1 but the real backend did not load: "
+        f"got {backend!r}"
+    )
+
+    # kernel invariants at the reference's operating dim (1024)
+    mat = np.asarray(encode(["クエリ: テスト", "文章: 本文"]))
+    assert mat.shape == (2, 1024) and mat.dtype in (np.float32, np.float64)
+
+    # full Spark path: UDF batch → array<float>, rows preserved, unit norm
+    # (ruri embeddings are normalized; tolerate 1e-3)
+    embed = make_embedder_udf(dim=1024)
+    out = embed.raw(pd.Series(["クエリ: テスト", "文章: 本文", None]))
+    assert len(out) == 3 and all(len(v) == 1024 for v in out)
+    norms = [float(np.linalg.norm(v)) for v in out]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms), norms
+
+    from cobalt_duckdb_spark.queries.inference import (
+        infer_embed_index_search_e2e,
+    )
+
+    rows = infer_embed_index_search_e2e(spark, sf_dir).collect()
+    assert len(rows) > 0

@@ -1649,3 +1649,41 @@ def test_round3_closing_wave_invariants(spark, sf_dir):
     # isotropy: near-zero avg pairwise cosine on healthy space
     r = embedding_isotropy_audit(spark, sf_dir).collect()[0]
     assert abs(r["avg_pairwise_cosine"]) < 0.05
+
+
+def test_pagerank_degenerate_reset_inputs(spark):
+    """Round-3 advice: pagerank(reset=...) must be DEFINED on degenerate
+    resets — duplicate node rows pre-sum, out-of-graph weight is excluded
+    from the normalizer (in-graph mass still sums to 1), zero mass degrades
+    to the uniform restart — instead of emitting null/NaN or <1-mass
+    vectors."""
+    from cobalt_duckdb_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+
+    def mass(reset_rows):
+        reset = spark.createDataFrame(reset_rows, ["node", "weight"])
+        ranks = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, iterations=5, reset=reset).collect()
+        }
+        assert all(v is not None and v == v for v in ranks.values()), ranks
+        return sum(ranks.values()), ranks
+
+    # weight on a node absent from the graph: excluded from the normalizer
+    total, _ = mass([("a", 1.0), ("zzz", 9.0)])
+    assert abs(total - 1.0) < 1e-9
+
+    # duplicate node rows: summed once, not double-counted vs a single row
+    total_dup, ranks_dup = mass([("a", 1.0), ("a", 1.0), ("b", 2.0)])
+    _, ranks_single = mass([("a", 2.0), ("b", 2.0)])
+    assert abs(total_dup - 1.0) < 1e-9
+    for n in ranks_single:
+        assert abs(ranks_dup[n] - ranks_single[n]) < 1e-12
+
+    # zero in-graph mass: uniform fallback, not NaN
+    total_zero, ranks_zero = mass([("zzz", 5.0)])
+    assert abs(total_zero - 1.0) < 1e-9
+    assert max(ranks_zero.values()) - min(ranks_zero.values()) < 1e-9

@@ -94,3 +94,27 @@ def test_no_plan_smells_anywhere(spark, sf_dir):
 
     bad = {k: v for k, v in audit(spark, sf_dir).items() if v}
     assert bad == {}
+
+
+def test_no_python_in_library_operator_plans(spark, sf_dir):
+    """Library operators reachable only from pytest (not the registry) get
+    the same BatchEvalPython/CartesianProduct audit as registry queries —
+    round-3 advice after mllib_ann's sparse-vector builder shipped as a
+    row-at-a-time @udf that the registry-only audit never saw."""
+    from cobalt_duckdb_spark.functions.vector import l2_normalize
+    from cobalt_duckdb_spark.operators.mllib_ann import (
+        brp_near_dup_pairs,
+        minhash_lsh_token_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        brp_near_dup_pairs(emb, 1.1),
+        minhash_lsh_token_pairs(docs, max_jaccard_distance=0.4),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

@@ -63,3 +63,23 @@ def test_every_query_has_oracle_or_documented_exemption():
     }
     missing = set(QUERIES) - set(ORACLE) - rows_only_by_design
     assert not missing, f"queries without oracle or exemption: {missing}"
+
+
+def test_driver_window_rotation_policy():
+    """tools/next_window.py's policy gate: flagship in slot 0, every
+    latest-red name retried inside the 50-slot window, and no already-green
+    name occupying a slot while never-checked names wait (round-3 verdict
+    item 8 — window slots are the scarcest external-verification
+    resource)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "next_window.py"), "--json"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -361,8 +361,22 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     )
     assert "ReadSchema: struct<lang:string>" in plan
 
-    # evolution is opt-in: without mergeSchema, one footer wins and the
-    # new column silently disappears — the reason pipelines must pass the
-    # option (or register the table with an explicit evolved schema)
+    # evolution is opt-in: without mergeSchema, ONE batch's footer wins
+    # wholesale — the schema must equal exactly one of the per-batch
+    # schemas, and the row-level consequence of that winner must hold
+    # (either the new column silently disappears for ALL rows, or the old
+    # batch's rows are null-backfilled under the new schema). This pins the
+    # actual footgun instead of accepting any outcome.
+    schema1 = spark.read.parquet(base + "/batch=1").schema
+    schema2 = spark.read.parquet(base + "/batch=2").schema
     unmerged = spark.read.parquet(base + "/batch=1", base + "/batch=2")
-    assert "lang" not in unmerged.columns or len(unmerged.columns) == 3
+    assert unmerged.schema in (schema1, schema2), unmerged.schema
+    urows = {r["doc_id"]: r for r in unmerged.collect()}
+    assert set(urows) == {0, 1, 2, 3}  # both batches' rows always read
+    if unmerged.schema == schema1:
+        # batch=1's footer won: lang is GONE even for batch=2's rows
+        assert "lang" not in unmerged.columns
+    else:
+        # batch=2's footer won: batch=1's rows read with lang null
+        assert urows[0]["lang"] is None and urows[1]["lang"] is None
+        assert urows[3]["lang"] == "ja"

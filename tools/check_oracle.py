@@ -6,6 +6,14 @@ an order-insensitive value hash (rows sorted by all columns, columns sorted
 by name, floats stringified at 12 significant digits). Use while iterating:
 
     python tools/check_oracle.py [sf_dir] [name ...]
+
+Also enforces a DTYPE-KIND gate: a column that is integer on one engine and
+float on the other FAILS even when the stringified values collapse to the
+same text. Round-3 lesson (pipeline_corpus_curation): DuckDB promotes
+SUM(BIGINT) to HUGEINT, whose pandas conversion is float64 — the "%.12g"
+stringifier hid the 27165 vs 27165.0 divergence locally while the driver's
+stricter canonicalization hash-red it. The kind gate makes the local replica
+at least as strict as the driver on numeric representation.
 """
 
 from __future__ import annotations
@@ -28,6 +36,33 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
     return df
+
+
+def _num_kind(s: pd.Series) -> str:
+    """'int' / 'float' / 'other' — the axis the driver is strict about.
+
+    Empty float columns (an all-NULL aggregate both engines render as NaN)
+    still compare by declared dtype; bool folds into 'other' so a bool vs
+    int8 oracle difference keeps failing via the value hash instead.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "other"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    # DuckDB HUGEINT / DECIMAL may arrive as object-of-ints; classify by
+    # the first non-null value so promotions are still caught.
+    if s.dtype == object:
+        for v in s:
+            if v is None:
+                continue
+            if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+                return "int"
+            if isinstance(v, (float, np.floating)):
+                return "float"
+            break
+    return "other"
 
 
 def stringify(df: pd.DataFrame) -> list[str]:
@@ -95,6 +130,14 @@ def main() -> int:
             problems.append(
                 f"cols {list(spark_pdf.columns)} != {list(duck_pdf.columns)}"
             )
+        if not problems:
+            kind_mismatch = [
+                f"{c}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+                for c in spark_pdf.columns
+                if _num_kind(spark_pdf[c]) != _num_kind(duck_pdf[c])
+            ]
+            if kind_mismatch:
+                problems.append("dtype-kind " + "; ".join(kind_mismatch))
         if not problems and stringify(spark_pdf) != stringify(duck_pdf):
             problems.append("value hash mismatch")
             s, d = stringify(spark_pdf), stringify(duck_pdf)

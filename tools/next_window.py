@@ -1,0 +1,150 @@
+"""Driver-window rotation audit (round-3 verdict item 8).
+
+With 300+ registry entries and a 50-slot driver gate per round, the window
+choice is the scarcest external-verification resource. This tool keeps the
+rotation honest mechanically instead of by builder diligence:
+
+- Reads every CORRECTNESS_r*.json in the repo root (the driver's per-round
+  gate records) and classifies each name's LATEST driver outcome:
+  green / red / error / never-checked.
+- Loads the registry (post-rotation) and prints the ACTUAL next window
+  (first 50 entries) annotated with that history, plus a policy check:
+  * every latest-red name must be inside the window (retries first),
+  * no already-green name may occupy a slot while never-checked names wait,
+  * flagship must hold slot 0 (it is the driver's smoke-checked entry).
+
+Exit 1 if the policy is violated — run by pytest (test_registry_contract)
+so a registry edit that wastes driver slots is a failed test.
+
+Usage: python tools/next_window.py [--json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+FLAGSHIP = "flagship_knn_cosine_topk"
+
+# Names whose driver record is a weaker rows-only check BY DESIGN (no
+# oracle twin): one green rows-only pass is terminal signal — re-windowing
+# them burns a slot without new information.
+ROWS_ONLY_TERMINAL = frozenset(
+    {"agg_approx_sketches", "infer_embed_index_search_e2e", "infer_tokenize_stats"}
+)
+
+
+def driver_history() -> dict[str, tuple[int, str]]:
+    """{name: (round, outcome)} with the LATEST driver outcome per name;
+    outcome in {'green', 'red', 'error'}."""
+    hist: dict[str, tuple[int, str]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if rec.get("err") == "no_oracle" and rec.get("spark_rows", 0) >= 0:
+                # rows-only entry that RAN (driver records err='no_oracle'):
+                # the weaker gate passed — terminal signal for exempt names
+                outcome = "rows_only"
+            elif rec.get("err"):
+                outcome = "error"
+            elif (
+                rec.get("rows_match")
+                and rec.get("schema_match", True)
+                and rec.get("hash_match", True)
+            ):
+                outcome = "green"
+            else:
+                outcome = "red"
+            if name not in hist or rnd >= hist[name][0]:
+                hist[name] = (rnd, outcome)
+    return hist
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from cobalt_duckdb_spark.queries import queries
+
+    hist = driver_history()
+    names = list(queries())
+    window, rest = names[:WINDOW], names[WINDOW:]
+
+    problems: list[str] = []
+    if window[0] != FLAGSHIP:
+        problems.append(f"slot 0 is {window[0]!r}, expected flagship")
+
+    latest_red = {
+        n
+        for n, (_, o) in hist.items()
+        if o in ("red", "error") and n in names and n not in ROWS_ONLY_TERMINAL
+    }
+    missing_retries = latest_red - set(window)
+    if missing_retries:
+        problems.append(f"latest-red names outside window: {sorted(missing_retries)}")
+
+    never = [n for n in names if n not in hist]
+    green = {n for n, (_, o) in hist.items() if o in ("green", "rows_only")}
+    wasted = [
+        n
+        for n in window
+        if (n in green or n in ROWS_ONLY_TERMINAL) and n != FLAGSHIP
+    ]
+    if wasted and never and len(set(window) & set(never)) < min(
+        WINDOW - 1 - len(latest_red), len(never)
+    ):
+        problems.append(
+            f"window re-checks already-green {wasted[:5]}... while "
+            f"{len(never)} names were never driver-checked"
+        )
+
+    report = {
+        "window": [
+            {
+                "slot": i,
+                "name": n,
+                "status": (
+                    "flagship"
+                    if n == FLAGSHIP
+                    else {
+                        "red": "retry",
+                        "error": "retry",
+                        "green": "RE-CHECK (wasted slot?)",
+                        "rows_only": "rows-only (terminal)",
+                    }.get(hist[n][1], "?")
+                    if n in hist
+                    else "fresh"
+                ),
+            }
+            for i, n in enumerate(window)
+        ],
+        "summary": {
+            "registered": len(names),
+            "driver_green": len(green),
+            "latest_red": sorted(latest_red),
+            "never_checked": len(never),
+            "fresh_in_window": sum(1 for n in window if n not in hist),
+            "remaining_after_this_window": max(
+                0, len(never) - sum(1 for n in window if n not in hist)
+            ),
+        },
+        "problems": problems,
+    }
+    if "--json" in sys.argv:
+        print(json.dumps(report, indent=2))
+    else:
+        for row in report["window"]:
+            print(f"{row['slot']:3d}  {row['status']:<24} {row['name']}")
+        print()
+        print(json.dumps(report["summary"], indent=2))
+        for p in problems:
+            print(f"PROBLEM: {p}")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
