@@ -114,6 +114,7 @@ def _load_all_modules() -> None:
         timeseries,
         pipeline,
         graph_analytics,
+        selection,
     )
 
 
