@@ -794,3 +794,913 @@ def embedding_ood_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("m2").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense/sparse hybrid blend curve (alpha sweep, shared legs)
+# ---------------------------------------------------------------------------
+
+_BLEND_TERMS = ["spark", "join", "vector", "window"]
+_BLEND_LEG_K = 20
+_BLEND_ALPHAS = (0.0, 0.25, 0.5, 0.75, 1.0)
+_BLEND_TOP = 5
+
+
+def _alpha_blend_oracle() -> str:
+    from cobalt_duckdb_spark.operators.bm25 import bm25_oracle_sql
+
+    bm25 = bm25_oracle_sql(_BLEND_TERMS, k=_BLEND_LEG_K)
+    alphas = ", ".join(f"({a})" for a in _BLEND_ALPHAS)
+    return f"""
+    WITH lex AS MATERIALIZED (
+        SELECT doc_id, bm25 FROM ({bm25})
+    ),
+    lexn AS MATERIALIZED (
+        SELECT doc_id,
+               ROUND(CASE WHEN MAX(bm25) OVER () = MIN(bm25) OVER () THEN 0.5
+                    ELSE (bm25 - MIN(bm25) OVER ())
+                         / (MAX(bm25) OVER () - MIN(bm25) OVER ()) END, 6)
+                   AS lex_n
+        FROM lex
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv), 6) AS sim
+        FROM embeddings e CROSS JOIN q
+    ),
+    vtop AS MATERIALIZED (
+        SELECT doc_id, sim FROM scored
+        ORDER BY sim DESC, doc_id LIMIT {_BLEND_LEG_K}
+    ),
+    vecn AS MATERIALIZED (
+        SELECT doc_id,
+               ROUND(CASE WHEN MAX(sim) OVER () = MIN(sim) OVER () THEN 0.5
+                    ELSE (sim - MIN(sim) OVER ())
+                         / (MAX(sim) OVER () - MIN(sim) OVER ()) END, 6)
+                   AS vec_n
+        FROM vtop
+    ),
+    pool AS MATERIALIZED (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               COALESCE(l.lex_n, 0) AS lex_n,
+               COALESCE(v.vec_n, 0) AS vec_n
+        FROM lexn l FULL OUTER JOIN vecn v ON l.doc_id = v.doc_id
+    ),
+    blended AS (
+        SELECT a.alpha, p.doc_id,
+               ROUND(a.alpha * p.vec_n + (1 - a.alpha) * p.lex_n, 6) AS blend
+        FROM pool p CROSS JOIN (VALUES {alphas}) AS a(alpha)
+    )
+    SELECT alpha, CAST(rnk AS BIGINT) AS rank, doc_id, blend
+    FROM (
+        SELECT alpha, doc_id, blend,
+               ROW_NUMBER() OVER (PARTITION BY alpha
+                                  ORDER BY blend DESC, doc_id) AS rnk
+        FROM blended
+    ) WHERE rnk <= {_BLEND_TOP}
+    ORDER BY alpha, rank
+    """
+
+
+@register("hybrid_alpha_blend_curve", oracle=_alpha_blend_oracle())
+def hybrid_alpha_blend_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense/sparse hybrid-retrieval TUNING curve: min-max-normalize each
+    leg's top-{_BLEND_LEG_K} scores (BM25 lexical / cosine dense), blend as
+    α·dense + (1−α)·lexical for α ∈ {_BLEND_ALPHAS}, and report each α's
+    top-{_BLEND_TOP} — how a retrieval team picks the blend weight without
+    re-running retrieval per candidate α. Normalized scores round to 6 dp
+    BEFORE blending so cross-engine ulp drift can't flip a rank; ties break
+    by doc_id. Degenerate legs (max = min over the pool) pin to 0.5 instead
+    of dividing by zero.
+
+    Scale shape: the α sweep is the ``recall_nprobe_curve`` pattern — both
+    legs computed ONCE (each an already-audited plan: BM25's
+    filter-before-shuffle aggregates; the dense leg's broadcast-query
+    map-only scan → TakeOrderedAndProject), fused by one full-outer join of
+    two {_BLEND_LEG_K}-row frames, then the 5-value α axis joins as an
+    exploded literal array — 5× the POOL (tiny), never 5× the retrieval."""
+    from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+    from cobalt_duckdb_spark.operators.bm25 import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    wall = Window.partitionBy()
+
+    lex = bm25_topk(d, _BLEND_TERMS, k=_BLEND_LEG_K).select("doc_id", "bm25")
+    mn, mx = F.min("bm25").over(wall), F.max("bm25").over(wall)
+    lexn = lex.select(
+        "doc_id",
+        F.round(
+            F.when(mx == mn, F.lit(0.5)).otherwise((F.col("bm25") - mn) / (mx - mn)),
+            6,
+        ).alias("lex_n"),
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    vtop = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("qv")),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(_BLEND_LEG_K)
+    )
+    vmn, vmx = F.min("sim").over(wall), F.max("sim").over(wall)
+    vecn = vtop.select(
+        "doc_id",
+        F.round(
+            F.when(vmx == vmn, F.lit(0.5)).otherwise(
+                (F.col("sim") - vmn) / (vmx - vmn)
+            ),
+            6,
+        ).alias("vec_n"),
+    )
+
+    pool = (
+        lexn.join(vecn, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_n", F.lit(0.0)).alias("lex_n"),
+            F.coalesce("vec_n", F.lit(0.0)).alias("vec_n"),
+        )
+    )
+    alphas = F.explode(F.array(*[F.lit(a) for a in _BLEND_ALPHAS])).alias("alpha")
+    blended = pool.select("*", alphas).select(
+        "alpha",
+        "doc_id",
+        F.round(
+            F.col("alpha") * F.col("vec_n") + (1 - F.col("alpha")) * F.col("lex_n"),
+            6,
+        ).alias("blend"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("alpha").orderBy(F.col("blend").desc(), F.col("doc_id"))
+    )
+    return (
+        blended.withColumn("rank", rnk.cast("bigint"))
+        .filter(F.col("rank") <= _BLEND_TOP)
+        .select("alpha", "rank", "doc_id", "blend")
+        .orderBy("alpha", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation audit (orders vs recomputed lineitem totals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_orders_lineitem_reconciliation",
+    oracle="""
+    WITH recomputed AS (
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS recomp
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+        SELECT o.o_orderkey, o.o_totalprice, r.recomp,
+               ABS(o.o_totalprice - COALESCE(r.recomp, 0)) AS adiff,
+               r.l_orderkey IS NULL AS orphan_order
+        FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+    ),
+    banded AS (
+        SELECT CASE WHEN orphan_order THEN 'no_lineitems'
+                    WHEN adiff <= 0.01 THEN 'exact_0.01'
+                    WHEN adiff <= 1.0 THEN 'within_1'
+                    WHEN adiff <= 100.0 THEN 'within_100'
+                    ELSE 'above_100' END AS band,
+               adiff
+        FROM joined
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(adiff), 4) AS avg_abs_diff,
+           ROUND(MAX(adiff), 4) AS max_abs_diff
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: recompute each order's total
+    from its line items (extendedprice × (1−discount) × (1+tax)) and band
+    the absolute deviation from the stored ``o_totalprice`` — the audit
+    every warehouse runs to catch partial loads, double-applied discounts,
+    and orphaned headers. Orders with NO line items report as their own
+    band rather than vanishing (LEFT join + explicit orphan flag).
+
+    Scale shape: one l_orderkey-keyed partial aggregate over the fact table
+    (map-side combine does most of the work), one equi-join on the order
+    key (both sides shuffle-partitioned on it; uniform TPC-H-style keys, no
+    skew), and a ≤ 5-row band aggregate. The audit touches each table
+    once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("recomp")
+    )
+    joined = o.join(
+        recomputed, o.o_orderkey == recomputed.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.abs(F.col("o_totalprice") - F.coalesce("recomp", F.lit(0.0))).alias(
+            "adiff"
+        ),
+        F.col("l_orderkey").isNull().alias("orphan_order"),
+    )
+    band = (
+        F.when(F.col("orphan_order"), "no_lineitems")
+        .when(F.col("adiff") <= 0.01, "exact_0.01")
+        .when(F.col("adiff") <= 1.0, "within_1")
+        .when(F.col("adiff") <= 100.0, "within_100")
+        .otherwise("above_100")
+    )
+    return (
+        joined.select(band.alias("band"), "adiff")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.avg("adiff"), 4).alias("avg_abs_diff"),
+            F.round(F.max("adiff"), 4).alias("max_abs_diff"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Piecewise-linear trend fit over fixed knots (hourly event volume)
+# ---------------------------------------------------------------------------
+
+_PW_SEGMENTS = 3
+
+
+@register(
+    "events_piecewise_trend_knots",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y,
+               CAST(date_diff('hour', (SELECT MIN(hr) FROM hourly), hr)
+                    AS DOUBLE) AS x,
+               CAST(date_diff('hour', (SELECT MIN(hr) FROM hourly),
+                              (SELECT MAX(hr) FROM hourly)) AS DOUBLE) AS span
+        FROM hourly
+    ),
+    seg AS (
+        SELECT LEAST({_PW_SEGMENTS - 1},
+                     CAST(FLOOR({_PW_SEGMENTS} * x / (span + 1)) AS INT))
+                   AS seg_idx,
+               x, y
+        FROM idx
+    ),
+    fit AS (
+        SELECT seg_idx,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM seg GROUP BY seg_idx
+    )
+    SELECT seg_idx,
+           CAST(n AS BIGINT) AS n_hours,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND(CASE WHEN (n * syy - sy * sy) <= 0 THEN 1.0
+                      ELSE POW(n * sxy - sx * sy, 2)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM fit ORDER BY seg_idx
+    """,
+)
+def events_piecewise_trend_knots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-linear trend: split the hourly event-volume series into
+    {_PW_SEGMENTS} fixed equal-width time segments (knots at the span
+    thirds) and fit each by closed-form OLS — slope, intercept, and R² from
+    the five running sums (n, Σx, Σy, Σx², Σxy, Σy²). The non-iterative
+    sibling of CUSUM changepoints: "did the growth rate change across the
+    month, and how well does a line explain each regime". Zero-variance
+    segments pin R² to 1.0 (a constant is a perfect line) instead of 0/0.
+
+    Scale shape: one hour-truncated aggregate (calendar-bounded key space),
+    a 1-row min/max span broadcast, then a {_PW_SEGMENTS}-group sum
+    aggregate — OLS by sufficient statistics is embarrassingly parallel and
+    never materializes a design matrix. The classic "regression as
+    aggregation" pattern that survives any corpus size."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    span_f = hourly.agg(
+        F.min("hr").alias("hr0"), F.max("hr").alias("hr1")
+    )
+    idx = hourly.crossJoin(F.broadcast(span_f)).select(
+        "y",
+        (
+            (F.unix_timestamp("hr") - F.unix_timestamp("hr0")) / 3600
+        ).cast("double").alias("x"),
+        (
+            (F.unix_timestamp("hr1") - F.unix_timestamp("hr0")) / 3600
+        ).cast("double").alias("span"),
+    )
+    seg = idx.select(
+        F.least(
+            F.lit(_PW_SEGMENTS - 1),
+            F.floor(F.lit(_PW_SEGMENTS) * F.col("x") / (F.col("span") + 1)).cast(
+                "int"
+            ),
+        ).alias("seg_idx"),
+        "x",
+        "y",
+    )
+    fit = seg.groupBy("seg_idx").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    sst = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = F.when(sst <= 0, F.lit(1.0)).otherwise(
+        F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+        / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * sst)
+    )
+    return fit.select(
+        "seg_idx",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("seg_idx")
+
+
+# ---------------------------------------------------------------------------
+# Absolute-discount backoff bigram LM → per-source perplexity
+# ---------------------------------------------------------------------------
+
+_AD_DISCOUNT = 0.75
+
+
+@register(
+    "text_backoff_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source, i AS pos, t[i] AS w
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS t,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+              FROM documents)
+    ),
+    bigr AS MATERIALIZED (
+        SELECT a.source, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
+        FROM bigr GROUP BY w1, w2
+    ),
+    c1 AS MATERIALIZED (
+        SELECT w1, SUM(c12) AS c1, CAST(COUNT(*) AS DOUBLE) AS n1plus
+        FROM c2 GROUP BY w1
+    ),
+    uni AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS DOUBLE) AS cw FROM toks GROUP BY w
+    ),
+    n_tok AS (SELECT SUM(cw) AS n FROM uni),
+    scored AS (
+        SELECT g.source,
+               ROUND(-LN(GREATEST(cc.c12 - {_AD_DISCOUNT}, 0) / c1.c1
+                         + ({_AD_DISCOUNT} * c1.n1plus / c1.c1)
+                           * (u.cw / (SELECT n FROM n_tok))), 9) AS nll
+        FROM bigr g
+        JOIN c2 cc ON g.w1 = cc.w1 AND g.w2 = cc.w2
+        JOIN c1 ON g.w1 = c1.w1
+        JOIN uni u ON g.w2 = u.w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll), 6) AS cross_entropy_nats,
+           ROUND(EXP(AVG(nll)), 4) AS perplexity
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def text_backoff_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated absolute-discount bigram LM (the Kneser–Ney precursor:
+    P(w₂|w₁) = max(c₁₂−D,0)/c₁ + D·n₁₊(w₁)/c₁ · P_uni(w₂), D={_AD_DISCOUNT})
+    trained on the corpus and scored per SOURCE as cross-entropy /
+    perplexity — the perplexity-based quality signal data teams use to rank
+    sources against a reference LM, with the discount mass redistributed
+    through the unigram backoff instead of the add-k smoothing of
+    ``text_bigram_lm_score``. Per-bigram −ln P rounds to 9 dp on both
+    engines before averaging so cross-engine log ulps can't drift the mean.
+
+    Scale shape: ONE tokenize pass feeds the bigram stream (lead-window
+    free: position self-join stays doc_id-keyed, co-partitioned), the
+    count tables are token-keyed aggregates (map-side combine; vocab-sized
+    outputs), and scoring is three equi-joins keyed on tokens — each side
+    hash-partitioned on its key, no broadcast of anything corpus-sized.
+    Per-source rollup ends ≤ |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "w")
+    toks = toks.localCheckpoint(eager=False)
+    a = toks.select("doc_id", "source", "pos", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    bigr = a.join(b, ["doc_id", "pos"]).select("source", "w1", "w2")
+    bigr = bigr.localCheckpoint(eager=False)
+    c2 = bigr.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).cast("double").alias("n1plus")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cw"))
+    n_tok = uni.agg(F.sum("cw").alias("n"))
+    p = (
+        F.greatest(F.col("c12") - _AD_DISCOUNT, F.lit(0.0)) / F.col("c1")
+        + (_AD_DISCOUNT * F.col("n1plus") / F.col("c1"))
+        * (F.col("cw") / F.col("n"))
+    )
+    scored = (
+        bigr.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("source", F.round(-F.log(p), 9).alias("nll"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("cross_entropy_nats"),
+            F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter admission prefilter audit
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 16384  # m: filter size in bits
+_BLOOM_K = 3  # hash functions
+_BLOOM_WORD = 32  # bits packed per word (keeps 2^bit < 2^31: no sign games)
+
+
+def _bloom_oracle() -> str:
+    pos = " UNION ALL ".join(
+        f"""SELECT fp, ('0x' || substr(md5('{j}:' || fp), 1, 8))::BIGINT
+                % {_BLOOM_BITS} AS p
+        FROM fps"""
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE source = 'src0'
+    ),
+    batch AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE source <> 'src0'
+    ),
+    cpos AS (
+        SELECT p // {_BLOOM_WORD} AS word, p % {_BLOOM_WORD} AS bit
+        FROM (WITH fps AS (SELECT fp FROM corpus) {pos})
+    ),
+    bloom AS MATERIALIZED (
+        SELECT word,
+               SUM(DISTINCT CAST(POW(2, bit) AS BIGINT)) AS val
+        FROM cpos GROUP BY word
+    ),
+    bpos AS (
+        SELECT fp, p // {_BLOOM_WORD} AS word, p % {_BLOOM_WORD} AS bit
+        FROM (WITH fps AS (SELECT DISTINCT fp FROM batch) {pos})
+    ),
+    probed AS (
+        SELECT b.fp,
+               SUM(CASE WHEN CAST(FLOOR(bl.val / POW(2, b.bit)) AS BIGINT)
+                             % 2 = 1
+                        THEN 1 ELSE 0 END) AS hits
+        FROM bpos b LEFT JOIN bloom bl ON b.word = bl.word
+        GROUP BY b.fp
+    ),
+    flags AS MATERIALIZED (
+        SELECT bt.doc_id, p.hits = {_BLOOM_K} AS flagged,
+               bt.fp IN (SELECT fp FROM corpus) AS is_dup
+        FROM batch bt JOIN probed p ON bt.fp = p.fp
+    ),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM corpus)
+    SELECT CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS corpus_fps,
+           CAST(COUNT(*) AS BIGINT) AS batch_docs,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS true_dups,
+           CAST(SUM(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           ROUND(SUM(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END)
+                 * 1.0 / SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END), 6)
+               AS observed_fp_rate,
+           ROUND(POW(1 - POW(1 - 1.0 / {_BLOOM_BITS},
+                             {_BLOOM_K} * (SELECT n_corpus FROM m)),
+                     {_BLOOM_K}), 6) AS predicted_fp_rate
+    FROM flags
+    """
+
+
+@register("dedup_bloom_prefilter_audit", oracle=_bloom_oracle())
+def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admission prefilter with its audit: build an m={_BLOOM_BITS}-bit,
+    k={_BLOOM_K}-hash Bloom filter over the frozen corpus's (src0) exact text
+    fingerprints, probe every incoming batch doc, and report observed vs
+    binomially-predicted false-positive rate — the screen an ingest pipeline
+    runs BEFORE the expensive dedup join (a negative answer is certain, so
+    only flagged docs pay the join). Bit ops are expressed portably: words
+    pack {_BLOOM_WORD} bits, set-bit union is SUM(DISTINCT 2^bit) (distinct
+    powers sum without carries ≡ OR), membership is floor(val/2^bit) mod 2 —
+    exact in doubles below 2^53, no engine-specific bitwise ops.
+
+    Scale shape: the filter is {_BLOOM_BITS // _BLOOM_WORD} words however big
+    the corpus — built by one aggregate, BROADCAST to probes (at 100 TB the
+    real filter would be GB-scale; same plan with a bigger broadcast or a
+    bucketed word join). Probing is k md5s per doc + a broadcast join; the
+    audit's truth check is one semi-join on fingerprints. This is the third
+    probabilistic-structure family in the repo (CMS sketch, MinHash, now
+    Bloom)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("source") == "src0")
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    batch = d.filter(F.col("source") != "src0").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+
+    def positions(fps: DataFrame) -> DataFrame:
+        hashes = F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("fp"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _BLOOM_BITS
+                for j in range(_BLOOM_K)
+            ]
+        )
+        return fps.select("fp", F.explode(hashes).alias("p")).select(
+            "fp",
+            (F.col("p") / _BLOOM_WORD).cast("bigint").alias("word"),
+            (F.col("p") % _BLOOM_WORD).alias("bit"),
+        )
+
+    bloom = (
+        positions(corpus)
+        .select("word", F.pow(F.lit(2.0), F.col("bit")).cast("bigint").alias("pw"))
+        .groupBy("word")
+        .agg(F.sum_distinct("pw").alias("val"))
+    )
+    probed = (
+        positions(batch.select("fp").distinct())
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "fp",
+            F.when(
+                F.floor(F.col("val") / F.pow(F.lit(2.0), F.col("bit")))
+                .cast("bigint")
+                % 2
+                == 1,
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("fp")
+        .agg(F.sum("hit").alias("hits"))
+    )
+    truth = corpus.select(F.col("fp").alias("tfp"), F.lit(True).alias("is_dup"))
+    flags = (
+        batch.join(probed, "fp")
+        .join(F.broadcast(truth), batch.fp == truth.tfp, "left")
+        .select(
+            "doc_id",
+            (F.col("hits") == _BLOOM_K).alias("flagged"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).cast("double").alias("n_corpus"))
+    predicted = F.round(
+        F.pow(
+            1
+            - F.pow(F.lit(1.0 - 1.0 / _BLOOM_BITS), F.lit(float(_BLOOM_K)) * F.col("n_corpus")),
+            _BLOOM_K,
+        ),
+        6,
+    )
+    return (
+        flags.agg(
+            F.count(F.lit(1)).cast("bigint").alias("batch_docs"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("true_dups"),
+            F.sum(F.when(F.col("flagged") & ~F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("false_positives"),
+            F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_non_dups"),
+        )
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            F.col("n_corpus").cast("bigint").alias("corpus_fps"),
+            "batch_docs",
+            "flagged_docs",
+            "true_dups",
+            "false_positives",
+            F.round(F.col("false_positives") / F.col("_non_dups"), 6).alias(
+                "observed_fp_rate"
+            ),
+            predicted.alias("predicted_fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection tree partition audit (Annoy-style, depth 2)
+# ---------------------------------------------------------------------------
+
+_RP_DIM = 64
+
+
+def _rp_vector(level: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free projection vector: md5-derived
+    uniform(-0.5, 0.5) per (level, dim-index) — reproducible everywhere."""
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"rp{level}:{i}".encode()).digest()[:4], "big"
+        )
+        / 4294967296.0
+        - 0.5
+        for i in range(dim)
+    ]
+
+
+def _rp_oracle() -> str:
+    r1 = "[" + ", ".join(repr(x) for x in _rp_vector(1, _RP_DIM)) + "]"
+    r2 = "[" + ", ".join(repr(x) for x in _rp_vector(2, _RP_DIM)) + "]"
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    proj AS MATERIALIZED (
+        SELECT vec_id, v,
+               ROUND(list_sum(list_transform(list_zip(v, {r1}),
+                                             p -> p[1] * p[2])), 9) AS p1,
+               ROUND(list_sum(list_transform(list_zip(v, {r2}),
+                                             p -> p[1] * p[2])), 9) AS p2
+        FROM e
+    ),
+    m1 AS (SELECT quantile_cont(p1, 0.5) AS med1 FROM proj),
+    lvl1 AS MATERIALIZED (
+        SELECT vec_id, v, p2,
+               CASE WHEN p1 <= (SELECT med1 FROM m1) THEN 'L' ELSE 'R' END
+                   AS side
+        FROM proj
+    ),
+    m2 AS MATERIALIZED (
+        SELECT side, quantile_cont(p2, 0.5) AS med2 FROM lvl1 GROUP BY side
+    ),
+    leaves AS MATERIALIZED (
+        SELECT l.vec_id, l.v,
+               l.side || CASE WHEN l.p2 <= m.med2 THEN 'L' ELSE 'R' END
+                   AS leaf
+        FROM lvl1 l JOIN m2 m ON l.side = m.side
+    ),
+    cent AS MATERIALIZED (
+        SELECT leaf, i, AVG(v[i]) AS c
+        FROM (SELECT leaf, v, unnest(range(1, {_RP_DIM} + 1)) AS i
+              FROM leaves)
+        GROUP BY leaf, i
+    ),
+    cvec AS MATERIALIZED (
+        SELECT leaf, list(c ORDER BY i) AS cv FROM cent GROUP BY leaf
+    ),
+    scored AS (
+        SELECT l.leaf,
+               list_cosine_similarity(l.v, c.cv) AS cos_c
+        FROM leaves l JOIN cvec c ON l.leaf = c.leaf
+    )
+    SELECT leaf, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(cos_c), 6) AS mean_cos_to_centroid
+    FROM scored GROUP BY leaf ORDER BY leaf
+    """
+
+
+@register("embedding_rptree_partition_audit", oracle=_rp_oracle())
+def embedding_rptree_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection tree partitioning (the Annoy/FLANN indexing family)
+    at depth 2: project every vector onto two fixed md5-derived directions,
+    split at the MEDIAN each level (guaranteed balanced halves, unlike
+    k-means cells), and audit the four leaves — size balance and mean
+    cosine-to-centroid (how geometrically coherent each leaf is). The third
+    ANN indexing family in the repo next to IVF (centroidal) and LSH
+    (hash-bucketed); median splits are what make RP-trees robust to skewed
+    density. Projections round to 9 dp before the median/compare so
+    cross-engine ulp drift can't flip a boundary assignment.
+
+    Scale shape: projections are map-only folds over broadcast literal
+    direction vectors; each median is ``percentile`` — one pass + a tiny
+    exchange (Spark computes exact percentiles via a single aggregate, not
+    a sort); leaf assignment is a broadcast join against ≤ 2 medians;
+    centroids are a (leaf, dim)-keyed aggregate (256 groups). Nothing
+    corpus-sized shuffles except the one posexplode for centroids — and at
+    100 TB that pass is replaced by per-partition partial mean vectors, the
+    same shape ``cluster_kmeans_lloyd`` uses."""
+    r1, r2 = _rp_vector(1, _RP_DIM), _rp_vector(2, _RP_DIM)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def proj(rvec: list[float]) -> "F.Column":
+        return F.round(
+            F.aggregate(
+                F.zip_with("v", F.array(*[F.lit(x) for x in rvec]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    projected = e.select(
+        "vec_id", "v", proj(r1).alias("p1"), proj(r2).alias("p2")
+    ).localCheckpoint(eager=False)
+    m1 = projected.agg(F.percentile("p1", 0.5).alias("med1"))
+    lvl1 = projected.crossJoin(F.broadcast(m1)).select(
+        "vec_id",
+        "v",
+        "p2",
+        F.when(F.col("p1") <= F.col("med1"), "L").otherwise("R").alias("side"),
+    )
+    m2 = lvl1.groupBy("side").agg(F.percentile("p2", 0.5).alias("med2"))
+    leaves = (
+        lvl1.join(F.broadcast(m2), "side")
+        .select(
+            "vec_id",
+            "v",
+            F.concat(
+                "side", F.when(F.col("p2") <= F.col("med2"), "L").otherwise("R")
+            ).alias("leaf"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cent = (
+        leaves.select("leaf", F.posexplode("v").alias("i", "x"))
+        .groupBy("leaf", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    cvec = cent.groupBy("leaf").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "c"))
+        ).alias("packed")
+    ).select("leaf", F.col("packed.c").alias("cv"))
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    scored = leaves.join(F.broadcast(cvec), "leaf").select(
+        "leaf", cosine_similarity("v", "cv").alias("cos_c")
+    )
+    return (
+        scored.groupBy("leaf")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("cos_c"), 6).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("leaf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-score calibration audit (reliability bins + ECE + Brier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_quality_calibration_ece",
+    oracle="""
+    WITH d AS (
+        SELECT ROUND(len(list_distinct(string_split(text, ' '))) * 1.0 /
+                     len(string_split(text, ' ')), 4) AS s,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    binned AS MATERIALIZED (
+        SELECT LEAST(9, CAST(FLOOR(s * 10) AS INT)) AS bin_idx, s, y
+        FROM d
+    ),
+    per_bin AS MATERIALIZED (
+        SELECT bin_idx, CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(s) AS mean_score, AVG(y) AS frac_positive
+        FROM binned GROUP BY bin_idx
+    ),
+    tot AS (
+        SELECT SUM(n * ABS(mean_score - frac_positive)) / SUM(n) AS ece
+        FROM per_bin
+    ),
+    brier AS (SELECT AVG(POW(s - y, 2)) AS brier FROM binned)
+    SELECT bin_idx, n,
+           ROUND(mean_score, 6) AS mean_score,
+           ROUND(frac_positive, 6) AS frac_positive,
+           ROUND(ABS(mean_score - frac_positive), 6) AS abs_gap,
+           ROUND((SELECT ece FROM tot), 6) AS ece,
+           ROUND((SELECT brier FROM brier), 6) AS brier
+    FROM per_bin ORDER BY bin_idx
+    """,
+)
+def pipeline_quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for a quality scorer: treat the deterministic
+    type-token-ratio score as P(doc is English-labeled) and measure how
+    calibrated it is against the lang label — per-decile reliability bins
+    (mean score vs observed positive fraction), expected calibration error
+    (ECE = Σ nᵦ/N·|gap|), and the Brier score. The audit a data team runs
+    before TRUSTING a quality classifier's scores as sampling weights; the
+    production classifier's probability column drops in for ``s``
+    unchanged.
+
+    Scale shape: one map-only score/label projection, a ≤ 10-group bin
+    aggregate, and two 1-row summary aggregates broadcast back onto the bin
+    rows. Corpus is touched once."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.round(
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " ")),
+            4,
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    binned = d.select(
+        F.least(F.lit(9), F.floor(F.col("s") * 10).cast("int")).alias("bin_idx"),
+        "s",
+        "y",
+    ).localCheckpoint(eager=False)
+    per_bin = binned.groupBy("bin_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("s").alias("mean_score"),
+        F.avg("y").alias("frac_positive"),
+    )
+    tot = per_bin.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("mean_score") - F.col("frac_positive")))
+            / F.sum("n")
+        ).alias("ece")
+    )
+    brier = binned.agg(F.avg(F.pow(F.col("s") - F.col("y"), 2)).alias("brier"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(brier))
+        .select(
+            "bin_idx",
+            "n",
+            F.round("mean_score", 6).alias("mean_score"),
+            F.round("frac_positive", 6).alias("frac_positive"),
+            F.round(F.abs(F.col("mean_score") - F.col("frac_positive")), 6).alias(
+                "abs_gap"
+            ),
+            F.round("ece", 6).alias("ece"),
+            F.round("brier", 6).alias("brier"),
+        )
+        .orderBy("bin_idx")
+    )
