@@ -1687,3 +1687,114 @@ def test_pagerank_degenerate_reset_inputs(spark):
     total_zero, ranks_zero = mass([("zzz", 5.0)])
     assert abs(total_zero - 1.0) < 1e-9
     assert max(ranks_zero.values()) - min(ranks_zero.values()) < 1e-9
+
+
+def test_selection_pack_semantic_invariants(spark, sf_dir):
+    """Engine-independent mathematical invariants of the round-4 selection
+    pack, cross-checking semantics beyond the DuckDB hash oracles."""
+    from cobalt_duckdb_spark.queries.selection import (
+        dedup_bloom_prefilter_audit,
+        embedding_rptree_partition_audit,
+        events_activity_streak_islands,
+        events_piecewise_trend_knots,
+        graph_hits_hubs_authorities,
+        hybrid_alpha_blend_curve,
+        mix_doremi_proxy_reweight,
+        pipeline_quality_calibration_ece,
+        pipeline_token_budget_allocator,
+        sample_coreset_kcenter_greedy,
+        text_backoff_bigram_perplexity,
+    )
+
+    # k-center: farthest-point distances are non-increasing as the set grows
+    kc = sample_coreset_kcenter_greedy(spark, sf_dir).collect()
+    assert [r["sel_rank"] for r in kc] == list(range(len(kc)))
+    dists = [r["dist_to_set"] for r in kc[1:]]
+    assert all(d >= 0 for d in dists)
+    assert all(a >= b - 1e-9 for a, b in zip(dists, dists[1:])), dists
+
+    # HITS: both vectors L2-normalized, entries non-negative
+    hits = graph_hits_hubs_authorities(spark, sf_dir).collect()
+    for col in ("hub", "authority"):
+        vals = [r[col] for r in hits]
+        assert all(v >= 0 for v in vals)
+        assert abs(sum(v * v for v in vals) - 1.0) < 1e-3, (col, vals)
+
+    # Bloom: NO false negatives — every true dup is flagged
+    bl = dedup_bloom_prefilter_audit(spark, sf_dir).collect()[0]
+    assert bl["flagged_docs"] >= bl["true_dups"]
+    assert bl["false_positives"] == bl["flagged_docs"] - bl["true_dups"]
+    assert 0 <= bl["predicted_fp_rate"] <= 1
+
+    # DoReMi: both the base and reweighted mixtures sum to 1
+    dm = mix_doremi_proxy_reweight(spark, sf_dir).collect()
+    assert abs(sum(r["base_share"] for r in dm) - 1.0) < 1e-4
+    assert abs(sum(r["doremi_share"] for r in dm) - 1.0) < 1e-4
+
+    # Budget allocator: spends most of — but never exceeds — the budget
+    from cobalt_duckdb_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    total_toks = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(F.size(F.split("text", " "))))
+        .collect()[0][0]
+    )
+    budget = int(total_toks * 0.2)
+    alloc = pipeline_token_budget_allocator(spark, sf_dir).collect()
+    spent = sum(r["admitted_tokens"] for r in alloc)
+    assert 0 < spent <= budget
+    assert spent >= budget * 0.8  # boundary-bucket fill gets close
+
+    # streaks: start <= end and length matches the day span
+    st = events_activity_streak_islands(spark, sf_dir).collect()
+    assert st
+    from datetime import date
+
+    for r in st:
+        d0 = date.fromisoformat(r["streak_start"])
+        d1 = date.fromisoformat(r["streak_end"])
+        assert (d1 - d0).days + 1 == r["streak_days"]
+
+    # piecewise OLS: R^2 in [0, 1]
+    for r in events_piecewise_trend_knots(spark, sf_dir).collect():
+        assert -1e-9 <= r["r2"] <= 1 + 1e-9
+
+    # calibration: ECE and Brier in [0, 1]; bins cover the corpus
+    cal = pipeline_quality_calibration_ece(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in cal) == n_docs
+    assert 0 <= cal[0]["ece"] <= 1 and 0 <= cal[0]["brier"] <= 1
+
+    # backoff LM: a probability model gives perplexity > 1
+    for r in text_backoff_bigram_perplexity(spark, sf_dir).collect():
+        assert r["perplexity"] > 1 and r["cross_entropy_nats"] > 0
+
+    # RP-tree: median splits keep the four leaves balanced
+    leaves = embedding_rptree_partition_audit(spark, sf_dir).collect()
+    sizes = [r["n_vectors"] for r in leaves]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 2, sizes
+
+    # alpha blend: alpha=1.0 ranking must equal the dense leg's own top-5
+    bc = hybrid_alpha_blend_curve(spark, sf_dir).collect()
+    assert len(bc) == 25
+    dense_top = [r["doc_id"] for r in bc if r["alpha"] == 1.0]
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    brute = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), "qv"), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert dense_top == [r["vec_id"] for r in brute]
