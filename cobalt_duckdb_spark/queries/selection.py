@@ -1704,3 +1704,103 @@ def pipeline_quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("bin_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend estimator (daily volume)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_theil_sen_slope",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS DOUBLE) AS x,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    slopes AS MATERIALIZED (
+        SELECT ROUND((b.y - a.y) / (b.x - a.x), 9) AS m
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    sen AS (SELECT quantile_cont(m, 0.5) AS sen_slope FROM slopes),
+    icept AS (
+        SELECT quantile_cont(ROUND(y - (SELECT sen_slope FROM sen) * x, 9),
+                             0.5) AS sen_intercept
+        FROM daily
+    ),
+    ols AS (
+        SELECT (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+               / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS ols_slope
+        FROM daily
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+           ROUND((SELECT sen_slope FROM sen), 6) AS sen_slope,
+           ROUND((SELECT sen_intercept FROM icept), 6) AS sen_intercept,
+           ROUND((SELECT ols_slope FROM ols), 6) AS ols_slope
+    """,
+)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes over the
+    daily event-volume series (plus the median-residual intercept), shown
+    against the OLS slope — the estimator that shrugs off the outlier days
+    that drag least-squares around (~29% breakdown point). The effect-size
+    companion to ``events_mann_kendall_trend``'s significance test, built
+    on the same bounded frame. Pairwise slopes round to 9 dp before the
+    median so cross-engine ulp drift can't reorder the middle elements.
+
+    Scale shape: the pairwise self-join is over DAILY aggregates — days²
+    pairs (30 days → 435), never events² — after one calendar-bounded
+    groupBy of the raw table. Both medians run on that tiny frame; OLS
+    comes from the same sufficient-statistic aggregate as the piecewise
+    fit. The raw table is touched exactly once."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(
+            F.datediff("day", F.lit("2024-01-01")).cast("double").alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.round((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 9).alias(
+            "m"
+        )
+    )
+    sen = slopes.agg(F.percentile("m", 0.5).alias("sen_slope"))
+    icept = (
+        daily.crossJoin(F.broadcast(sen))
+        .select(
+            F.round(F.col("y") - F.col("sen_slope") * F.col("x"), 9).alias("r")
+        )
+        .agg(F.percentile("r", 0.5).alias("sen_intercept"))
+    )
+    ols = daily.agg(
+        (
+            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x"))
+        ).alias("ols_slope")
+    )
+    counts = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    pair_n = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        counts.crossJoin(F.broadcast(pair_n))
+        .crossJoin(F.broadcast(sen))
+        .crossJoin(F.broadcast(icept))
+        .crossJoin(F.broadcast(ols))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("sen_slope", 6).alias("sen_slope"),
+            F.round("sen_intercept", 6).alias("sen_intercept"),
+            F.round("ols_slope", 6).alias("ols_slope"),
+        )
+    )
