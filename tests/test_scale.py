@@ -549,3 +549,35 @@ def test_parquet_codec_size_tradeoff(spark, sf_dir, tmp_path):
         )
         assert spark.read.parquet(out).count() == docs.count()
     assert sizes["zstd"] < sizes["snappy"] * 0.9, sizes
+
+
+def test_probe_dup_tool_smoke(spark, sf_dir, tmp_path):
+    """tools/probe_dup.py end-to-end on a tiny slice: the duplicated corpus
+    materializes with factor x replication and near-dup variants, timings
+    and ratios come back for the selected queries, and nothing errors. The
+    per-round scale regression report (PROBE_rN.json) depends on this tool
+    staying runnable."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import probe_dup
+
+    out_dir = str(tmp_path / "dup")
+    probe_dup.build_dup_dir(spark, sf_dir, out_dir, factor=3)
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert docs.count() == 3 * base.count()
+    # replica 0 doc ids are 3x the base ids; variants got fresh unique ids
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    # idempotent: second build is a no-op (marker file)
+    probe_dup.build_dup_dir(spark, sf_dir, out_dir, factor=3)
+
+    from cobalt_duckdb_spark.queries import queries
+
+    fn = queries()["dedup_exact_fingerprint"]
+    base_s, base_rows = probe_dup.time_query(fn, spark, sf_dir, runs=1)
+    dup_s, dup_rows = probe_dup.time_query(fn, spark, out_dir, runs=1)
+    assert base_s > 0 and dup_s > 0
+    assert dup_rows >= base_rows  # duplication can only add dup groups
