@@ -1804,3 +1804,346 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ols_slope", 6).alias("ols_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing collision audit
+# ---------------------------------------------------------------------------
+
+_FH_BUCKET_BITS = (10, 12, 14)  # 1k / 4k / 16k buckets
+
+
+@register(
+    "features_hashing_collision_audit",
+    oracle=f"""
+    WITH vocab AS MATERIALIZED (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sized AS (
+        SELECT b, CAST(POW(2, b) AS BIGINT) AS n_buckets FROM
+            (VALUES {", ".join(f"({b})" for b in _FH_BUCKET_BITS)}) AS t(b)
+    ),
+    hashed AS (
+        SELECT s.b, s.n_buckets,
+               ('0x' || substr(md5(v.w), 1, 8))::BIGINT % s.n_buckets
+                   AS bucket
+        FROM vocab v CROSS JOIN sized s
+    ),
+    occupancy AS (
+        SELECT b, n_buckets, bucket, COUNT(*) AS load
+        FROM hashed GROUP BY b, n_buckets, bucket
+    )
+    SELECT b AS bucket_bits,
+           CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS vocab_size,
+           CAST(MAX(n_buckets) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT)
+               AS collided_terms,
+           ROUND(SUM(CASE WHEN load > 1 THEN load ELSE 0 END) * 1.0
+                 / (SELECT COUNT(*) FROM vocab), 6) AS collision_rate,
+           CAST(MAX(load) AS BIGINT) AS max_bucket_load,
+           ROUND(1.0 - POW(1.0 - 1.0 / MAX(n_buckets),
+                           (SELECT COUNT(*) FROM vocab) - 1), 6)
+               AS expected_pair_rate
+    FROM occupancy GROUP BY b ORDER BY b
+    """,
+)
+def features_hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sizing audit: hash the corpus vocabulary into 2^b
+    buckets for b ∈ {_FH_BUCKET_BITS} and report the collision profile —
+    how many terms share a bucket, the worst bucket load, and the
+    birthday-bound expectation — the measurement behind choosing
+    ``numFeatures`` for HashingTF / feature-hashed models instead of
+    folklore defaults. One query answers all three candidate sizes.
+
+    Scale shape: vocabulary is ONE distinct over exploded tokens (the only
+    corpus-sized shuffle, token-keyed and uniform); the 3-size axis joins as
+    a literal frame, so the bucket histogram is a (3·|vocab|)-row aggregate
+    with md5-uniform keys. At a 10⁸ vocabulary the same plan holds;
+    the occupancy table is bounded by Σ 2^b."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    sized = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(b) for b in _FH_BUCKET_BITS])
+        ).alias("b")
+    ).select("b", F.pow(F.lit(2.0), F.col("b")).cast("bigint").alias("n_buckets"))
+    from cobalt_duckdb_spark.operators.dedup import token_hash
+
+    hashed = vocab.crossJoin(F.broadcast(sized)).select(
+        "b", "n_buckets", (token_hash(F.col("w")) % F.col("n_buckets")).alias("bucket")
+    )
+    occupancy = hashed.groupBy("b", "n_buckets", "bucket").agg(
+        F.count(F.lit(1)).alias("load")
+    )
+    return (
+        occupancy.groupBy("b")
+        .agg(
+            F.max("n_buckets").alias("n_buckets"),
+            F.sum(F.when(F.col("load") > 1, F.col("load")).otherwise(0))
+            .cast("bigint")
+            .alias("collided_terms"),
+            F.max("load").cast("bigint").alias("max_bucket_load"),
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            F.col("b").alias("bucket_bits"),
+            "vocab_size",
+            "n_buckets",
+            "collided_terms",
+            F.round(F.col("collided_terms") / F.col("vocab_size"), 6).alias(
+                "collision_rate"
+            ),
+            "max_bucket_load",
+            F.round(
+                1.0
+                - F.pow(
+                    1.0 - 1.0 / F.col("n_buckets"), F.col("vocab_size") - 1
+                ),
+                6,
+            ).alias("expected_pair_rate"),
+        )
+        .orderBy("bucket_bits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out influence (data valuation by ablation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_loso_source_influence",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS tc,
+               len(list_distinct(string_split(text, ' '))) * 1.0 /
+                   len(string_split(text, ' ')) AS q
+        FROM documents
+    ),
+    per_src AS MATERIALIZED (
+        SELECT source, CAST(COUNT(*) AS DOUBLE) AS n, SUM(q) AS sq,
+               SUM(tc) AS toks
+        FROM d GROUP BY source
+    ),
+    gtot AS (
+        SELECT SUM(n) AS gn, SUM(sq) AS gsq FROM per_src
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(toks AS BIGINT) AS n_tokens,
+           ROUND(gsq / gn, 6) AS global_mean_quality,
+           ROUND((gsq - sq) / (gn - n), 6) AS loso_mean_quality,
+           ROUND(gsq / gn - (gsq - sq) / (gn - n), 6) AS influence
+    FROM per_src, gtot
+    ORDER BY influence DESC, source
+    """,
+)
+def pipeline_loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation: each source's INFLUENCE on the
+    corpus-mean quality metric is the exact delta between the global mean
+    and the mean with that source removed — computed for ALL sources from
+    one pass of per-source sufficient statistics (global sums minus group
+    sums), never by re-running the metric |sources| times. Positive
+    influence = the source pulls corpus quality UP; the ranking is the
+    first-order answer to "which source should we cut / expand".
+
+    Scale shape: one groupBy(source) over the corpus, a 1-row global sum,
+    and |sources|-row arithmetic — the O(1)-per-ablation trick works for
+    any sum-decomposable metric (means, rates, token shares), which is why
+    LOSO-by-sufficient-statistics is THE scalable first pass before
+    expensive Shapley-style valuation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).cast("double").alias("tc"),
+        (
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " "))
+        ).alias("q"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("tc").alias("toks"),
+    )
+    glob = per_src.agg(F.sum("n").alias("gn"), F.sum("sq").alias("gsq"))
+    loso = (F.col("gsq") - F.col("sq")) / (F.col("gn") - F.col("n"))
+    return (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("toks").cast("bigint").alias("n_tokens"),
+            F.round(F.col("gsq") / F.col("gn"), 6).alias("global_mean_quality"),
+            F.round(loso, 6).alias("loso_mean_quality"),
+            F.round(F.col("gsq") / F.col("gn") - loso, 6).alias("influence"),
+        )
+        .orderBy(F.col("influence").desc(), "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+               CAST(len(regexp_extract_all(text, '{_BPEISH}')) AS DOUBLE)
+                   AS subtoks,
+               CAST(len(replace(text, ' ', '')) AS DOUBLE) AS chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(subtoks) / SUM(words), 6) AS fertility,
+           ROUND(SUM(chars) / SUM(subtoks), 6) AS chars_per_token,
+           ROUND(AVG(subtoks / words), 6) AS mean_doc_fertility
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: sub-tokens produced per whitespace word
+    (and characters per sub-token) for each language, under the repo's
+    BPE-ish regex tokenizer — THE metric for how much more compute a
+    language costs per word and the first thing checked when a tokenizer
+    is suspected of fragmenting a script (fertility ≫ 1 → undertrained
+    vocabulary for that language). Corpus-level fertility (ratio of sums)
+    and mean per-doc fertility are both reported — they diverge exactly
+    when long docs tokenize differently from short ones.
+
+    Scale shape: pure map-side expression work (two regex/split counts per
+    doc) into a |langs|-row aggregate; one pass, no Python, no shuffle
+    beyond the group-by."""
+    words = F.size(F.split("text", " ")).cast("double")
+    subtoks = F.size(F.regexp_extract_all("text", F.lit(_BPEISH), F.lit(0))).cast("double")
+    chars = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        words.alias("words"),
+        subtoks.alias("subtoks"),
+        chars.alias("chars"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("subtoks") / F.sum("words"), 6).alias("fertility"),
+            F.round(F.sum("chars") / F.sum("subtoks"), 6).alias(
+                "chars_per_token"
+            ),
+            F.round(F.avg(F.col("subtoks") / F.col("words")), 6).alias(
+                "mean_doc_fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_MIN = 10.0
+_DECAY_WINDOW_MIN = 30
+
+
+@register(
+    "events_time_decay_attribution",
+    oracle=f"""
+    WITH purch AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT p.event_id AS purchase_id, p.value, t.event_type,
+               POW(0.5, date_diff('microsecond', t.ts, p.ts)
+                        / (60000000.0 * {_DECAY_HALF_LIFE_MIN})) AS w
+        FROM purch p
+        JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL '{_DECAY_WINDOW_MIN} minutes'
+    ),
+    normed AS (
+        SELECT purchase_id, value, event_type,
+               w / SUM(w) OVER (PARTITION BY purchase_id) AS share
+        FROM pairs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value * share), 4) AS attributed_revenue
+    FROM normed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: purchases split their value over
+    the preceding {_DECAY_WINDOW_MIN}-minute touches with exponentially
+    decaying credit (half-life {_DECAY_HALF_LIFE_MIN} min, normalized per
+    purchase) — recency-weighted where ``events_linear_attribution`` splits
+    equally; the two bracket the position-based models marketers argue
+    about. Weights use exact microsecond gaps so both engines see identical
+    exponents.
+
+    Scale shape: identical to the linear sibling — the purchase↔touch
+    interval join is user-keyed (co-partitioned equi part + bounded time
+    band), the per-purchase normalization is a purchase-keyed window, and
+    the rollup is |types| rows. Nothing new shuffles."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"), "value"
+    )
+    touch = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("ts").alias("tts")
+    )
+    # ts is TIMESTAMP_NTZ — unix_micros wants LTZ; NTZ-safe timestampdiff
+    gap_us = F.expr("timestampdiff(MICROSECOND, tts, pts)").cast("double")
+    pairs = (
+        purch.join(touch, "user_id")
+        .filter(
+            (F.col("tts") <= F.col("pts"))
+            & (
+                F.col("tts")
+                >= F.col("pts") - F.expr(f"INTERVAL {_DECAY_WINDOW_MIN} MINUTES")
+            )
+        )
+        .select(
+            "purchase_id",
+            "value",
+            "event_type",
+            F.pow(
+                F.lit(0.5), gap_us / (60000000.0 * _DECAY_HALF_LIFE_MIN)
+            ).alias("w"),
+        )
+    )
+    share = F.col("w") / F.sum("w").over(Window.partitionBy("purchase_id"))
+    return (
+        pairs.select("purchase_id", "value", "event_type", share.alias("share"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+            F.round(F.sum(F.col("value") * F.col("share")), 4).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("event_type")
+    )
