@@ -2147,3 +2147,210 @@ def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL API: GROUP BY ALL / ORDER BY ALL parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    WHERE o_orderdate >= DATE '1998-06-01'
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL — the analyst-ergonomics SQL surface
+    both Spark 4 and DuckDB ship: every non-aggregate select item groups
+    implicitly, and ORDER BY ALL sorts by the full select list left to
+    right. The Spark side runs the IDENTICAL text through ``spark.sql`` on
+    a registered view — this query pins that the two engines resolve the
+    implicit forms the same way (grouping keys inferred in select order;
+    ORDER BY ALL covering aggregates too).
+
+    Scale shape: a filtered scan (predicate pushed to parquet) into a
+    2-key hash aggregate; nothing novel — the point is dialect parity."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_value
+        FROM orders_gba
+        WHERE o_orderdate >= DATE '1998-06-01'
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-holdout leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_group_holdout_leakage_audit",
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT event_id, user_id,
+               ('0x' || substr(md5('grp:' || CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 < 80 AS grp_train,
+               ('0x' || substr(md5('row:' || CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 < 80 AS row_train
+        FROM events
+    ),
+    grp_leak AS (
+        SELECT user_id FROM e GROUP BY user_id
+        HAVING COUNT(DISTINCT grp_train) > 1
+    ),
+    row_leak AS (
+        SELECT user_id FROM e GROUP BY user_id
+        HAVING COUNT(DISTINCT row_train) > 1
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM e)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_rows,
+           CAST((SELECT n_users FROM u) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM grp_leak) AS BIGINT)
+               AS users_leaked_group_split,
+           CAST((SELECT COUNT(*) FROM row_leak) AS BIGINT)
+               AS users_leaked_row_split,
+           ROUND((SELECT COUNT(*) FROM row_leak) / (SELECT n_users FROM u), 6)
+               AS row_split_leak_rate,
+           CAST(SUM(CASE WHEN grp_train THEN 1 ELSE 0 END) AS BIGINT)
+               AS group_train_rows
+    FROM e
+    """,
+)
+def sample_group_holdout_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test hygiene audit: split events 80/20 two ways — GROUP-wise
+    (salted hash of user_id: every row of a user lands on one side, the
+    correct split when rows within a user are correlated) and naive
+    ROW-wise (hash of event_id) — and count users with rows on BOTH sides.
+    The group split must leak exactly 0 users BY CONSTRUCTION; the row
+    split's leak rate shows how badly per-row splitting contaminates
+    evaluation for any multi-row entity. Derandomized md5 splits make the
+    audit replayable on both engines.
+
+    Scale shape: split assignment is map-side md5 math; both leak checks
+    are one user-keyed aggregate (COUNT(DISTINCT side) over a 2-value
+    domain); summary is 1 row. One shuffle on user_id total."""
+    from cobalt_duckdb_spark.operators.dedup import token_hash
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (
+            token_hash(F.concat(F.lit("grp:"), F.col("user_id").cast("string")))
+            % 100
+            < 80
+        ).alias("grp_train"),
+        (
+            token_hash(F.concat(F.lit("row:"), F.col("event_id").cast("string")))
+            % 100
+            < 80
+        ).alias("row_train"),
+    ).localCheckpoint(eager=False)
+    per_user = e.groupBy("user_id").agg(
+        F.countDistinct("grp_train").alias("g_sides"),
+        F.countDistinct("row_train").alias("r_sides"),
+    )
+    leaks = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n_users"),
+        F.sum(F.when(F.col("g_sides") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("users_leaked_group_split"),
+        F.sum(F.when(F.col("r_sides") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("users_leaked_row_split"),
+    )
+    totals = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("grp_train"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("group_train_rows"),
+    )
+    return totals.crossJoin(F.broadcast(leaks)).select(
+        "n_rows",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "users_leaked_group_split",
+        "users_leaked_row_split",
+        F.round(F.col("users_leaked_row_split") / F.col("n_users"), 6).alias(
+            "row_split_leak_rate"
+        ),
+        "group_train_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid alignment matrix (contrastive-training diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_alignment_matrix",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+    ),
+    cdim AS MATERIALIZED (
+        SELECT label, i, AVG(x) AS c FROM dims GROUP BY label, i
+    ),
+    cent AS MATERIALIZED (
+        SELECT label, list(c ORDER BY i) AS cv FROM cdim GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(list_cosine_similarity(a.cv, b.cv), 6) AS centroid_cosine
+    FROM cent a JOIN cent b ON a.label <= b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def embedding_label_alignment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-geometry diagnostic: cosine similarity between LABEL CENTROIDS
+    for every label pair (upper triangle incl. diagonal) — high off-diagonal
+    entries mark class pairs an embedding model confuses, the matrix
+    contrastive-training teams read before mining hard negatives between
+    specific classes (and the compact summary behind
+    ``train_triplet_margin_audit``'s per-label margins).
+
+    Scale shape: centroids come from ONE (label, dim)-keyed aggregate
+    (|labels|·dim groups — tiny); the pairwise matrix is a self-join of the
+    |labels|-row centroid frame. The corpus is touched once; the quadratic
+    part is labels², never vectors²."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("packed"))
+        .select("label", F.col("packed.c").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("cva"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cvb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") <= F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine_similarity("cva", "cvb"), 6).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
