@@ -2354,3 +2354,281 @@ def embedding_label_alignment_matrix(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B conversion test (Beta-Binomial, portable erf)
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 erf constants (|error| < 1.5e-7) — same
+# literals as stats_benjamini_hochberg_fdr so both engines evaluate the
+# identical polynomial.
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2_ = 1.4142135623730951
+_Z975 = 1.959963984540054
+
+
+@register(
+    "stats_bayes_ab_conversion",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id, user_id % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        FROM events GROUP BY user_id
+    ),
+    arms AS MATERIALIZED (
+        SELECT arm, COUNT(*) * 1.0 AS n, SUM(c) * 1.0 AS x FROM conv
+        GROUP BY arm
+    ),
+    post AS MATERIALIZED (
+        SELECT arm, n, x,
+               (1 + x) / (2 + n) AS mu,
+               (1 + x) * (1 + n - x) / (POW(2 + n, 2) * (3 + n)) AS v
+        FROM arms
+    ),
+    duo AS MATERIALIZED (
+        SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+               a.mu AS mu_a, b.mu AS mu_b,
+               b.mu - a.mu AS uplift, SQRT(a.v + b.v) AS se
+        FROM post a, post b WHERE a.arm = 0 AND b.arm = 1
+    ),
+    z AS (
+        SELECT *, uplift / se AS zval,
+               ABS(uplift / se) / {_SQRT2_} AS xx,
+               1.0 / (1.0 + 0.3275911 * ABS(uplift / se) / {_SQRT2_}) AS t
+        FROM duo
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS conv_b,
+           ROUND(mu_a, 6) AS post_mean_a,
+           ROUND(mu_b, 6) AS post_mean_b,
+           ROUND(uplift, 6) AS uplift,
+           ROUND(uplift - {_Z975} * se, 6) AS ci95_lo,
+           ROUND(uplift + {_Z975} * se, 6) AS ci95_hi,
+           ROUND(0.5 * (1 + (CASE WHEN zval >= 0 THEN 1 ELSE -1 END)
+                 * (1 - (((({_ERF_A[4]} * t + {_ERF_A[3]}) * t + {_ERF_A[2]})
+                          * t + {_ERF_A[1]}) * t + {_ERF_A[0]}) * t
+                       * EXP(-xx * xx))), 6) AS prob_b_beats_a
+    FROM z
+    """,
+)
+def stats_bayes_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B reading of a conversion experiment: users split into
+    arms by id parity, conversion = any purchase; each arm gets a
+    Beta(1+x, 1+n−x) posterior (uniform prior) and the report gives the
+    posterior means, the uplift with a 95% credible interval, and
+    P(B beats A) under the normal approximation of the posterior
+    difference, with Φ built from the Abramowitz–Stegun erf polynomial —
+    identical literals on both engines, the same trick the BH-FDR query
+    uses. This is the decision-ready companion to the frequentist
+    ``stats_ab_test_welch``: "what's the probability B is actually
+    better", not just a p-value. An A/A-like split (id parity) should show
+    prob ≈ uninformative, which is the calibration reading.
+
+    Scale shape: one user-keyed aggregate (conversion flags), a 2-row arm
+    aggregate, then scalar math on a 1-row frame. One shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("c")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "c")
+    )
+    arms = conv.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("x"),
+    )
+    post = arms.select(
+        "arm",
+        "n",
+        "x",
+        ((1 + F.col("x")) / (2 + F.col("n"))).alias("mu"),
+        (
+            (1 + F.col("x"))
+            * (1 + F.col("n") - F.col("x"))
+            / (F.pow(2 + F.col("n"), 2) * (3 + F.col("n")))
+        ).alias("v"),
+    )
+    a = post.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a"),
+        F.col("mu").alias("mu_a"), F.col("v").alias("v_a"),
+    )
+    b = post.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b"),
+        F.col("mu").alias("mu_b"), F.col("v").alias("v_b"),
+    )
+    duo = a.crossJoin(F.broadcast(b)).select(
+        "*",
+        (F.col("mu_b") - F.col("mu_a")).alias("uplift"),
+        F.sqrt(F.col("v_a") + F.col("v_b")).alias("se"),
+    )
+    zval = F.col("uplift") / F.col("se")
+    xx = F.abs(zval) / _SQRT2_
+    t = 1.0 / (1.0 + 0.3275911 * F.abs(zval) / _SQRT2_)
+    erf = 1 - (
+        (((_ERF_A[4] * t + _ERF_A[3]) * t + _ERF_A[2]) * t + _ERF_A[1]) * t
+        + _ERF_A[0]
+    ) * t * F.exp(-xx * xx)
+    prob = 0.5 * (1 + F.when(zval >= 0, 1.0).otherwise(-1.0) * erf)
+    return duo.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("x_b").cast("bigint").alias("conv_b"),
+        F.round("mu_a", 6).alias("post_mean_a"),
+        F.round("mu_b", 6).alias("post_mean_b"),
+        F.round("uplift", 6).alias("uplift"),
+        F.round(F.col("uplift") - _Z975 * F.col("se"), 6).alias("ci95_lo"),
+        F.round(F.col("uplift") + _Z975 * F.col("se"), 6).alias("ci95_hi"),
+        F.round(prob, 6).alias("prob_b_beats_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio relevance-feedback retrieval
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_ALPHA, _ROCCHIO_BETA, _ROCCHIO_GAMMA = 1.0, 0.75, 0.15
+_ROCCHIO_FB = 20  # feedback pool size per side
+_ROCCHIO_K = 10
+
+
+@register(
+    "simsearch_rocchio_feedback_topk",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS MATERIALIZED (
+        SELECT vec_id, v, list_cosine_similarity(v, (SELECT qv FROM q)) AS s
+        FROM e
+    ),
+    rel AS MATERIALIZED (
+        SELECT vec_id, v FROM scored ORDER BY s DESC, vec_id LIMIT {_ROCCHIO_FB}
+    ),
+    nrel AS MATERIALIZED (
+        SELECT vec_id, v FROM scored ORDER BY s ASC, vec_id LIMIT {_ROCCHIO_FB}
+    ),
+    rdim AS (
+        SELECT i, AVG(v[i]) AS c
+        FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM rel)
+        GROUP BY i
+    ),
+    rcent AS MATERIALIZED (SELECT list(c ORDER BY i) AS rc FROM rdim),
+    ndim AS (
+        SELECT i, AVG(v[i]) AS c
+        FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM nrel)
+        GROUP BY i
+    ),
+    ncent AS MATERIALIZED (SELECT list(c ORDER BY i) AS nc FROM ndim),
+    q1 AS MATERIALIZED (
+        SELECT list_transform(
+                   list_zip((SELECT qv FROM q), (SELECT rc FROM rcent),
+                            (SELECT nc FROM ncent)),
+                   p -> {_ROCCHIO_ALPHA} * p[1] + {_ROCCHIO_BETA} * p[2]
+                        - {_ROCCHIO_GAMMA} * p[3]) AS qv1
+    ),
+    orig AS MATERIALIZED (
+        SELECT vec_id FROM scored ORDER BY s DESC, vec_id LIMIT {_ROCCHIO_K}
+    ),
+    re AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.v, (SELECT qv1 FROM q1)), 6)
+                   AS cos_refined
+        FROM e
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos_refined DESC, vec_id)
+                AS BIGINT) AS rank,
+           vec_id, cos_refined,
+           CAST(CASE WHEN vec_id IN (SELECT vec_id FROM orig)
+                     THEN 1 ELSE 0 END AS BIGINT) AS was_in_original
+    FROM re
+    ORDER BY cos_refined DESC, vec_id
+    LIMIT {_ROCCHIO_K}
+    """,
+)
+def simsearch_rocchio_feedback_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback on the DENSE leg: move the query
+    vector toward the centroid of its top-{_ROCCHIO_FB} neighbors and away
+    from the bottom-{_ROCCHIO_FB} (q₁ = αq + β·rel_centroid −
+    γ·nonrel_centroid, the classic SMART weights 1.0/0.75/0.15), re-search,
+    and mark which of the refined top-{_ROCCHIO_K} were already in the
+    original top-{_ROCCHIO_K} — the vector-side sibling of
+    ``text_bm25_prf_expansion``. Turnover in ``was_in_original`` is the
+    signal feedback actually moved the query.
+
+    Scale shape: two map-only scoring scans (original + refined) with
+    TakeOrderedAndProject pools; centroids aggregate {_ROCCHIO_FB}-row
+    frames; the refined query is a 1-row broadcast. Nothing quadratic,
+    nothing collected."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", "v", cosine_similarity("v", "qv").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    rel = scored.orderBy(F.col("s").desc(), "vec_id").limit(_ROCCHIO_FB)
+    nrel = scored.orderBy(F.col("s").asc(), "vec_id").limit(_ROCCHIO_FB)
+
+    def centroid(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.posexplode("v").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.avg("x").alias("c"))
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("p"))
+            .select(F.col("p.c").alias(name))
+        )
+
+    q1 = (
+        q.crossJoin(F.broadcast(centroid(rel, "rc")))
+        .crossJoin(F.broadcast(centroid(nrel, "nc")))
+        .select(
+            F.zip_with(
+                F.zip_with(
+                    "qv",
+                    "rc",
+                    lambda qq, rr: _ROCCHIO_ALPHA * qq + _ROCCHIO_BETA * rr,
+                ),
+                "nc",
+                lambda acc, nn: acc - _ROCCHIO_GAMMA * nn,
+            ).alias("qv1")
+        )
+    )
+    orig = (
+        scored.orderBy(F.col("s").desc(), "vec_id")
+        .limit(_ROCCHIO_K)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    re_scored = (
+        e.crossJoin(F.broadcast(q1))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("v", "qv1"), 6).alias("cos_refined"),
+        )
+        .orderBy(F.col("cos_refined").desc(), "vec_id")
+        .limit(_ROCCHIO_K)
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("cos_refined").desc(), F.col("vec_id"))
+    )
+    return (
+        re_scored.join(F.broadcast(orig), "vec_id", "left")
+        .select(
+            rnk.cast("bigint").alias("rank"),
+            "vec_id",
+            "cos_refined",
+            F.coalesce("hit", F.lit(0)).cast("bigint").alias("was_in_original"),
+        )
+        .orderBy("rank")
+    )
