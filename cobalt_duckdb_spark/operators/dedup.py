@@ -697,6 +697,48 @@ def _srp_hyperplanes(n_bits: int = 64, dims: int = 64):
     return w
 
 
+def srp_bands(e: DataFrame, dims: int = 64) -> DataFrame:
+    """(vec_id, band_id, bkey): the 8×8-bit banded SRP signature of a
+    (vec_id, v: array<double>) frame — the shared candidate-generation
+    front end of ``srp_lsh_pairs`` and the multi-probe recall query.
+
+    Band key: byte b of the 64-bit sign signature (hi holds bits 0-31).
+    IDS ONLY through downstream collision joins: chance collisions scale
+    n²/2^band_bits, and carrying the 64-double vectors through that join
+    multiplied shuffled bytes ~30× (measured 127 s → 11 s at 50k vectors
+    on the 10× probe). Vectors join back AFTER candidate dedup."""
+    import pandas as pd
+
+    wt = _srp_hyperplanes(64, dims).T  # (dims, 64)
+
+    def _srp_sig(v):
+        import numpy as np
+
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dims)
+        bits = (mat @ wt) > 0  # (n, 64)
+        pow32 = 1 << np.arange(32, dtype=np.int64)
+        hi = (bits[:, :32].astype(np.int64) * pow32).sum(axis=1)
+        lo = (bits[:, 32:].astype(np.int64) * pow32).sum(axis=1)
+        return pd.DataFrame({"hi": hi, "lo": lo})
+
+    _srp_sig.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    srp_sig = F.pandas_udf(_srp_sig, "hi bigint, lo bigint")
+
+    sig = e.select("vec_id", srp_sig("v").alias("s")).select(
+        "vec_id", F.col("s.hi").alias("hi"), F.col("s.lo").alias("lo")
+    )
+    band = F.explode(F.array(*[F.lit(b) for b in range(8)]))
+    return sig.select("vec_id", "hi", "lo", band.alias("band_id")).select(
+        "vec_id",
+        "band_id",
+        # hi/lo are unsigned-32 in a bigint, so plain >> never sign-extends
+        F.expr(
+            "CASE WHEN band_id < 4 THEN shiftright(hi, band_id * 8) "
+            "ELSE shiftright(lo, (band_id - 4) * 8) END & 255"
+        ).alias("bkey"),
+    )
+
+
 def srp_lsh_pairs(
     emb: DataFrame,
     eps: float = 0.4,
@@ -723,50 +765,11 @@ def srp_lsh_pairs(
     needs |dot| < ~1e-4 against typical |dot| ~1e8 — vanishing, and the
     differential gate would surface it.
     """
-    import pandas as pd
-
-    w = _srp_hyperplanes(64, dims)
-    wt = w.T  # (dims, 64)
-
-    def _srp_sig(v):
-        import numpy as np
-
-        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dims)
-        bits = (mat @ wt) > 0  # (n, 64)
-        pow32 = (1 << np.arange(32, dtype=np.int64))
-        hi = (bits[:, :32].astype(np.int64) * pow32).sum(axis=1)
-        lo = (bits[:, 32:].astype(np.int64) * pow32).sum(axis=1)
-        return pd.DataFrame({"hi": hi, "lo": lo})
-
-    # real-object annotations (the module's `from __future__ import
-    # annotations` would stringify inline hints beyond pyspark's resolver)
-    _srp_sig.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
-    srp_sig = F.pandas_udf(_srp_sig, "hi bigint, lo bigint")
-
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    sig = e.select("vec_id", "v", srp_sig("v").alias("s")).select(
-        "vec_id", "v", F.col("s.hi").alias("hi"), F.col("s.lo").alias("lo")
-    )
-    band = F.explode(F.array(*[F.lit(b) for b in range(8)]))
-    # band key: byte b of the 64-bit signature (hi holds bits 0-31).
-    # IDS ONLY through the collision join: chance collisions scale
-    # n²/2^band_bits, and carrying the 64-double vectors through that join
-    # multiplied shuffled bytes ~30× (measured 127 s → 11 s at 50k vectors
-    # on the 10× probe). Vectors join back AFTER the candidate dedup.
-    bands = sig.select(
-        "vec_id", "hi", "lo", band.alias("band_id")
-    ).select(
-        "vec_id",
-        "band_id",
-        # hi/lo are unsigned-32 in a bigint, so plain >> never sign-extends
-        F.expr(
-            "CASE WHEN band_id < 4 THEN shiftright(hi, band_id * 8) "
-            "ELSE shiftright(lo, (band_id - 4) * 8) END & 255"
-        ).alias("bkey"),
-    )
+    bands = srp_bands(e)
     cand_ids = (
         bands.alias("a")
         .join(

@@ -2632,3 +2632,196 @@ def simsearch_rocchio_feedback_topk(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe SRP-LSH recall curve
+# ---------------------------------------------------------------------------
+
+_MP_QUERIES = 8
+_MP_K = 10
+
+
+def _multiprobe_oracle() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    hp AS MATERIALIZED (
+        SELECT j, i,
+               ('0x' || substr(md5(j || ':' || i), 1, 8))::BIGINT
+                   - 2147483648 AS w
+        FROM range(0, 64) t(j) CROSS JOIN range(0, 64) u(i)
+    ),
+    dots AS (
+        SELECT e.vec_id, hp.j,
+               SUM(e.v[CAST(hp.i AS INT) + 1] * hp.w) AS dot
+        FROM e CROSS JOIN hp
+        GROUP BY e.vec_id, hp.j
+    ),
+    sig AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN j < 32 AND dot > 0
+                             THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN j >= 32 AND dot > 0
+                             THEN 1::BIGINT << (j - 32) ELSE 0 END)
+                    AS BIGINT) AS lo
+        FROM dots GROUP BY vec_id
+    ),
+    bands AS MATERIALIZED (
+        SELECT vec_id, b AS band_id,
+               CASE WHEN b < 4 THEN (hi >> CAST(8 * b AS INT)) & 255
+                    ELSE (lo >> CAST(8 * (b - 4) AS INT)) & 255
+               END AS bkey
+        FROM sig CROSS JOIN range(0, 8) t(b)
+    ),
+    qprobes AS MATERIALIZED (
+        SELECT vec_id AS qid, band_id,
+               CASE WHEN p = 0 THEN bkey
+                    ELSE xor(bkey, 1::BIGINT << CAST(p - 1 AS INT)) END
+                   AS probe_key,
+               CASE WHEN p = 0 THEN 0 ELSE 1 END AS depth
+        FROM bands CROSS JOIN range(0, 9) t(p)
+        WHERE vec_id < {_MP_QUERIES}
+    ),
+    cand AS MATERIALIZED (
+        SELECT q.qid, c.vec_id, MIN(q.depth) AS depth
+        FROM qprobes q
+        JOIN bands c ON c.band_id = q.band_id AND c.bkey = q.probe_key
+                     AND c.vec_id <> q.qid
+        GROUP BY q.qid, c.vec_id
+    ),
+    truth AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                      / (q.nrm * c.nrm), 6) DESC, c.vec_id
+                   ) AS rn
+            FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {_MP_QUERIES}
+        ) WHERE rn <= {_MP_K}
+    ),
+    per_q AS (
+        SELECT d.depth, q.qid,
+               (SELECT COUNT(*) FROM cand c
+                WHERE c.qid = q.qid AND c.depth <= d.depth) AS n_cand,
+               (SELECT COUNT(*) FROM cand c JOIN truth t
+                   ON t.qid = c.qid AND t.vec_id = c.vec_id
+                WHERE c.qid = q.qid AND c.depth <= d.depth) AS n_hit
+        FROM (SELECT DISTINCT vec_id AS qid FROM e
+              WHERE vec_id < {_MP_QUERIES}) q
+        CROSS JOIN (VALUES (0), (1)) d(depth)
+    )
+    SELECT CAST(depth AS INT) AS probe_depth,
+           ROUND(AVG(n_cand), 4) AS mean_candidates,
+           ROUND(AVG(n_hit * 1.0 / {_MP_K}), 6) AS mean_recall_at_{_MP_K}
+    FROM per_q GROUP BY depth ORDER BY depth
+    """
+
+
+@register("simsearch_srp_multiprobe_recall", oracle=_multiprobe_oracle())
+def simsearch_srp_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007, public VLDB) on the SRP index: each
+    query probes its own band bucket (depth 0) AND the 8 buckets at Hamming
+    distance 1 within each band (depth 1 — flip one of the 8 band bits),
+    trading 9× bucket lookups for recall WITHOUT more hash tables or a
+    bigger index — the standard memory-free recall lever. Reports the
+    candidate count and exact recall@{_MP_K} at each probe depth for
+    {_MP_QUERIES} query vectors; the depth-1 row strictly dominates
+    depth-0's recall at ~9× the candidate cost, which is the curve an ANN
+    operator tunes against its latency budget.
+
+    Scale shape: signatures/bands come from the shared ``srp_bands``
+    front end (map-only Arrow matmul, ids-only banding); query probes are a
+    {_MP_QUERIES}×8×9-row broadcast joined against the banded corpus (one
+    hash join, no scan fan-out); truth is the exact top-{_MP_K} for the 8
+    queries (map-only scored scan + per-query TakeOrdered). Probing MORE
+    buckets never rescans the corpus — the index is the only thing
+    touched."""
+    from cobalt_duckdb_spark.functions.vector import cosine_similarity
+    from cobalt_duckdb_spark.operators.dedup import srp_bands
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bands = srp_bands(e).localCheckpoint(eager=False)
+    probe = F.explode(F.sequence(F.lit(0), F.lit(8))).alias("p")
+    qprobes = (
+        bands.filter(F.col("vec_id") < _MP_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "band_id", "bkey", probe)
+        .select(
+            "qid",
+            "band_id",
+            F.when(F.col("p") == 0, F.col("bkey"))
+            .otherwise(
+                F.expr("bkey ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) - 1)")
+            )
+            .alias("probe_key"),
+            F.when(F.col("p") == 0, 0).otherwise(1).alias("depth"),
+        )
+    )
+    cand = (
+        bands.join(
+            F.broadcast(qprobes),
+            (bands.band_id == qprobes.band_id)
+            & (bands.bkey == qprobes.probe_key)
+            & (bands.vec_id != qprobes.qid),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.min("depth").alias("depth"))
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    q = e.filter(F.col("vec_id") < _MP_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    )
+    truth = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity("v", "qv"), 6).alias("sim"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _MP_K)
+        .select("qid", "vec_id", F.lit(1).alias("is_true"))
+    )
+    depths = spark.range(2).select(F.col("id").cast("int").alias("probe_depth"))
+    # spine of (query × depth) so a query with ZERO candidates at a depth
+    # still contributes 0 to both means (the oracle enumerates all queries)
+    spine = q.select("qid").crossJoin(F.broadcast(depths))
+    hits = (
+        cand.join(F.broadcast(depths), cand.depth <= depths.probe_depth)
+        .join(truth, ["qid", "vec_id"], "left")
+        .groupBy("probe_depth", "qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.coalesce("is_true", F.lit(0))).alias("n_hit"),
+        )
+    )
+    per_q = spine.join(hits, ["probe_depth", "qid"], "left").select(
+        "probe_depth",
+        "qid",
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+    )
+    return (
+        per_q.groupBy("probe_depth")
+        .agg(
+            F.round(F.avg("n_cand"), 4).alias("mean_candidates"),
+            F.round(F.avg(F.col("n_hit") / _MP_K), 6).alias(
+                f"mean_recall_at_{_MP_K}"
+            ),
+        )
+        .orderBy("probe_depth")
+    )
