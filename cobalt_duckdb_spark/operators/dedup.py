@@ -769,7 +769,7 @@ def srp_lsh_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    bands = srp_bands(e)
+    bands = srp_bands(e, dims)
     cand_ids = (
         bands.alias("a")
         .join(

@@ -212,73 +212,136 @@ _DRIVER_VERIFIED = frozenset(
         "window_lag_lead_orders", "window_moving_avg_rows_frame",
         "window_range_frame_value", "window_rank_family",
         "window_trailing_hour_count",
+        # --- r04 greens (CORRECTNESS_r04.json; 50/50 green, 0 errors —
+        # including the pipeline_corpus_curation retry whose HUGEINT oracle
+        # fix is now driver-confirmed).
+        "agg_decimal_exact_money",
+        "dedup_containment_pairs",
+        "dedup_embedding_srp_lsh",
+        "dedup_incremental_lsh_near",
+        "dedup_lsh_quality_audit",
+        "dedup_semdedup_dropped",
+        "embedding_knn_hubness_audit",
+        "embedding_pca_power_iteration",
+        "events_cohort_ltv_curve",
+        "events_haar_wavelet_energy",
+        "events_holt_linear_trend",
+        "events_markov_absorption",
+        "events_markov_removal_attribution",
+        "events_markov_stationary",
+        "events_periodogram_dft",
+        "events_stl_strength",
+        "events_survival_km",
+        "graph_kcore_peeling",
+        "graph_lpa_communities",
+        "graph_scc_mutual_reachability",
+        "join_asof_bucketed_click_before_error",
+        "join_asof_tolerance_click_before_error",
+        "join_range_bucketed_incident_clicks",
+        "json_props_variant",
+        "multimodal_ahash_neardup_pairs",
+        "multimodal_crossmodal_stub_topk",
+        "pack_padding_waste_audit",
+        "pipeline_corpus_curation",
+        "pipeline_incremental_admission",
+        "sql_api_parameterized_query",
+        "sql_api_pipe_syntax",
+        "sql_api_recursive_reachability",
+        "sql_api_try_error_safe_parsing",
+        "stats_ab_test_welch",
+        "stats_benjamini_hochberg_fdr",
+        "stats_diff_in_diff",
+        "stats_gmm_em_one_step",
+        "stats_hill_tail_index",
+        "stats_ks_two_sample",
+        "stats_mann_whitney_u",
+        "stats_permutation_test_hashed",
+        "stats_poisson_bootstrap_ci",
+        "stats_propensity_match_att",
+        "stats_spearman_rank_corr",
+        "text_good_turing_unseen",
+        "text_textrank_keywords",
+        "udaf_arrow_source_stats",
+        "udtf_polymorphic_windows",
+        "udtf_table_argument_sessions",
     }
 )
+
+# Highest CORRECTNESS_r*.json round whose outcomes are folded into
+# _DRIVER_VERIFIED above. tools/next_window.py gates its wasted-slot policy
+# failure on rounds <= this constant: when a NEWER driver artifact lands
+# (e.g. CORRECTNESS_r06.json at the next round boundary), the rotation test
+# reports it as a pending fold (warning + instruction) instead of going red
+# with no code change (ADVICE r4, tests/test_registry_contract.py:78).
+_DRIVER_ROUNDS_FOLDED = 4
 
 
 # Previously driver-RED names: fixed this round, so they jump the fresh
 # queue — a fix must be re-verified before never-checked work.
-# r04: pipeline_corpus_curation's r3 hash-red root cause was the oracle's
-# uncasted SUM(BIGINT) → HUGEINT → pandas float64 (see its docstring); the
-# fix must be driver-confirmed.
-_DRIVER_RETRY = ("pipeline_corpus_curation",)
+# r05: none — CORRECTNESS_r04.json is 50/50 green (the r3 red
+# pipeline_corpus_curation retried green and is folded above).
+_DRIVER_RETRY: tuple[str, ...] = ()
 
-# Round-4 window picks (slots 2-49): the highest-divergence-risk entries
-# among the never-driver-checked backlog, per the r3 verdict — the Spark 4
-# surface, the cross-engine-trap stats/timeseries pack, the two queries
-# whose oracles carried the same latent HUGEINT promotion the retry had
-# (caught by check_oracle's new dtype-kind gate), the r3 scale-fix targets,
-# and the new bucketed join operators. Explicitly ordered so round-4
-# registrations can't displace them out of the 50-slot window.
+# Round-5 window picks (slots 1-49): the highest-divergence-risk entries
+# among the 137 never-driver-checked backlog, per the r4 verdict — the full
+# 25-entry selection pack (queries/selection.py; ECE binning, backoff
+# perplexity, Theil-Sen medians and friends lean on exactly the cross-engine
+# float discipline that produced every driver-red so far) plus the late-r4
+# registrations, then the float-heaviest remainder (recall/quality audits,
+# estimator audits, distribution fits). Explicitly ordered so nothing can
+# displace them out of the 50-slot window.
 _DRIVER_PRIORITY = (
-    "udtf_polymorphic_windows",
-    "udtf_table_argument_sessions",
-    "udaf_arrow_source_stats",
-    "json_props_variant",
-    "sql_api_recursive_reachability",
-    "sql_api_pipe_syntax",
-    "events_cohort_ltv_curve",
-    "events_holt_linear_trend",
-    "stats_benjamini_hochberg_fdr",
-    "pack_padding_waste_audit",
-    "pipeline_incremental_admission",
-    "join_asof_bucketed_click_before_error",
-    "join_asof_tolerance_click_before_error",
-    "join_range_bucketed_incident_clicks",
-    "dedup_embedding_srp_lsh",
-    "dedup_semdedup_dropped",
-    "dedup_incremental_lsh_near",
-    "dedup_containment_pairs",
-    "dedup_lsh_quality_audit",
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-    "stats_ab_test_welch",
-    "stats_poisson_bootstrap_ci",
-    "stats_permutation_test_hashed",
-    "stats_propensity_match_att",
-    "stats_diff_in_diff",
-    "stats_gmm_em_one_step",
-    "stats_hill_tail_index",
-    "stats_spearman_rank_corr",
-    "events_survival_km",
-    "events_markov_stationary",
-    "events_markov_absorption",
-    "events_markov_removal_attribution",
-    "events_stl_strength",
-    "events_periodogram_dft",
-    "events_haar_wavelet_energy",
-    "text_good_turing_unseen",
-    "embedding_pca_power_iteration",
-    "embedding_knn_hubness_audit",
-    "multimodal_ahash_neardup_pairs",
-    "multimodal_crossmodal_stub_topk",
-    "graph_kcore_peeling",
-    "graph_scc_mutual_reachability",
-    "graph_lpa_communities",
-    "sql_api_parameterized_query",
-    "sql_api_try_error_safe_parsing",
-    "agg_decimal_exact_money",
-    "text_textrank_keywords",
+    # --- selection pack (registered r4, zero external certification).
+    "sample_coreset_kcenter_greedy",
+    "mix_doremi_proxy_reweight",
+    "graph_hits_hubs_authorities",
+    "text_winnowing_fingerprints",
+    "pipeline_token_budget_allocator",
+    "events_activity_streak_islands",
+    "embedding_ood_mahalanobis_diag",
+    "hybrid_alpha_blend_curve",
+    "dq_orders_lineitem_reconciliation",
+    "events_piecewise_trend_knots",
+    "text_backoff_bigram_perplexity",
+    "dedup_bloom_prefilter_audit",
+    "embedding_rptree_partition_audit",
+    "pipeline_quality_calibration_ece",
+    "stats_theil_sen_slope",
+    "features_hashing_collision_audit",
+    "pipeline_loso_source_influence",
+    "text_tokenizer_fertility_by_lang",
+    "events_time_decay_attribution",
+    "sql_api_group_by_all",
+    "sample_group_holdout_leakage_audit",
+    "embedding_label_alignment_matrix",
+    "stats_bayes_ab_conversion",
+    "simsearch_rocchio_feedback_topk",
+    "simsearch_srp_multiprobe_recall",
+    # --- float-heaviest remainder of the backlog.
+    "matryoshka_recall_audit",
+    "simsearch_pq_rerank_exact",
+    "simsearch_recall_nprobe_curve",
+    "simsearch_mmr_diversified",
+    "cluster_silhouette_audit",
+    "embedding_centroid_drift",
+    "embedding_norm_outlier_screen",
+    "embedding_isotropy_audit",
+    "dedup_minhash_estimator_audit",
+    "dedup_family_size_report",
+    "dedup_cdc_chunk_report",
+    "dedup_cross_source_matrix",
+    "events_changepoint_cusum",
+    "events_autocorrelation_hourly",
+    "events_rolling_median",
+    "stats_key_skew_profiler",
+    "stats_power_analysis_mde",
+    "stats_anova_dow_effect",
+    "dq_value_drift_psi",
+    "dq_distinct_chao1_estimate",
+    "text_zipf_law_fit",
+    "text_heaps_law_fit",
+    "graph_personalized_pagerank_error",
+    "sample_dsir_importance",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally
@@ -459,7 +522,11 @@ def _rotate_registry() -> None:
         n for n in _DRIVER_PRIORITY if n in QUERIES and n not in retries
     ]
     skip = {flagship, *retries, *priority}
-    defer = [n for n in _DRIVER_DEFER if n in QUERIES and n not in skip]
+    defer = [
+        n
+        for n in _DRIVER_DEFER
+        if n in QUERIES and n not in skip and n not in _DRIVER_VERIFIED
+    ]
     fresh = [
         n
         for n in QUERIES

@@ -2504,7 +2504,11 @@ _ROCCHIO_K = 10
     ),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     scored AS MATERIALIZED (
-        SELECT vec_id, v, list_cosine_similarity(v, (SELECT qv FROM q)) AS s
+        /* round to 6 dp BEFORE the pool-selection ORDER BYs (repo
+           convention, cf. the multiprobe truth CTE): a cross-engine ulp at
+           a pool boundary would swap a feedback doc and shift q1 */
+        SELECT vec_id, v,
+               ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS s
         FROM e
     ),
     rel AS MATERIALIZED (
@@ -2573,7 +2577,13 @@ def simsearch_rocchio_feedback_topk(spark: SparkSession, sf_dir: str) -> DataFra
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     scored = (
         e.crossJoin(F.broadcast(q))
-        .select("vec_id", "v", cosine_similarity("v", "qv").alias("s"))
+        .select(
+            "vec_id",
+            "v",
+            # 6-dp round BEFORE pool selection, mirroring the oracle's
+            # scored CTE (repo convention for rank-boundary stability).
+            F.round(cosine_similarity("v", "qv"), 6).alias("s"),
+        )
         .localCheckpoint(eager=False)
     )
     rel = scored.orderBy(F.col("s").desc(), "vec_id").limit(_ROCCHIO_FB)

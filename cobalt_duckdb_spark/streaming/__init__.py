@@ -4,8 +4,10 @@ from cobalt_duckdb_spark.streaming.events import (
     sliding_avg,
     session_windows,
     dedup_within_watermark,
+    dedup_first_event_tws,
     enrich_with_customers,
     running_user_totals,
+    running_user_totals_tws,
     correlate_clicks_to_errors,
 )
 
@@ -15,7 +17,9 @@ __all__ = [
     "sliding_avg",
     "session_windows",
     "dedup_within_watermark",
+    "dedup_first_event_tws",
     "enrich_with_customers",
     "running_user_totals",
+    "running_user_totals_tws",
     "correlate_clicks_to_errors",
 ]

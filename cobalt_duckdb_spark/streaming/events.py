@@ -154,6 +154,88 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.dropDuplicates(["event_id"])
 
 
+def dedup_first_event_tws(events: DataFrame, ttl_hours: int = 24) -> DataFrame:
+    """T4/T5 via Spark 4's transformWithStateInPandas: keep the FIRST row
+    per event_id, carrying the seen-set across micro-batches AND restarts in
+    keyed ValueState with a TTL (the bounded-state knob that
+    dropDuplicatesWithinWatermark gets from its watermark). Batch twin:
+    ``dropDuplicates(["event_id"])`` — event_id is unique per event, so both
+    keep exactly one row per id.
+
+    Requires the RocksDB state store provider + a protobuf runtime (the TWS
+    Python state client speaks protobuf); environments without it should use
+    ``dedup_within_watermark`` — same semantics on the older API. State is
+    O(|distinct ids within TTL|), sharded by the event_id grouping key —
+    the same shuffle key a 1000-executor cluster would use, so state scales
+    horizontally with executors.
+
+    Processor class defined inside the function on purpose: cloudpickle
+    serializes it by value, so the TWS worker process (which does not
+    inherit the driver's sys.path) never needs this library importable."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    ttl_ms = ttl_hours * 3600 * 1000
+
+    class FirstEventDedup(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.seen = handle.getValueState("seen", "seen BOOLEAN", ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self.seen.get() is not None:
+                return
+            # earliest row for this id within the batch: batch-iterator
+            # order is not guaranteed, so reduce by ts across ALL chunks
+            first = None
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                cand = pdf.sort_values("ts").head(1)
+                if first is None or cand["ts"].iloc[0] < first["ts"].iloc[0]:
+                    first = cand
+            self.seen.update((True,))
+            if first is not None:
+                yield first[
+                    ["event_id", "ts", "user_id", "event_type", "value"]
+                ]
+
+        def close(self) -> None:
+            pass
+
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"]).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    return (
+        events.select("event_id", "ts", "user_id", "event_type", "value")
+        .groupBy("event_id")
+        .transformWithStateInPandas(
+            FirstEventDedup(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     """T6: stream-static broadcast join (the static dim is re-read per
     micro-batch; broadcast keeps it off the shuffle path)."""

@@ -680,6 +680,24 @@ def test_srp_lsh_planted_identical_pair_all_bands(spark):
     assert rows[0]["cos_sim"] == 1.0
 
 
+def test_srp_lsh_non_default_dims(spark):
+    """dims must reach the hyperplane builder through the srp_bands front
+    end (ADVICE r4: the extracted front end silently used its own default,
+    so dims=32 crashed in the pandas UDF with a matmul shape mismatch)."""
+    from cobalt_duckdb_spark.operators.dedup import srp_lsh_pairs
+
+    base = [0.5, -1.5, 2.5, -0.5] * 8  # 32-dim
+    ortho = [(-1.0) ** i * (2.0 + i) for i in range(32)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, ortho)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = srp_lsh_pairs(emb, eps=0.9, dims=32).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["n_bands"] == 8
+    assert rows[0]["cos_sim"] == 1.0
+
+
 def test_waterfill_allocation_invariants(spark, sf_dir):
     """Water-filling: allocations sum to exactly the 30% budget, never
     exceed a source's own tokens, and capped sources all sit within one

@@ -83,3 +83,61 @@ def test_driver_window_rotation_policy():
         timeout=300,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_public_counts_match_registry():
+    """README.md's registry counts are the repo's public claims; they
+    drifted twice in round 4 (r4 verdict item 4). Tie the literal numbers
+    in the prose to the live registry so drift is a test failure."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "README.md")) as f:
+        readme = f.read()
+    m = re.search(
+        r"(\d+) named queries ship in the registry,\s*(\d+) of them "
+        r"oracle-matched",
+        readme,
+    )
+    assert m, "README.md no longer contains the registry-count sentence"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README claims {m.group(1)} registered queries; registry has "
+        f"{len(QUERIES)} — update README.md"
+    )
+    assert int(m.group(2)) == len(ORACLE), (
+        f"README claims {m.group(2)} oracle-matched queries; registry has "
+        f"{len(ORACLE)} oracles — update README.md"
+    )
+
+
+def test_probe_family_coverage():
+    """Every pair-emitting-family registry entry is either selected by the
+    duplication probe's default patterns or carries a documented exclusion
+    (r4 verdict item 6): a new dedup_*/simsearch_*/graph_*/multimodal_*
+    query cannot silently skip the per-round probe report."""
+    import fnmatch
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tools.probe_dup import DEFAULT_EXCLUDE, DEFAULT_PATTERNS
+
+    families = ("dedup_*", "simsearch_*", "graph_*", "multimodal_*", "embedding_*")
+    must_cover = {
+        n
+        for n in QUERIES
+        if any(fnmatch.fnmatch(n, f) for f in families)
+    }
+    covered = {
+        n
+        for n in must_cover
+        if any(fnmatch.fnmatch(n, p) for p in DEFAULT_PATTERNS)
+    }
+    missing = must_cover - covered - set(DEFAULT_EXCLUDE)
+    assert not missing, (
+        f"registry entries neither probed nor excluded-with-reason: {missing}"
+    )
+    stale = set(DEFAULT_EXCLUDE) - set(QUERIES)
+    assert not stale, f"probe exclusions for unregistered names: {stale}"

@@ -572,3 +572,107 @@ def test_streaming_composed_pipeline_matches_batch(spark, sf_dir, events_stream_
         for r in pipeline(load_table(spark, SF_DIR, "events")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _protobuf_or_skip():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unusable here - transformWithState needs it")
+
+
+def _rocksdb_state_store(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if old:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", old
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    return ctx()
+
+
+def test_tws_dedup_batch_path(spark, sf_dir):
+    """dedup_first_event_tws on a BATCH frame takes the dropDuplicates twin
+    path (runs everywhere, no protobuf needed): one row per event_id."""
+    from cobalt_duckdb_spark.streaming.events import dedup_first_event_tws
+
+    events = load_table(spark, sf_dir, "events")
+    got = dedup_first_event_tws(events)
+    assert got.count() == events.select("event_id").distinct().count()
+    assert got.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def test_tws_dedup_matches_batch(spark, sf_dir, events_stream_dir):
+    """TWS stateful dedup equals the batch twin on a duplicated source: the
+    stream dir holds the events file TWICE, the TWS op must emit each
+    event_id exactly once."""
+    _protobuf_or_skip()
+    import shutil as _sh
+
+    from cobalt_duckdb_spark.streaming.events import dedup_first_event_tws
+
+    dup_dir = events_stream_dir  # second copy → every id duplicated
+    second = os.path.join(dup_dir, "part-1.parquet")
+    if not os.path.exists(second):
+        _sh.copy(os.path.join(dup_dir, "part-0.parquet"), second)
+
+    with _rocksdb_state_store(spark):
+        stream = read_events_stream(spark, dup_dir)
+        got = _run_to_memory(
+            spark, dedup_first_event_tws(stream), "t_tws_dedup", mode="append"
+        ).collect()
+    want = dedup_first_event_tws(load_table(spark, sf_dir, "events")).collect()
+    assert {r["event_id"] for r in got} == {r["event_id"] for r in want}
+    assert len(got) == len({r["event_id"] for r in got})  # no dupes emitted
+
+
+def test_tws_dedup_state_survives_restart(spark, tmp_path):
+    """Restart carry-over: ids seen before a checkpointed stop must NOT
+    re-emit when the same ids arrive again after restart (ValueState is
+    restored from the RocksDB snapshot), while genuinely new ids still
+    emit."""
+    _protobuf_or_skip()
+    from cobalt_duckdb_spark.streaming.events import dedup_first_event_tws
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    _append_events(spark, src, [(1, 0, 1, "click"), (2, 5, 2, "view")])
+
+    def run_once():
+        with _rocksdb_state_store(spark):
+            q = (
+                dedup_first_event_tws(read_events_stream(spark, src))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+    # replay id 1 (later ts) + fresh id 3; only id 3 may emit
+    _append_events(spark, src, [(1, 30, 1, "click"), (3, 35, 3, "purchase")])
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+    assert {r["event_id"] for r in final.collect()} == {1, 2, 3}

@@ -38,12 +38,15 @@ ROWS_ONLY_TERMINAL = frozenset(
 )
 
 
-def driver_history() -> dict[str, tuple[int, str]]:
+def driver_history(max_round: int | None = None) -> dict[str, tuple[int, str]]:
     """{name: (round, outcome)} with the LATEST driver outcome per name;
-    outcome in {'green', 'red', 'error'}."""
+    outcome in {'green', 'red', 'error'}. ``max_round`` limits to rounds the
+    registry has already folded (see _DRIVER_ROUNDS_FOLDED)."""
     hist: dict[str, tuple[int, str]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, rec in rows.items():
@@ -68,13 +71,27 @@ def driver_history() -> dict[str, tuple[int, str]]:
 
 def main() -> int:
     sys.path.insert(0, REPO)
-    from cobalt_duckdb_spark.queries import queries
+    from cobalt_duckdb_spark.queries import _DRIVER_ROUNDS_FOLDED, queries
 
+    # Full history drives the retry rule (a red from ANY round must be in
+    # the window); the wasted-slot rule is gated on rounds the registry has
+    # folded, so a brand-new CORRECTNESS artifact at a round boundary shows
+    # as a pending fold instead of failing CI before the rotation commit
+    # (ADVICE r4).
     hist = driver_history()
+    folded_hist = driver_history(max_round=_DRIVER_ROUNDS_FOLDED)
+    pending_rounds = sorted({r for _, (r, _) in hist.items() if r > _DRIVER_ROUNDS_FOLDED})
     names = list(queries())
     window, rest = names[:WINDOW], names[WINDOW:]
 
     problems: list[str] = []
+    warnings: list[str] = []
+    if pending_rounds:
+        warnings.append(
+            f"driver rounds {pending_rounds} not yet folded into "
+            "_DRIVER_VERIFIED (bump _DRIVER_ROUNDS_FOLDED after folding); "
+            "wasted-slot policy evaluated against folded rounds only"
+        )
     if window[0] != FLAGSHIP:
         problems.append(f"slot 0 is {window[0]!r}, expected flagship")
 
@@ -87,8 +104,8 @@ def main() -> int:
     if missing_retries:
         problems.append(f"latest-red names outside window: {sorted(missing_retries)}")
 
-    never = [n for n in names if n not in hist]
-    green = {n for n, (_, o) in hist.items() if o in ("green", "rows_only")}
+    never = [n for n in names if n not in folded_hist]
+    green = {n for n, (_, o) in folded_hist.items() if o in ("green", "rows_only")}
     wasted = [
         n
         for n in window
@@ -127,12 +144,14 @@ def main() -> int:
             "driver_green": len(green),
             "latest_red": sorted(latest_red),
             "never_checked": len(never),
-            "fresh_in_window": sum(1 for n in window if n not in hist),
+            "fresh_in_window": sum(1 for n in window if n not in folded_hist),
             "remaining_after_this_window": max(
-                0, len(never) - sum(1 for n in window if n not in hist)
+                0, len(never) - sum(1 for n in window if n not in folded_hist)
             ),
+            "pending_unfolded_rounds": pending_rounds,
         },
         "problems": problems,
+        "warnings": warnings,
     }
     if "--json" in sys.argv:
         print(json.dumps(report, indent=2))
@@ -141,6 +160,8 @@ def main() -> int:
             print(f"{row['slot']:3d}  {row['status']:<24} {row['name']}")
         print()
         print(json.dumps(report["summary"], indent=2))
+        for w in warnings:
+            print(f"WARNING: {w}")
         for p in problems:
             print(f"PROBLEM: {p}")
     return 1 if problems else 0

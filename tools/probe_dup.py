@@ -51,17 +51,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Family prefixes selected WHOLESALE (r4 verdict item 6): a new
+# pair-emitting registry entry in any of these families is probed by
+# default — it cannot silently skip the report by not being listed here.
 DEFAULT_PATTERNS = [
     "dedup_*",
     "simsearch_*",
     "embedding_*",
     "pipeline_*",
+    "graph_*",
+    "multimodal_*",
+    "hybrid_*",
+    "cluster_*",
     "text_fingerprints",
+    "text_winnowing_fingerprints",
     "text_textrank_keywords",
     "sample_dsir_importance",
-    "multimodal_ahash_neardup_pairs",
-    "graph_lpa_communities",
 ]
+
+# Documented exclusions from the default family sweep — each with the
+# reason it is duplication-INSENSITIVE (the probe's JSON records these so
+# an excluded name is visible, not silently absent).
+DEFAULT_EXCLUDE: dict[str, str] = {
+    # The dup corpus replicates documents+embeddings only (events/lineitem
+    # copied through unchanged — dims/facts aren't the duplication-scaling
+    # risk, see module docstring). Queries whose ONLY inputs are those
+    # unchanged tables measure ratio ~1.0 by construction; excluding them
+    # keeps the sweep honest about what was actually stressed.
+    "graph_pagerank_event_flow": "events-only input; unchanged by dup corpus",
+    "graph_triangle_parts": "lineitem-only input; unchanged by dup corpus",
+    "graph_personalized_pagerank_error": "events-only input; unchanged",
+    "graph_link_prediction_jaccard": "lineitem-only input; unchanged",
+    "graph_degree_assortativity": "events-only input; unchanged",
+    "graph_kcore_peeling": "lineitem-only input; unchanged",
+    "graph_scc_mutual_reachability": "events-only input; unchanged",
+    "graph_lpa_communities": "lineitem-only input; unchanged",
+    "graph_hits_hubs_authorities": "events-only input; unchanged",
+}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -172,11 +198,22 @@ def main() -> int:
     )
     build_dup_dir(spark, args.sf, dup_dir, args.factor)
 
+    explicit_names = args.names is not DEFAULT_PATTERNS
     selected = {
         n: fn
         for n, fn in queries().items()
         if any(fnmatch.fnmatch(n, p) for p in args.names)
+        and (explicit_names or n not in DEFAULT_EXCLUDE)
     }
+    excluded = (
+        {}
+        if explicit_names
+        else {
+            n: why
+            for n, why in DEFAULT_EXCLUDE.items()
+            if any(fnmatch.fnmatch(n, p) for p in args.names)
+        }
+    )
     report, flagged = {}, []
     for name, fn in selected.items():
         try:
@@ -210,6 +247,7 @@ def main() -> int:
         "factor": args.factor,
         "flag_ratio": flag_ratio,
         "flagged": flagged,
+        "excluded": excluded,
         "queries": report,
     }
     if args.json_out:
