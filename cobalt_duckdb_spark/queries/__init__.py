@@ -124,11 +124,15 @@ _load_all_modules()
 # Names the driver's truncated 50-entry gate already verified in rounds 1-2
 # (green keys of CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver
 # checks the FIRST 50 registry entries per round, so the registry is rotated:
-# flagship stays in slot 0 (it is the smoke-checked contract query), then
-# retries of previously-failed names, then every not-yet-driver-verified
+# retries of previously-failed names first, then every not-yet-driver-verified
 # query (including anything newly registered), then the verified set. This
 # cycles driver verification through the whole surface instead of re-checking
-# the same prefix forever.
+# the same prefix forever. The flagship is NOT pinned to slot 0: the driver
+# smoke-checks it separately via entry() every round, and it is multiply
+# driver-green (r1/r3/r4), so re-windowing it would burn the scarcest
+# resource — a fresh certification slot (r4 verdict: backlog <= 87 after r5
+# needs all 50 slots fresh). next_window.py still enforces that a
+# not-yet-green flagship must re-enter the window.
 _DRIVER_VERIFIED = frozenset(
     {
         # --- r02 greens (CORRECTNESS_r02.json). Deliberately absent (retry
@@ -516,12 +520,11 @@ _DRIVER_DEFER = (
 
 
 def _rotate_registry() -> None:
-    flagship = "flagship_knn_cosine_topk"
     retries = [n for n in _DRIVER_RETRY if n in QUERIES]
     priority = [
         n for n in _DRIVER_PRIORITY if n in QUERIES and n not in retries
     ]
-    skip = {flagship, *retries, *priority}
+    skip = {*retries, *priority}
     defer = [
         n
         for n in _DRIVER_DEFER
@@ -535,7 +538,7 @@ def _rotate_registry() -> None:
     stale = [n for n in QUERIES if n not in skip and n in _DRIVER_VERIFIED]
     ordered = {
         n: QUERIES[n]
-        for n in [flagship, *retries, *priority, *fresh, *defer, *stale]
+        for n in [*retries, *priority, *fresh, *defer, *stale]
     }
     QUERIES.clear()
     QUERIES.update(ordered)

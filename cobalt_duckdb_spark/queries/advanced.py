@@ -8,6 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+    exact_round_ratio,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
 
@@ -1292,10 +1297,10 @@ def udtf_polymorphic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(n_chars), 4) AS mean_chars,
+           {mean_chars} AS mean_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
     FROM documents GROUP BY source ORDER BY source
-    """,
+    """.replace("{mean_chars}", exact_round_avg_sql("n_chars", 4)),
 )
 def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-NATIVE grouped map (Spark 4 ``applyInArrow``): per-source doc
@@ -1315,9 +1320,7 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "source": pa.array([tbl.column("source")[0].as_py()], pa.string()),
                 "n_docs": pa.array([tbl.num_rows], pa.int64()),
-                "mean_chars": pa.array(
-                    [pc.mean(chars).as_py()], pa.float64()
-                ),
+                "sum_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
                 "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
             }
         )
@@ -1326,10 +1329,16 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("source")
         .applyInArrow(
-            stats, schema="source string, n_docs bigint, mean_chars double, max_chars bigint"
+            stats,
+            schema="source string, n_docs bigint, sum_chars bigint, max_chars bigint",
         )
-        # round JVM-side: SQL ROUND is half-up, Python round() is banker's
-        .withColumn("mean_chars", F.round("mean_chars", 4))
+        # finalize the mean JVM-side from the EXACT integer sum the kernel
+        # emitted: an int/int mean can sit exactly on a 4-dp half-way point,
+        # where double ROUND is engine-dependent (functions/exact.py)
+        .withColumn(
+            "mean_chars", exact_round_ratio(F.col("sum_chars"), F.col("n_docs"), 4)
+        )
+        .select("source", "n_docs", "mean_chars", "max_chars")
         .orderBy("source")
     )
 
@@ -2150,12 +2159,14 @@ def stats_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
         CROSS JOIN (SELECT * FROM z WHERE treated = 0) c
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_pairs,
-           ROUND(AVG(t_outcome), 4) AS treated_mean_outcome,
-           ROUND(AVG(c_outcome), 4) AS control_mean_outcome,
-           ROUND(AVG(t_outcome - c_outcome), 4) AS att,
+           {avg_t} AS treated_mean_outcome,
+           {avg_c} AS control_mean_outcome,
+           {avg_att} AS att,
            ROUND(AVG(dist), 6) AS avg_match_distance
     FROM matched WHERE rn = 1
-    """,
+    """.replace("{avg_t}", exact_round_avg_sql("t_outcome", 4))
+    .replace("{avg_c}", exact_round_avg_sql("c_outcome", 4))
+    .replace("{avg_att}", exact_round_avg_sql("t_outcome - c_outcome", 4)),
 )
 def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariate matching with replacement for an ATT estimate: every
@@ -2233,11 +2244,12 @@ def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return matched.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matched_pairs"),
-        F.round(F.avg("t_outcome"), 4).alias("treated_mean_outcome"),
-        F.round(F.avg("c_outcome"), 4).alias("control_mean_outcome"),
-        F.round(
-            F.avg(F.col("t_outcome") - F.col("c_outcome")), 4
-        ).alias("att"),
+        # outcomes live on the 2-dp value lattice: their means (and the
+        # paired-difference mean) can sit exactly on 4-dp half-way points —
+        # exact integer rounding per functions/exact.py
+        exact_round_avg(F.col("t_outcome"), 4).alias("treated_mean_outcome"),
+        exact_round_avg(F.col("c_outcome"), 4).alias("control_mean_outcome"),
+        exact_round_avg(F.col("t_outcome") - F.col("c_outcome"), 4).alias("att"),
         F.round(F.avg("dist"), 6).alias("avg_match_distance"),
     )
 

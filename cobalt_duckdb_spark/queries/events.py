@@ -15,6 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+    exact_round_sum,
+    exact_round_sum_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
 
@@ -768,11 +774,11 @@ def events_assoc_rules_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
            CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
-           ROUND(SUM(value / n_touches), 4) AS attributed_revenue
+           {credit_sum} AS attributed_revenue
     FROM pairs
     GROUP BY event_type
     ORDER BY event_type
-    """,
+    """.replace("{credit_sum}", exact_round_sum_sql("value / n_touches", 4)),
 )
 def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value is split
@@ -808,7 +814,10 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_touches"),
             F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
-            F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+            # value/n lives on the 1/(100·n) lattice: its sum can sit exactly
+            # on a 4-dp half-way point, where double rounding is
+            # engine-dependent (functions/exact.py) — sum exactly instead.
+            exact_round_sum(F.col("credit"), 4).alias("attributed_revenue"),
         )
         .orderBy("event_type")
     )
@@ -955,14 +964,16 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(e.value), 4) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(e.value, s.p01), s.p99)), 4)
-               AS mean_winsorized,
+           {mean_raw} AS mean_raw,
+           {mean_wins} AS mean_winsorized,
            CAST(SUM(CASE WHEN e.value < s.p01 OR e.value > s.p99
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e JOIN stats s ON e.event_type = s.event_type
     GROUP BY e.event_type ORDER BY e.event_type
-    """,
+    """.replace("{mean_raw}", exact_round_avg_sql("e.value", 4)).replace(
+        "{mean_wins}",
+        exact_round_avg_sql("LEAST(GREATEST(e.value, s.p01), s.p99)", 4),
+    ),
 )
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics: per-type values clipped to the exact
@@ -985,8 +996,8 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.avg("value"), 4).alias("mean_raw"),
-            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            exact_round_avg(F.col("value"), 4).alias("mean_raw"),
+            exact_round_avg(clipped, 4).alias("mean_winsorized"),
             F.sum(
                 F.when(
                     (F.col("value") < F.col("p01"))

@@ -9,6 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+    exact_round_ratio,
+    exact_round_ratio_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.operators.multimodal import (
     binary_stats,
@@ -386,11 +392,12 @@ _CUT_THRESHOLD = 5
         FROM sig
     )
     SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media,
-           ROUND(AVG(d), 4) AS mean_frame_delta,
+           {exact_round_avg_sql('d', 4)} AS mean_frame_delta,
            CAST(SUM(CASE WHEN d >= {_CUT_THRESHOLD} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_cuts,
-           ROUND(SUM(CASE WHEN d >= {_CUT_THRESHOLD} THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(DISTINCT doc_id), 4) AS cuts_per_media
+           {exact_round_ratio_sql(
+               f'SUM(CASE WHEN d >= {_CUT_THRESHOLD} THEN 1 ELSE 0 END)',
+               'COUNT(DISTINCT doc_id)', 4)} AS cuts_per_media
     FROM cuts WHERE d IS NOT NULL
     """,
 )
@@ -463,15 +470,17 @@ def multimodal_scene_cut_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cuts = sig.select("doc_id", d.alias("d")).filter(F.col("d").isNotNull())
+    # int/int means can sit exactly on 4-dp half-way points, where double
+    # ROUND is engine-dependent — exact integer rounding (functions/exact.py)
     return cuts.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_media"),
-        F.round(F.avg("d"), 4).alias("mean_frame_delta"),
+        exact_round_avg(F.col("d"), 4).alias("mean_frame_delta"),
         F.sum(F.when(F.col("d") >= _CUT_THRESHOLD, 1).otherwise(0))
         .cast("bigint")
         .alias("n_cuts"),
-        F.round(
-            F.sum(F.when(F.col("d") >= _CUT_THRESHOLD, 1).otherwise(0))
-            / F.countDistinct("doc_id"),
+        exact_round_ratio(
+            F.sum(F.when(F.col("d") >= _CUT_THRESHOLD, 1).otherwise(0)),
+            F.countDistinct("doc_id"),
             4,
         ).alias("cuts_per_media"),
     )

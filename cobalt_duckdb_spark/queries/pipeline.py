@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions import text as T
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+    exact_round_sum,
+    exact_round_sum_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.operators import dedup as D
 from cobalt_duckdb_spark.queries import register
@@ -1467,9 +1473,10 @@ _HT_EXPECTED_N = 200.0
               ::BIGINT / 4294967296.0 < {_HT_EXPECTED_N} * b.x / t.xx
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
-           ROUND(SUM(y / pi), 2) AS ht_estimate_tokens,
+           {exact_round_sum_sql("y / pi", 2)} AS ht_estimate_tokens,
            ROUND((SELECT true_total FROM tot), 2) AS true_total_tokens,
-           ROUND(ABS(SUM(y / pi) - (SELECT true_total FROM tot))
+           ROUND(ABS(CAST(SUM(CAST((y / pi) AS DECIMAL(28, 6))) AS DOUBLE)
+                     - (SELECT true_total FROM tot))
                  / (SELECT true_total FROM tot), 4) AS rel_error
     FROM sampled
     """,
@@ -1518,13 +1525,18 @@ def sample_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(u < pi)
         .select("y", pi.alias("pi"), "true_total")
     )
+    # 1/pi weights are order-sensitive in double; sum them exactly so the
+    # estimate (and the rel_error built from it) is partitioning- and
+    # engine-independent (functions/exact.py discipline).
+    exact_s = (
+        F.sum((F.col("y") / F.col("pi")).cast("decimal(28,6)")).cast("double")
+    )
     return sampled.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        F.round(F.sum(F.col("y") / F.col("pi")), 2).alias("ht_estimate_tokens"),
+        exact_round_sum(F.col("y") / F.col("pi"), 2).alias("ht_estimate_tokens"),
         F.round(F.first("true_total"), 2).alias("true_total_tokens"),
         F.round(
-            F.abs(F.sum(F.col("y") / F.col("pi")) - F.first("true_total"))
-            / F.first("true_total"),
+            F.abs(exact_s - F.first("true_total")) / F.first("true_total"),
             4,
         ).alias("rel_error"),
     )

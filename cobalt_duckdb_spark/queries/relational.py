@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+    exact_round_sum,
+    exact_round_sum_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
 
@@ -30,19 +36,36 @@ from cobalt_duckdb_spark.queries import register
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           {disc_price_sum} AS sum_disc_price,
+           {charge_sum} AS sum_charge,
+           {avg_qty} AS avg_qty,
+           {avg_price} AS avg_price,
+           {avg_disc} AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
-    """,
+    """.replace(
+        "{disc_price_sum}",
+        exact_round_sum_sql("l_extendedprice * (1 - l_discount)", 2),
+    )
+    .replace(
+        "{charge_sum}",
+        exact_round_sum_sql(
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2
+        ),
+    )
+    .replace("{avg_qty}", exact_round_avg_sql("l_quantity", 4))
+    .replace("{avg_price}", exact_round_avg_sql("l_extendedprice", 4))
+    .replace("{avg_disc}", exact_round_avg_sql("l_discount", 4)),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. Raw-column sums at their own 2-dp grid are safe to round
+    as doubles; the product sums (1e-4 / 1e-6 lattices) and the 4-dp means
+    (exact half-way points when a group size is 2^a·5^b) use the exact
+    decimal discipline of functions/exact.py so the result is independent
+    of accumulation order AND engine rounding procedure."""
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -51,11 +74,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_round_sum(disc_price, 2).alias("sum_disc_price"),
+            exact_round_sum(disc_price * (1 + F.col("l_tax")), 2).alias(
+                "sum_charge"
+            ),
+            exact_round_avg(F.col("l_quantity"), 4).alias("avg_qty"),
+            exact_round_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            exact_round_avg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -69,7 +94,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {rev} AS revenue,
            o.o_orderdate AS o_orderdate,
            o.o_orderpriority AS o_orderpriority
     FROM customer c
@@ -81,7 +106,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
-    """,
+    """.replace(
+        "{rev}", exact_round_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)
+    ),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
@@ -101,8 +128,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact 1e-4-lattice sum: rounded revenue (also the sort key!)
+            # must not depend on accumulation order — functions/exact.py
+            exact_round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -118,7 +147,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {rev} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -130,7 +159,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n.n_name
     ORDER BY revenue DESC, n_name
-    """,
+    """.replace(
+        "{rev}", exact_round_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)
+    ),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -155,8 +186,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -304,7 +335,7 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_orders",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           {avg_d} AS avg_price,
            ROUND(STDDEV_SAMP(o_totalprice), 4) AS stddev_price,
            ROUND(VAR_SAMP(o_totalprice), 2) AS var_price,
            ROUND(MIN(o_totalprice), 2) AS min_price,
@@ -312,14 +343,14 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
+    """.replace("{avg_d}", exact_round_avg_sql("o_totalprice", 4)),
 )
 def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            exact_round_avg(F.col("o_totalprice"), 4).alias("avg_price"),
             F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
             F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
@@ -1005,15 +1036,15 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type,
-           ROUND(AVG(value), 4) AS mean_all,
-           ROUND(AVG(CASE WHEN pr BETWEEN 0.1 AND 0.9 THEN value END), 4)
-               AS trimmed_mean_10,
+           {mean_all} AS mean_all,
+           {trimmed} AS trimmed_mean_10,
            ROUND(quantile_cont(value, 0.5), 4) AS median,
-           ROUND(AVG(value)
-                 - AVG(CASE WHEN pr BETWEEN 0.1 AND 0.9 THEN value END), 4)
-               AS tail_pull
+           {mean_all} - {trimmed} AS tail_pull
     FROM ranked GROUP BY event_type ORDER BY event_type
-    """,
+    """.replace("{mean_all}", exact_round_avg_sql("value", 4)).replace(
+        "{trimmed}",
+        exact_round_avg_sql("CASE WHEN pr BETWEEN 0.1 AND 0.9 THEN value END", 4),
+    ),
 )
 def agg_trimmed_mean_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The robust-location triptych per event type: mean, 10% two-sided
@@ -1041,13 +1072,21 @@ def agg_trimmed_mean_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     trimmed = F.avg(
         F.when(F.col("pr").between(0.1, 0.9), F.col("value"))
     )
+    # Both means use the exact 4-dp average (functions/exact.py: a mean of
+    # 2-dp values can sit exactly on a 4-dp half-way point); tail_pull is
+    # the difference of the two PUBLISHED rounded means — self-consistent
+    # and a subtraction of bit-identical doubles on every engine.
+    mean_all = exact_round_avg(F.col("value"), 4)
+    trimmed_x = exact_round_avg(
+        F.when(F.col("pr").between(0.1, 0.9), F.col("value")), 4
+    )
     return (
         ranked.groupBy("event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("mean_all"),
-            F.round(trimmed, 4).alias("trimmed_mean_10"),
+            mean_all.alias("mean_all"),
+            trimmed_x.alias("trimmed_mean_10"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("median"),
-            F.round(F.avg("value") - trimmed, 4).alias("tail_pull"),
+            (mean_all - trimmed_x).alias("tail_pull"),
         )
         .orderBy("event_type")
     )

@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+    exact_round_sum,
+    exact_round_sum_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
 
@@ -965,12 +971,14 @@ def hybrid_alpha_blend_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH recomputed AS (
         SELECT l_orderkey,
-               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS recomp
+               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        AS DECIMAL(28, 6))) AS recomp
         FROM lineitem GROUP BY l_orderkey
     ),
     joined AS (
         SELECT o.o_orderkey, o.o_totalprice, r.recomp,
-               ABS(o.o_totalprice - COALESCE(r.recomp, 0)) AS adiff,
+               ABS(CAST(o.o_totalprice AS DECIMAL(28, 6))
+                   - COALESCE(r.recomp, 0)) AS adiff,
                r.l_orderkey IS NULL AS orphan_order
         FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
     ),
@@ -985,10 +993,10 @@ def hybrid_alpha_blend_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT band,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(AVG(adiff), 4) AS avg_abs_diff,
-           ROUND(MAX(adiff), 4) AS max_abs_diff
+           {avg_adiff} AS avg_abs_diff,
+           CAST(ROUND(MAX(adiff), 4) AS DOUBLE) AS max_abs_diff
     FROM banded GROUP BY band ORDER BY band
-    """,
+    """.format(avg_adiff=exact_round_avg_sql("adiff", 4)),
 )
 def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table financial reconciliation: recompute each order's total
@@ -1005,11 +1013,18 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
     once."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # Exact-decimal reconciliation: the true per-line charge lives on the
+    # 1e-6 lattice (three 2-dp factors), so snapping the double product to
+    # DECIMAL(28,6) recovers it exactly and the per-order sum, the adiff,
+    # and the band cutoffs (adiff <= 0.01!) are all exact — a double sum
+    # would make band membership depend on accumulation order at the edge.
     recomputed = li.groupBy("l_orderkey").agg(
         F.sum(
-            F.col("l_extendedprice")
-            * (1 - F.col("l_discount"))
-            * (1 + F.col("l_tax"))
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(28,6)")
         ).alias("recomp")
     )
     joined = o.join(
@@ -1017,9 +1032,10 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
     ).select(
         "o_orderkey",
         "o_totalprice",
-        F.abs(F.col("o_totalprice") - F.coalesce("recomp", F.lit(0.0))).alias(
-            "adiff"
-        ),
+        F.abs(
+            F.col("o_totalprice").cast("decimal(28,6)")
+            - F.coalesce("recomp", F.lit(0).cast("decimal(28,6)"))
+        ).alias("adiff"),
         F.col("l_orderkey").isNull().alias("orphan_order"),
     )
     band = (
@@ -1034,8 +1050,8 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.avg("adiff"), 4).alias("avg_abs_diff"),
-            F.round(F.max("adiff"), 4).alias("max_abs_diff"),
+            exact_round_avg(F.col("adiff"), 4).alias("avg_abs_diff"),
+            F.round(F.max("adiff"), 4).cast("double").alias("max_abs_diff"),
         )
         .orderBy("band")
     )
@@ -2082,13 +2098,14 @@ _DECAY_WINDOW_MIN = 30
     ),
     normed AS (
         SELECT purchase_id, value, event_type,
-               w / SUM(w) OVER (PARTITION BY purchase_id) AS share
+               w / CAST(SUM(CAST(w AS DECIMAL(28, 12)))
+                        OVER (PARTITION BY purchase_id) AS DOUBLE) AS share
         FROM pairs
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
            CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
-           ROUND(SUM(value * share), 4) AS attributed_revenue
+           {exact_round_sum_sql("value * share", 4)} AS attributed_revenue
     FROM normed GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -2134,14 +2151,20 @@ def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("w"),
         )
     )
-    share = F.col("w") / F.sum("w").over(Window.partitionBy("purchase_id"))
+    # Exact-decimal normalizer: the per-purchase SUM(w) is summed on the
+    # 1e-12 lattice so `share` is the division of two bit-identical doubles
+    # on every engine and partitioning; the final revenue rollup then snaps
+    # value*share once and sums exactly (functions/exact.py discipline).
+    share = F.col("w") / F.sum(F.col("w").cast("decimal(28,12)")).over(
+        Window.partitionBy("purchase_id")
+    ).cast("double")
     return (
         pairs.select("purchase_id", "value", "event_type", share.alias("share"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
             F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
-            F.round(F.sum(F.col("value") * F.col("share")), 4).alias(
+            exact_round_sum(F.col("value") * F.col("share"), 4).alias(
                 "attributed_revenue"
             ),
         )

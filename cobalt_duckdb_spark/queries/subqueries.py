@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg_sql,
+    exact_round_sum_sql,
+)
 from cobalt_duckdb_spark.io import load_table, register_views
 from cobalt_duckdb_spark.queries import register
 
@@ -91,56 +95,69 @@ def subq_in_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subq_scalar_vs_global_avg",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
-           ROUND(AVG(o_totalprice) - (SELECT AVG(o_totalprice) FROM orders), 4)
-               AS delta_vs_global
+           {avg_d} AS avg_price,
+           {avg_d} - (SELECT {avg_d} FROM orders) AS delta_vs_global
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
-    """,
+    """.replace("{avg_d}", exact_round_avg_sql("o_totalprice", 4)),
 )
 def subq_scalar_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery in SELECT (global average as a scalar)."""
+    """Uncorrelated scalar subquery in SELECT (global average as a scalar).
+
+    Both means use the exact half-away-from-zero 4-dp average
+    (functions/exact.py: a mean of 2-dp prices over a 2^a·5^b-sized group
+    sits EXACTLY on a 4-dp half-way point, where double rounding is
+    engine-dependent); the delta is the difference of the two published
+    rounded means — self-consistent with the avg_price column and a plain
+    subtraction of bit-identical doubles."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    avg_s = exact_round_avg_sql("o_totalprice", 4, dialect="spark")
     return spark.sql(
         """
         SELECT o_orderpriority,
-               ROUND(AVG(o_totalprice), 4) AS avg_price,
-               ROUND(AVG(o_totalprice) - (SELECT AVG(o_totalprice) FROM orders), 4)
-                   AS delta_vs_global
+               {avg_s} AS avg_price,
+               {avg_s} - (SELECT {avg_s} FROM orders) AS delta_vs_global
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
-        """
+        """.replace("{avg_s}", avg_s)
     )
 
 
 @register(
     "sql_api_q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT {rev} AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
-    """,
+    """.replace("{rev}", exact_round_sum_sql("l_extendedprice * l_discount", 2)),
 )
 def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 via the raw SQL API over registered views — the engine's
-    spark.sql surface (mirrors how the reference hands SQL text to DuckDB)."""
+    spark.sql surface (mirrors how the reference hands SQL text to DuckDB).
+
+    Revenue terms live on the 1e-4 lattice (2-dp price × 2-dp discount), so
+    the true total CAN sit exactly on a 2-dp half-way point — the exact
+    decimal sum (same SQL text on both engines) makes the rounded revenue
+    order- and engine-independent (functions/exact.py)."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT {rev} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24
-        """
+        """.replace(
+            "{rev}", exact_round_sum_sql("l_extendedprice * l_discount", 2)
+        )
     )
 
 
@@ -215,13 +232,13 @@ def sql_api_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS revenue,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           {avg_d} AS avg_price
     FROM orders
     WHERE o_orderstatus <> 'F'
     GROUP BY o_orderpriority
     HAVING COUNT(*) > 10
     ORDER BY o_orderpriority
-    """,
+    """.replace("{avg_d}", exact_round_avg_sql("o_totalprice", 4)),
 )
 def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL pipe syntax (`|>`): the same priority revenue rollup
@@ -237,12 +254,14 @@ def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE o_orderstatus <> 'F'
         |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
                      ROUND(SUM(o_totalprice), 2) AS revenue,
-                     ROUND(AVG(o_totalprice), 4) AS avg_price
+                     {avg_s} AS avg_price
            GROUP BY o_orderpriority
         |> WHERE n_orders > 10
         |> SELECT o_orderpriority, n_orders, revenue, avg_price
         |> ORDER BY o_orderpriority
-        """
+        """.replace(
+            "{avg_s}", exact_round_avg_sql("o_totalprice", 4, dialect="spark")
+        )
     )
 
 
@@ -251,12 +270,12 @@ def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           {avg_d} AS avg_price
     FROM orders
     WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
-    """,
+    """.replace("{avg_d}", exact_round_avg_sql("o_totalprice", 4)),
 )
 def sql_api_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL (Spark 3.4+ named-parameter API): the query text
@@ -269,11 +288,13 @@ def sql_api_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(AVG(o_totalprice), 4) AS avg_price
+               {avg_s} AS avg_price
         FROM orders
         WHERE o_totalprice > :min_price AND o_orderstatus = :status
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
-        """,
+        """.replace(
+            "{avg_s}", exact_round_avg_sql("o_totalprice", 4, dialect="spark")
+        ),
         args={"min_price": 150000.0, "status": "O"},
     )

@@ -9,6 +9,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions import text as T
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
 
@@ -164,7 +168,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
            CAST(SUM(CASE WHEN d BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-           ROUND(AVG(d), 4) AS avg_dist
+           {avg_dist} AS avg_dist
     FROM (
         SELECT a.p_brand AS p_brand,
                levenshtein(a.p_name, b.p_name) AS d
@@ -174,7 +178,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND levenshtein(a.p_name, b.p_name) <= 3
     )
     GROUP BY p_brand ORDER BY p_brand
-    """,
+    """.replace("{avg_dist}", exact_round_avg_sql("d", 4)),
 )
 def text_levenshtein_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-matching (fuzzy dedup for short strings like
@@ -216,7 +220,7 @@ def text_levenshtein_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("d").between(1, 3), 1).otherwise(0))
             .cast("bigint")
             .alias("n_near"),
-            F.round(F.avg("d"), 4).alias("avg_dist"),
+            exact_round_avg(F.col("d"), 4).alias("avg_dist"),
         )
         .orderBy("p_brand")
     )
@@ -1522,13 +1526,15 @@ _RAKE_TOPK = 15
         SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM members GROUP BY w
     ),
     scored AS (
-        SELECT m.phrase, SUM(ws.deg * 1.0 / ws.freq) AS score
+        SELECT m.phrase,
+               CAST(SUM(CAST(ws.deg * 1.0 / ws.freq AS DECIMAL(28, 6)))
+                    AS DOUBLE) AS score
         FROM members m JOIN wstats ws ON m.w = ws.w
         GROUP BY m.doc_id, m.phrase_id, m.phrase
     ),
     agg AS (
         SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-               ROUND(AVG(score), 4) AS rake_score
+               {exact_round_avg_sql('score', 4)} AS rake_score
         FROM scored GROUP BY phrase
     )
     SELECT phrase, n_occurrences, rake_score
@@ -1591,16 +1597,24 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     wstats = members.groupBy("w").agg(
         F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
     )
+    # deg/freq are small-int rationals: per-phrase scores (and their means)
+    # can sit exactly on rounding half-way points, and rake_score is ALSO
+    # the sort key — exact-decimal discipline (functions/exact.py) keeps
+    # the ranking order- and engine-independent.
     scored = (
         members.join(F.broadcast(wstats), "w")
         .groupBy("doc_id", "phrase_id", "phrase")
-        .agg(F.sum(F.col("deg") / F.col("freq")).alias("score"))
+        .agg(
+            F.sum((F.col("deg") / F.col("freq")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("score")
+        )
     )
     return (
         scored.groupBy("phrase")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            F.round(F.avg("score"), 4).alias("rake_score"),
+            exact_round_avg(F.col("score"), 4).alias("rake_score"),
         )
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOPK)

@@ -9,6 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
 
@@ -678,16 +682,24 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
                    AS day, event_type,
-               COUNT(*) AS n, SUM(value) AS s,
-               SUM(value * value) AS ss, MAX(value) AS mx
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28, 10))) AS DOUBLE) AS s,
+               SUM(CAST(value AS DECIMAL(28, 6))) AS s6,
+               CAST(SUM(CAST(value * value AS DECIMAL(38, 12))) AS DOUBLE)
+                   AS ss,
+               MAX(value) AS mx
         FROM events WHERE event_id % 10 <> 0
         GROUP BY 1, 2
     ),
     delta AS (
         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
                    AS day, event_type,
-               COUNT(*) AS n, SUM(value) AS s,
-               SUM(value * value) AS ss, MAX(value) AS mx
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28, 10))) AS DOUBLE) AS s,
+               SUM(CAST(value AS DECIMAL(28, 6))) AS s6,
+               CAST(SUM(CAST(value * value AS DECIMAL(38, 12))) AS DOUBLE)
+                   AS ss,
+               MAX(value) AS mx
         FROM events WHERE event_id % 10 = 0
         GROUP BY 1, 2
     ),
@@ -696,6 +708,7 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(b.event_type, d.event_type) AS event_type,
                COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
                COALESCE(b.s, 0) + COALESCE(d.s, 0) AS s,
+               COALESCE(b.s6, 0) + COALESCE(d.s6, 0) AS s6,
                COALESCE(b.ss, 0) + COALESCE(d.ss, 0) AS ss,
                GREATEST(COALESCE(b.mx, -1e18), COALESCE(d.mx, -1e18)) AS mx
         FROM base b FULL OUTER JOIN delta d
@@ -703,7 +716,8 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, event_type,
            CAST(n AS BIGINT) AS n,
-           ROUND(s / n, 4) AS mean_value,
+           CAST((2 * CAST(s6 * 1000000 AS BIGINT) + n * 100)
+                // (2 * n * 100) AS DOUBLE) / 10000.0 AS mean_value,
            ROUND(sqrt(GREATEST(ss / n - (s / n) * (s / n), 0)), 4)
                AS pop_stddev,
            ROUND(mx, 2) AS max_value
@@ -728,8 +742,21 @@ def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFra
             day.alias("day"), F.col("event_type")
         ).agg(
             F.count("*").alias("n"),
-            F.sum("value").alias("s"),
-            F.sum(F.col("value") * F.col("value")).alias("ss"),
+            # Exact-decimal partial sums: the per-row doubles are identical
+            # on every engine, so summing them in DECIMAL (associative,
+            # order-independent) and casting the exact total back to DOUBLE
+            # makes the merged rollup bit-identical regardless of partition
+            # count or engine — a plain double SUM differs by ulps with
+            # accumulation order and flips 4-dp rounding at boundary values.
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("s"),
+            # Scale-6 exact sum kept as DECIMAL: the 4-dp mean is finalized
+            # with pure integer half-up arithmetic (below) because the true
+            # mean can land exactly on a 4-dp half-way point (e.g. 307.03/8
+            # = 38.37875) where double rounding is engine-dependent.
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s6"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("ss"),
             F.max("value").alias("mx"),
         )
 
@@ -747,17 +774,31 @@ def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce("b.event_type", "d.event_type").alias("event_type"),
         (F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))).alias("n"),
         (F.coalesce("b.s", F.lit(0.0)) + F.coalesce("d.s", F.lit(0.0))).alias("s"),
+        (
+            F.coalesce(F.col("b.s6"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("d.s6"), F.lit(0).cast("decimal(28,6)"))
+        ).alias("s6"),
         (F.coalesce("b.ss", F.lit(0.0)) + F.coalesce("d.ss", F.lit(0.0))).alias("ss"),
         F.greatest(
             F.coalesce("b.mx", F.lit(-1e18)), F.coalesce("d.mx", F.lit(-1e18))
         ).alias("mx"),
     )
     mean = F.col("s") / F.col("n")
+    # Integer half-up mean at 4 dp: N = s6*1e6 (exact scale-6 sum as an
+    # integer), d = 100*n, so N/d = mean*1e4 and (2N+d) div (2d) is
+    # round-half-up(mean*1e4) — exact rational arithmetic, identical on any
+    # engine and any partitioning (value >= 0, so trunc-div == floor-div).
+    merged = merged.withColumn(
+        "n10k", (F.col("s6").cast("decimal(20,6)") * F.lit(1000000)).cast("bigint")
+    ).withColumn("d100", F.col("n").cast("bigint") * F.lit(100))
     return merged.select(
         "day",
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round(mean, 4).alias("mean_value"),
+        (
+            F.expr("(2 * n10k + d100) div (2 * d100)").cast("double")
+            / F.lit(10000.0)
+        ).alias("mean_value"),
         F.round(
             F.sqrt(F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))),
             4,
@@ -1991,13 +2032,13 @@ def events_gumbel_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(gap) AS BIGINT) AS n_gaps,
-           ROUND(AVG(gap), 4) AS mean_gap_s,
+           {mean_gap} AS mean_gap_s,
            ROUND(stddev_samp(gap) / AVG(gap), 4) AS cv,
            ROUND((stddev_samp(gap) - AVG(gap))
                  / (stddev_samp(gap) + AVG(gap)), 4) AS burstiness_b
     FROM arr WHERE gap IS NOT NULL
     GROUP BY event_type ORDER BY event_type
-    """,
+    """.replace("{mean_gap}", exact_round_avg_sql("gap", 4)),
 )
 def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per event type: coefficient of variation of
@@ -2028,7 +2069,7 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         arr.groupBy("event_type")
         .agg(
             F.count("gap").cast("bigint").alias("n_gaps"),
-            F.round(F.avg("gap"), 4).alias("mean_gap_s"),
+            exact_round_avg(F.col("gap"), 4).alias("mean_gap_s"),
             F.round(F.stddev_samp("gap") / F.avg("gap"), 4).alias("cv"),
             F.round(
                 (F.stddev_samp("gap") - F.avg("gap"))

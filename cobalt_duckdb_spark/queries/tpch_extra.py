@@ -8,6 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import (
+    exact_round_avg,
+    exact_round_avg_sql,
+    exact_round_ratio,
+    exact_round_ratio_sql,
+    exact_round_sum,
+    exact_round_sum_sql,
+)
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
 
@@ -612,7 +620,9 @@ def q20_nested_in_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit_by_nation_year",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(CAST(amount AS DECIMAL(28, 10))) AS DOUBLE), 2)
+               AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -652,7 +662,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            F.round(
+                F.sum(F.col("amount").cast("decimal(28,10)")).cast("double"), 2
+            ).alias("sum_profit")
+        )
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -662,16 +676,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l.l_partkey AS l_partkey,
-               SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28, 6))) AS value
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         WHERE n.n_name = 'NATION_7'
         GROUP BY l.l_partkey
     )
-    SELECT l_partkey, ROUND(value, 2) AS value
+    SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
     FROM rev
-    WHERE value > (SELECT SUM(value) * 0.001 FROM rev)
+    WHERE CAST(value AS DOUBLE)
+          > CAST((SELECT SUM(value) FROM rev) AS DOUBLE) * 0.001
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -700,16 +716,25 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "value"
-            )
+            # exact 1e-4-lattice sums: both the 2-dp rounded output AND the
+            # relative-threshold comparison below must not wobble with
+            # accumulation order (functions/exact.py discipline)
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("value")
         )
     )
-    total = rev.agg((F.sum("value") * 0.001).alias("cutoff"))
+    total = rev.agg(
+        (F.sum("value").cast("double") * 0.001).alias("cutoff")
+    )
     return (
         rev.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("cutoff"))
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        .filter(F.col("value").cast("double") > F.col("cutoff"))
+        .select(
+            "l_partkey", F.round("value", 2).cast("double").alias("value")
+        )
         .orderBy(F.desc("value"), "l_partkey")
     )
 
@@ -814,12 +839,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT priority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(AVG(days), 4) AS mean_days,
+           {mean_days} AS mean_days,
            ROUND(quantile_cont(days, 0.9), 4) AS p90_days,
-           ROUND(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS sla_violation_rate
+           {sla_rate} AS sla_violation_rate
     FROM lt GROUP BY priority ORDER BY priority
-    """,
+    """.replace("{mean_days}", exact_round_avg_sql("days", 4)).replace(
+        "{sla_rate}",
+        exact_round_ratio_sql(
+            "SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END)", "COUNT(*)", 4
+        ),
+    ),
 )
 def orders_fulfillment_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship lead time per priority class: mean, exact p90, and
@@ -846,11 +875,11 @@ def orders_fulfillment_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFra
         lt.groupBy("priority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.round(F.avg("days"), 4).alias("mean_days"),
+            exact_round_avg(F.col("days"), 4).alias("mean_days"),
             F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
-            F.round(
-                F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
-                / F.count(F.lit(1)),
+            exact_round_ratio(
+                F.sum(F.when(F.col("days") > 90, 1).otherwise(0)),
+                F.count(F.lit(1)),
                 4,
             ).alias("sla_violation_rate"),
         )
@@ -1141,9 +1170,9 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(gap) AS BIGINT) AS n_intervals,
            ROUND(quantile_cont(gap, 0.5), 2) AS p50_days,
            ROUND(quantile_cont(gap, 0.9), 2) AS p90_days,
-           ROUND(AVG(gap), 2) AS mean_days
+           {mean_days} AS mean_days
     FROM iv WHERE gap IS NOT NULL
-    """,
+    """.replace("{mean_days}", exact_round_avg_sql("gap", 2)),
 )
 def orders_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase cycle: the distribution of day gaps between a
@@ -1169,5 +1198,5 @@ def orders_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("gap").cast("bigint").alias("n_intervals"),
         F.round(F.expr("percentile(gap, 0.5)"), 2).alias("p50_days"),
         F.round(F.expr("percentile(gap, 0.9)"), 2).alias("p90_days"),
-        F.round(F.avg("gap"), 2).alias("mean_days"),
+        exact_round_avg(F.col("gap"), 2).alias("mean_days"),
     )

@@ -11,7 +11,9 @@ rotation honest mechanically instead of by builder diligence:
   (first 50 entries) annotated with that history, plus a policy check:
   * every latest-red name must be inside the window (retries first),
   * no already-green name may occupy a slot while never-checked names wait,
-  * flagship must hold slot 0 (it is the driver's smoke-checked entry).
+  * the flagship must be driver-green or inside the window (it is NOT
+    pinned to slot 0: entry() smoke-checks it every round regardless, so
+    once green it yields its slot to a fresh certification).
 
 Exit 1 if the policy is violated — run by pytest (test_registry_contract)
 so a registry edit that wastes driver slots is a failed test.
@@ -92,8 +94,14 @@ def main() -> int:
             "_DRIVER_VERIFIED (bump _DRIVER_ROUNDS_FOLDED after folding); "
             "wasted-slot policy evaluated against folded rounds only"
         )
-    if window[0] != FLAGSHIP:
-        problems.append(f"slot 0 is {window[0]!r}, expected flagship")
+    flagship_green = FLAGSHIP in {
+        n for n, (_, o) in hist.items() if o == "green"
+    }
+    if not flagship_green and FLAGSHIP not in window:
+        problems.append(
+            "flagship is not driver-green and not in the window — it must "
+            "re-enter until certified"
+        )
 
     latest_red = {
         n
@@ -109,10 +117,10 @@ def main() -> int:
     wasted = [
         n
         for n in window
-        if (n in green or n in ROWS_ONLY_TERMINAL) and n != FLAGSHIP
+        if n in green or n in ROWS_ONLY_TERMINAL
     ]
     if wasted and never and len(set(window) & set(never)) < min(
-        WINDOW - 1 - len(latest_red), len(never)
+        WINDOW - len(latest_red), len(never)
     ):
         problems.append(
             f"window re-checks already-green {wasted[:5]}... while "
@@ -125,9 +133,7 @@ def main() -> int:
                 "slot": i,
                 "name": n,
                 "status": (
-                    "flagship"
-                    if n == FLAGSHIP
-                    else {
+                    {
                         "red": "retry",
                         "error": "retry",
                         "green": "RE-CHECK (wasted slot?)",
