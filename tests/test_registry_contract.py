@@ -66,11 +66,12 @@ def test_every_query_has_oracle_or_documented_exemption():
 
 
 def test_driver_window_rotation_policy():
-    """tools/next_window.py's policy gate: flagship in slot 0, every
-    latest-red name retried inside the 50-slot window, and no already-green
-    name occupying a slot while never-checked names wait (round-3 verdict
-    item 8 — window slots are the scarcest external-verification
-    resource)."""
+    """tools/next_window.py's policy gate: a not-yet-green flagship must be
+    in the window (once green, entry()'s per-round smoke covers it and its
+    slot goes to a fresh name), every latest-red name retried inside the
+    50-slot window, and no already-green name occupying a slot while
+    never-checked names wait (round-3 verdict item 8 — window slots are the
+    scarcest external-verification resource)."""
     import os
     import subprocess
     import sys
@@ -108,6 +109,41 @@ def test_public_counts_match_registry():
     assert int(m.group(2)) == len(ORACLE), (
         f"README claims {m.group(2)} oracle-matched queries; registry has "
         f"{len(ORACLE)} oracles — update README.md"
+    )
+
+
+def test_stability_report_current():
+    """The newest committed STABILITY_r*.json must cover every registered
+    query and flag none. tools/check_stability.py re-runs each query under
+    a perturbed physical configuration (7 shuffle partitions, 1m scan
+    splits, AQE off) and requires identical canonicalized results — the
+    mechanical check behind SCALE.md's "bit-stable under partition-count
+    changes" claim. Registering a query without re-running the harness is
+    a test failure (same trip-wire philosophy as the probe/window)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reports = sorted(
+        glob.glob(os.path.join(repo, "STABILITY_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    assert reports, (
+        "no stability report committed — run "
+        "python tools/check_stability.py --json STABILITY_rN.json"
+    )
+    with open(reports[-1]) as f:
+        rep = json.load(f)
+    assert not rep["flagged"], (
+        f"partition-unstable queries in {os.path.basename(reports[-1])}: "
+        f"{rep['flagged']}"
+    )
+    missing = set(QUERIES) - set(rep["queries"])
+    assert not missing, (
+        f"registered queries absent from the stability report: {missing} — "
+        "re-run tools/check_stability.py"
     )
 
 
