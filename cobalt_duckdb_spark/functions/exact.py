@@ -130,27 +130,71 @@ def exact_round_ratio(num: Column, den: Column, dp: int = 4) -> Column:
 
     For post-aggregation rationals (an exact int64 sum over an exact count,
     a hit count over a total, …) where the true quotient can sit exactly on
-    a 10^-dp half-way point. Pure integer arithmetic; den must be > 0 (or
-    NULL, which propagates). |num|·10^dp must stay under 2^53.
+    a 10^-dp half-way point. Pure integer arithmetic; |num|·10^dp must stay
+    under 2^53. den ≤ 0 yields NULL (NULL den propagates) — and the den=0
+    branch is guarded with GREATEST because a caller's enclosing F.when
+    does NOT stop Spark evaluating this expression on discarded rows, and
+    ANSI mode would throw on the pmod-by-zero (same hazard exact_round_avg
+    documents).
     """
     n_scaled = (num.cast("long") * F.lit(10**dp)).cast("long")
     d = den.cast("long")
-    m = _trunc_div(2 * F.abs(n_scaled) + d, 2 * d)
+    d_safe = F.greatest(d, F.lit(1))
+    m = _trunc_div(2 * F.abs(n_scaled) + d_safe, 2 * d_safe)
     signed = F.when(n_scaled < 0, -m).otherwise(m)
-    return signed.cast("double") / F.lit(float(10**dp))
+    return F.when(d > 0, signed.cast("double") / F.lit(float(10**dp)))
 
 
 def exact_round_ratio_sql(
     num: str, den: str, dp: int = 4, dialect: str = "duckdb"
 ) -> str:
-    """SQL twin of :func:`exact_round_ratio` (integer-valued num/den)."""
+    """SQL twin of :func:`exact_round_ratio` (integer-valued num/den).
+
+    den ≤ 0 yields NULL via the CASE guard (GREATEST keeps the dead branch
+    from dividing by zero — mirrors the Column twin)."""
     intdiv = {"duckdb": "//", "spark": " div "}[dialect]
     n_scaled = f"(CAST({num} AS BIGINT) * {10**dp})"
     d = f"CAST({den} AS BIGINT)"
-    m = f"((2 * ABS({n_scaled}) + {d}) {intdiv} (2 * {d}))"
+    d_safe = f"GREATEST({d}, 1)"
+    m = f"((2 * ABS({n_scaled}) + {d_safe}) {intdiv} (2 * {d_safe}))"
     return (
-        f"(CASE WHEN {n_scaled} < 0 THEN -{m} ELSE {m} END"
-        f" / CAST({10 ** dp} AS DOUBLE))"
+        f"(CASE WHEN {d} > 0 THEN"
+        f" (CASE WHEN {n_scaled} < 0 THEN -{m} ELSE {m} END"
+        f" / CAST({10 ** dp} AS DOUBLE)) ELSE NULL END)"
+    )
+
+
+def spark_round_sql(expr: str, dp: int) -> str:
+    """DuckDB twin of Spark's ``ROUND(double, dp)`` for CONTINUOUS doubles.
+
+    Complementary to the exact aggregates above: those make the two
+    engines' doubles IDENTICAL (order-independent lattice aggregation);
+    this makes the two engines' ROUNDING of an already-identical double
+    identical. Spark rounds the double's SHORTEST DECIMAL REPRESENTATION
+    (``BigDecimal.valueOf`` → HALF_UP) while DuckDB rounds the binary
+    value — they disagree whenever the shortest repr terminates exactly at
+    dp+1 digits ending in 5 (measured ~1e-4 per value on smoothing-fold
+    outputs; redraw-fuzz caught ``events_ewma_user_value`` twice in six
+    seeds). DuckDB's ``CAST(double AS VARCHAR)`` produces the same
+    shortest round-trip repr, so parsing it back into a wide DECIMAL and
+    rounding half-away-from-zero replicates Spark bit-for-bit — including
+    the IEEE -0.0 → +0.0 normalization (decimals have no signed zero).
+
+    Contract: finite inputs with |x| < 1e18 (DECIMAL(38,20)); NULL
+    propagates. A shortest repr longer than 20 decimals (|x| < ~1e-4 with
+    17 significant digits) is truncated at the cast — a carry from digit
+    21 into digit dp+1 would need 20-dp consecutive nines, which is not a
+    realizable double pattern at these magnitudes.
+
+    Use for deterministic-by-construction doubles (sequential folds, pure
+    IEEE expression chains). For aggregates over lattices use
+    exact_round_sum/avg/ratio — rounding procedure parity cannot repair
+    accumulation-order divergence.
+    """
+    assert 0 <= dp <= 18
+    return (
+        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20)),"
+        f" {dp}) AS DOUBLE)"
     )
 
 

@@ -67,6 +67,7 @@ FLAGSHIP_QUERY_VEC_ID = 0
     ),
     topk AS (
         SELECT vec_id, _dist FROM scored
+        WHERE _dist IS NOT NULL
         ORDER BY _dist ASC, vec_id ASC LIMIT {FLAGSHIP_K}
     )
     SELECT CAST(row_number() OVER (ORDER BY t._dist ASC, t.vec_id ASC) AS BIGINT) AS rank,
@@ -85,7 +86,12 @@ def flagship_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     input — no model in the loop, SURVEY.md §5.2.2). The query row is
     broadcast-joined rather than collected to the driver: one Spark job, no
     driver round-trip, and the plan works unchanged when the query vector
-    comes from another table."""
+    comes from another table.
+
+    Degenerate contract (redraw-fuzz, SCALE.md §Round 5): a MISSING anchor
+    id returns an EMPTY result on both engines — Spark's inner broadcast
+    join with the empty query frame is naturally empty; the oracle filters
+    the NULL distances its scalar subquery would otherwise rank."""
     from cobalt_duckdb_spark.operators.knn import knn_topk_broadcast_query
 
     emb = load_table(spark, sf_dir, "embeddings")

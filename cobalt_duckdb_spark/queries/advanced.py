@@ -12,6 +12,7 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
     exact_round_avg_sql,
     exact_round_ratio,
+    exact_round_ratio_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
@@ -3339,12 +3340,12 @@ def stats_anova_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(v) AS BIGINT) AS n_parsed,
-           ROUND(COUNT(v) * 1.0 / COUNT(*), 4) AS parse_rate,
+           {rate} AS parse_rate,
            CAST(SUM(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_div_guarded,
            CAST(SUM(v) AS BIGINT) AS parsed_sum
     FROM parsed GROUP BY source ORDER BY source
-    """,
+    """.replace("{rate}", exact_round_ratio_sql("COUNT(v)", "COUNT(*)", 4)),
 )
 def sql_api_try_error_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode error discipline over dirty data: Spark 4 runs with
@@ -3382,7 +3383,7 @@ def sql_api_try_error_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.count("v").cast("bigint").alias("n_parsed"),
-            F.round(F.count("v") / F.count(F.lit(1)), 4).alias("parse_rate"),
+            exact_round_ratio(F.count("v"), F.count(F.lit(1)), 4).alias("parse_rate"),
             F.sum(F.when(F.col("safe_div").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_div_guarded"),

@@ -33,6 +33,8 @@ from cobalt_duckdb_spark.functions import text as T
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
     exact_round_avg_sql,
+    exact_round_ratio,
+    exact_round_ratio_sql,
     exact_round_sum,
     exact_round_sum_sql,
 )
@@ -1373,6 +1375,19 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Chance-agreement numerator as EXACT int64: E = r1*c1 + r0*c0 (products of
+# the confusion-matrix marginals). All kappa outputs are rationals over n or
+# n^2; the exact integer half-away-from-zero form keeps both engines
+# identical even when a group size makes the true value an exact 4-dp
+# half-way point (n' = 2^a*5^b denominators — see functions/exact.py).
+# Magnitude contract: n^2 * 10^4 < 2^53 holds through n ~ 3e7 documents;
+# beyond that this moves to the DECIMAL formulation like exact_round_sum.
+_KAPPA_E = (
+    "(CAST(n11 + n10 AS BIGINT) * CAST(n11 + n01 AS BIGINT)"
+    " + CAST(n00 + n01 AS BIGINT) * CAST(n00 + n10 AS BIGINT))"
+)
+
+
 @register(
     "pipeline_label_agreement_kappa",
     oracle="""
@@ -1391,18 +1406,24 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM labels
     )
     SELECT CAST(n AS BIGINT) AS n_docs,
-           ROUND((n11 + n00) / n, 4) AS observed_agreement,
-           ROUND(((n11 + n10) * (n11 + n01)
-                  + (n00 + n01) * (n00 + n10)) / (n * n), 4)
-               AS expected_agreement,
-           ROUND(((n11 + n00) / n
-                  - ((n11 + n10) * (n11 + n01)
-                     + (n00 + n01) * (n00 + n10)) / (n * n))
-                 / (1 - ((n11 + n10) * (n11 + n01)
-                         + (n00 + n01) * (n00 + n10)) / (n * n)), 4)
-               AS cohens_kappa
+           {po} AS observed_agreement,
+           {pe} AS expected_agreement,
+           CASE WHEN CAST(n * n AS BIGINT) <> {e_sum}
+                THEN {kappa} ELSE NULL END AS cohens_kappa
     FROM cm
-    """,
+    """.replace(
+        "{po}", exact_round_ratio_sql("n11 + n00", "n", 4)
+    ).replace(
+        "{pe}",
+        exact_round_ratio_sql(_KAPPA_E, "CAST(n AS BIGINT) * CAST(n AS BIGINT)", 4),
+    ).replace(
+        "{kappa}",
+        exact_round_ratio_sql(
+            f"CAST(n AS BIGINT) * CAST(n11 + n00 AS BIGINT) - {_KAPPA_E}",
+            f"CAST(n AS BIGINT) * CAST(n AS BIGINT) - {_KAPPA_E}",
+            4,
+        ),
+    ).replace("{e_sum}", _KAPPA_E),
 )
 def pipeline_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two independent quality labelers (here: a
@@ -1437,16 +1458,20 @@ def pipeline_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("n00"),
     )
-    po = (F.col("n11") + F.col("n00")) / F.col("n")
-    pe = (
-        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
-        + (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
-    ) / (F.col("n") * F.col("n"))
+    lng = lambda c: c.cast("long")
+    n = lng(F.col("n"))
+    e_sum = lng(F.col("n11") + F.col("n10")) * lng(
+        F.col("n11") + F.col("n01")
+    ) + lng(F.col("n00") + F.col("n01")) * lng(F.col("n00") + F.col("n10"))
+    agree = lng(F.col("n11") + F.col("n00"))
     return cm.select(
-        F.col("n").cast("bigint").alias("n_docs"),
-        F.round(po, 4).alias("observed_agreement"),
-        F.round(pe, 4).alias("expected_agreement"),
-        F.round((po - pe) / (1 - pe), 4).alias("cohens_kappa"),
+        n.alias("n_docs"),
+        exact_round_ratio(agree, n, 4).alias("observed_agreement"),
+        exact_round_ratio(e_sum, n * n, 4).alias("expected_agreement"),
+        F.when(
+            n * n != e_sum,
+            exact_round_ratio(n * agree - e_sum, n * n - e_sum, 4),
+        ).alias("cohens_kappa"),
     )
 
 

@@ -145,7 +145,7 @@ _DOREMI_ETA = 1.0
            ROUND(base_share, 6) AS base_share,
            ROUND(proxy_loss, 6) AS proxy_loss,
            ROUND(unnorm / SUM(unnorm) OVER (), 6) AS doremi_share,
-           ROUND(unnorm / SUM(unnorm) OVER () - base_share, 6) AS delta_share
+           ROUND(unnorm / SUM(unnorm) OVER () - base_share, 6) + 0 AS delta_share
     FROM scored ORDER BY source
     """,
 )
@@ -2563,10 +2563,14 @@ _ROCCHIO_K = 10
         SELECT vec_id FROM scored ORDER BY s DESC, vec_id LIMIT {_ROCCHIO_K}
     ),
     re AS (
+        /* EXISTS guard: with the anchor id absent (degenerate input), the
+           Spark side's broadcast of the empty query frame yields an empty
+           result; without the guard this CTE would rank NULL similarities
+           (and q1's zip over a NULL qv errors). Redraw-fuzz contract. */
         SELECT e.vec_id,
                ROUND(list_cosine_similarity(e.v, (SELECT qv1 FROM q1)), 6)
                    AS cos_refined
-        FROM e
+        FROM e WHERE EXISTS (SELECT 1 FROM q)
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos_refined DESC, vec_id)
                 AS BIGINT) AS rank,

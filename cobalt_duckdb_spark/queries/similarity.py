@@ -1025,10 +1025,15 @@ def _mmr_oracle() -> str:
         WHERE vec_id = 0
     ),
     poolv AS (
+        /* EXISTS guard: a missing anchor id must yield an EMPTY pool (and
+           so an empty result) exactly like the Spark side's inner
+           broadcast join with the empty query frame — otherwise this
+           would greedily rank NULL relevances. Redraw-fuzz contract. */
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             (SELECT qvec FROM q)), 6) AS rel
         FROM embeddings
+        WHERE EXISTS (SELECT 1 FROM q)
         ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_POOL}
     ),
     pool AS (SELECT vec_id, rel FROM poolv),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
     exact_round_avg_sql,
+    spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
@@ -425,12 +426,17 @@ _EWMA_SPAN = 20  # trailing rows folded per point
         FROM events WHERE user_id < 40
     )
     SELECT user_id, event_id, ROUND(value, 2) AS value,
-           ROUND(list_reduce(vals,
-                 (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA}), 6)
-               AS ewma
+           {{ewma}} AS ewma
     FROM windows
     ORDER BY user_id, event_id
-    """,
+    """.replace(
+        "{ewma}",
+        spark_round_sql(
+            f"list_reduce(vals, (acc, x) -> acc * {1 - _EWMA_ALPHA}"
+            f" + x * {_EWMA_ALPHA})",
+            6,
+        ),
+    ),
 )
 def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of event value per user — the
@@ -2484,8 +2490,15 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("xk")
     )
     top = ranked.filter(F.col("r") <= _HILL_K)
+    # LEFT join on a constant predicate, not crossJoin: when the corpus has
+    # fewer than K+1 qualifying rows the threshold frame is EMPTY, and a
+    # cross join would collapse the result to count=0 while the oracle's
+    # scalar subquery yields count=|top| with NULL stats. The left join
+    # reproduces the scalar-subquery semantics exactly (NULL xk, NULL
+    # log-excess, real count) — redraw-fuzz caught this divergence
+    # (SCALE.md §Round 5 fuzz). Catalyst still broadcasts the ≤1-row side.
     return (
-        top.crossJoin(F.broadcast(xk))
+        top.join(F.broadcast(xk), F.lit(True), "left")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("k_order_stats"),
             F.round(F.first("xk"), 4).alias("threshold_xk"),

@@ -192,7 +192,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_or_of_ands_predicates",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT {rev} AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
@@ -201,7 +201,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l.l_quantity >= 10 AND l.l_quantity <= 35)
        OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 20 AND 50
            AND l.l_quantity >= 20 AND l.l_quantity <= 45)
-    """,
+    """.replace(
+        "{rev}",
+        exact_round_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 2),
+    ),
 )
 def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: disjunction of conjunctive band predicates across the join —
@@ -226,8 +229,8 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -281,7 +284,7 @@ def q22_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue_by_customer",
     oracle="""
     SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {rev} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -292,11 +295,19 @@ def q22_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
-    """,
+    """.replace(
+        "{rev}",
+        exact_round_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 2),
+    ),
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: top customers by returned-item revenue (4-way join + agg +
-    top-k; nation broadcasts, orders date-filter prunes before the join)."""
+    top-k; nation broadcasts, orders date-filter prunes before the join).
+    Revenue is a 1e-4-lattice product sum rounded at 2 dp AND the ranking
+    key of the LIMIT 20 — the exact decimal path keeps both engines'
+    rounded values (hence the top-20 cut itself) identical; a redraw-fuzz
+    seed caught the double path flipping …5 boundaries here (SCALE.md
+    §Round 5 fuzz)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -310,8 +321,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "n_name", "revenue")
@@ -368,7 +379,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_cross_nation_trade",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue
+           {rev} AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
@@ -386,7 +397,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY 1, 2, 3
     ORDER BY supp_nation, cust_nation, l_year
-    """,
+    """.replace("{rev}", exact_round_sum_sql("volume", 2)),
 )
 def q7_cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7: bilateral trade volume between two nations per ship year —
@@ -417,8 +428,8 @@ def q7_cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -430,7 +441,7 @@ def q7_cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               {rev} AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -441,7 +452,9 @@ def q7_cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s_suppkey
-    """,
+    """.replace(
+        "{rev}", exact_round_sum_sql("l_extendedprice * (1 - l_discount)", 2)
+    ),
 )
 def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: the top-revenue supplier of a quarter — CTE reused twice (the
@@ -452,7 +465,7 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   {rev} AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -463,7 +476,10 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         ORDER BY s_suppkey
-        """
+        """.replace(
+            "{rev}",
+            exact_round_sum_sql("l_extendedprice * (1 - l_discount)", 2),
+        )
     )
 
 
@@ -1078,10 +1094,15 @@ def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_revenue_waterfall",
     oracle="""
     WITH comp AS (
-        SELECT SUM(l_extendedprice) AS gross,
-               -SUM(l_extendedprice * l_discount) AS discount_effect,
-               SUM(l_extendedprice * (1 - l_discount) * l_tax) AS tax_effect,
-               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS net
+        /* exact decimal sums: every component is a 1e-4/1e-6-lattice
+           product rounded at 2 dp downstream — the exact.py class */
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS gross,
+               -SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                   AS discount_effect,
+               SUM(CAST(l_extendedprice * (1 - l_discount) * l_tax
+                        AS DECIMAL(28,6))) AS tax_effect,
+               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        AS DECIMAL(28,6))) AS net
         FROM lineitem
     ),
     rows_ AS (
@@ -1093,9 +1114,10 @@ def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 3, 'tax', tax_effect FROM comp
     )
     SELECT CAST(step AS BIGINT) AS step, component,
-           ROUND(amount, 2) AS amount,
-           ROUND(SUM(amount) OVER (ORDER BY step), 2) AS running_total,
-           ROUND((SELECT net FROM comp), 2) AS final_net
+           CAST(ROUND(amount, 2) AS DOUBLE) AS amount,
+           CAST(ROUND(SUM(amount) OVER (ORDER BY step), 2) AS DOUBLE)
+               AS running_total,
+           CAST(ROUND((SELECT net FROM comp), 2) AS DOUBLE) AS final_net
     FROM rows_ ORDER BY step
     """,
 )
@@ -1115,18 +1137,25 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,6)")
     comp = l.agg(
-        F.sum("l_extendedprice").alias("gross"),
-        (-F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+        F.sum(dec(F.col("l_extendedprice"))).alias("gross"),
+        (-F.sum(dec(F.col("l_extendedprice") * F.col("l_discount")))).alias(
             "discount_effect"
         ),
         F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+            dec(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * F.col("l_tax")
+            )
         ).alias("tax_effect"),
         F.sum(
-            F.col("l_extendedprice")
-            * (1 - F.col("l_discount"))
-            * (1 + F.col("l_tax"))
+            dec(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
         ).alias("net"),
     )
     rows = None
@@ -1146,9 +1175,11 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         F.col("step").cast("bigint").alias("step"),
         "component",
-        F.round("amount", 2).alias("amount"),
-        F.round(F.sum("amount").over(run), 2).alias("running_total"),
-        F.round("net", 2).alias("final_net"),
+        F.round("amount", 2).cast("double").alias("amount"),
+        F.round(F.sum("amount").over(run), 2).cast("double").alias(
+            "running_total"
+        ),
+        F.round("net", 2).cast("double").alias("final_net"),
     ).orderBy("step")
 
 

@@ -174,3 +174,81 @@ def test_exact_round_sum_property(spark, cents, dp):
     d = _duck(values, exact_round_sum_sql("v", dp))
     assert s == d
     assert s == pytest.approx(expected, abs=0), (s, expected, cents, dp)
+
+
+def test_exact_round_ratio_zero_den_yields_null(spark):
+    # den=0 must yield NULL on BOTH engines without an ANSI pmod/div-by-zero
+    # error — even when the call sits inside a discarded F.when branch
+    # (Spark still evaluates it). Degenerate kappa case: n^2 == E.
+    import duckdb
+
+    from cobalt_duckdb_spark.functions.exact import (
+        exact_round_ratio,
+        exact_round_ratio_sql,
+    )
+
+    df = spark.createDataFrame([(7, 0), (7, 4)], "num long, den long")
+    out = (
+        df.select(
+            F.col("den"),
+            exact_round_ratio(F.col("num"), F.col("den"), 4).alias("r"),
+        )
+        .orderBy("den")
+        .collect()
+    )
+    assert out[0]["r"] is None
+    assert out[1]["r"] == 1.75
+    d = duckdb.sql(
+        "SELECT "
+        + exact_round_ratio_sql("num", "den", 4)
+        + " AS r FROM (VALUES (7, 0), (7, 4)) t(num, den) ORDER BY den"
+    ).fetchall()
+    assert d[0][0] is None and d[1][0] == 1.75
+
+
+def test_spark_round_sql_matches_spark_round(spark):
+    # Spark rounds the shortest decimal repr (BigDecimal.valueOf, HALF_UP);
+    # DuckDB ROUND(double) rounds the binary value. spark_round_sql must
+    # replicate Spark exactly — including the adversarial doubles whose
+    # shortest repr terminates at dp+1 digits ending in 5 (where plain
+    # DuckDB ROUND provably diverges), negatives, tiny scientific-notation
+    # magnitudes, the -0.0 normalization, and NULL.
+    import duckdb
+
+    from cobalt_duckdb_spark.functions.exact import spark_round_sql
+
+    vals = [
+        64.0251005,   # the redraw-fuzz catch (events_ewma_user_value)
+        -64.0251005,
+        0.0000005,
+        -1e-09,       # rounds to -0.0 in raw DuckDB; Spark emits +0.0
+        2.6755,
+        -2.6755,
+        123456.789012345,
+        0.1 + 0.2,    # classic non-terminating repr
+        38.37875,
+        1.0,
+        0.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got_spark = [
+        r["r"] for r in df.select(F.round("v", 6).alias("r")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT " + spark_round_sql("?::DOUBLE", 6), [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_spark == got_duck, list(zip(vals, got_spark, got_duck))
+    # sign of zero must agree too (the hash stringifies -0.0 as "-0")
+    import math
+
+    for g in got_duck:
+        if g == 0.0:
+            assert math.copysign(1.0, g) == 1.0
+    assert (
+        con.execute("SELECT " + spark_round_sql("NULL::DOUBLE", 6)).fetchone()[0]
+        is None
+    )

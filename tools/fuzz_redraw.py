@@ -1,0 +1,261 @@
+"""Fresh-data-draw fuzzer for the differential gate.
+
+Every driver round regenerates the test parquet, and SCALE.md §Round 5
+documents why that re-rolls dice this repo has now twice lost: a rounded
+aggregate whose TRUE value lands on an engine-divergent half-way point
+exists with constant probability per (group × rounded column), so a gate
+that only ever sees one fixed draw certifies nothing about the next one.
+
+This tool manufactures new draws deterministically and re-runs the full
+Spark-vs-DuckDB differential on each. Per seed it derives a perturbed copy
+of every table with the same schema and domain invariants:
+
+- measure columns are re-drawn ON THEIR LATTICE (prices ±5 cents re-rounded
+  to 2 dp, discounts/taxes resampled from their 1-cent grids, quantities
+  ±2 clamped to [1,50]) — exactly the values whose sums and means produce
+  half-way points;
+- fact tables are subsampled to ~90% by a seeded hash of their primary key
+  — group sizes change, so the 2^a·5^b group-size condition for exact
+  half-way means is re-rolled everywhere;
+- event timestamps shift ±30 min — window/session/watermark bucket
+  boundaries land differently;
+- one embedding dimension per vector is nudged — cosine rankings and SRP
+  band assignments re-roll;
+- keys, strings, dims (region/nation) and referential structure are
+  untouched, so every filter literal still matches and every join still
+  has both sides.
+
+All perturbations are pure column expressions keyed by
+``xxhash64(pk, seed)`` — the derived corpus is reproducible from the seed
+alone. Both engines then read the SAME derived parquet, so the comparison
+is exactly the driver's gate, just on a different world.
+
+Usage:
+    python tools/fuzz_redraw.py [--sf /root/testdata/sf0.001]
+        [--seeds 11 22 33] [--workdir /tmp/fuzz_redraw] [--json out.json]
+
+Exit 1 if any seed's differential reports a failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _h(cols, seed: int, salt: int):
+    from pyspark.sql import functions as F
+
+    return F.abs(F.xxhash64(*cols, F.lit(seed * 1000 + salt)))
+
+
+def build_redraw_dir(spark, sf_dir: str, out_dir: str, seed: int) -> None:
+    """Materialize one derived draw (idempotent per (sf, seed))."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out_dir, f"_built_s{seed}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+
+    def keep(cols, salt=0, pct=9):
+        return (_h(cols, seed, salt) % 10) < pct
+
+    def cents(col, pk, salt, spread_cents):
+        """col ± spread cents, re-snapped to the 2-dp lattice."""
+        delta = (
+            _h(pk, seed, salt) % (2 * spread_cents + 1) - spread_cents
+        ).cast("double") / 100.0
+        return F.round(F.col(col) + delta, 2)
+
+    def write(df, name):
+        # Single-FILE layout to match the driver's testdata (DuckDB's
+        # read_parquet('<dir>/t.parquet') in check_oracle expects a file,
+        # not a Spark part-file directory): coalesce(1), then promote the
+        # lone part file. Derived draws are sf0.001/sf0.01-sized, so the
+        # single-writer coalesce is not a bottleneck here.
+        import glob as _glob
+
+        tmp = os.path.join(out_dir, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+
+    # dims: byte-identical copies
+    for t in ("region", "nation"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+
+    read = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+
+    li = read("lineitem")
+    pk = [F.col("l_orderkey"), F.col("l_linenumber")]
+    write(
+        li.filter(keep(pk, 1))
+        .withColumn(
+            "l_quantity",
+            F.greatest(
+                F.lit(1.0),
+                F.least(
+                    F.lit(50.0),
+                    F.col("l_quantity") + (_h(pk, seed, 2) % 5 - 2).cast("double"),
+                ),
+            ),
+        )
+        .withColumn("l_extendedprice", cents("l_extendedprice", pk, 3, 5))
+        .withColumn(
+            "l_discount", ((_h(pk, seed, 4) % 11).cast("double") / 100.0)
+        )
+        .withColumn("l_tax", ((_h(pk, seed, 5) % 9).cast("double") / 100.0)),
+        "lineitem",
+    )
+
+    od = read("orders")
+    pk = [F.col("o_orderkey")]
+    write(
+        od.filter(keep(pk, 6)).withColumn(
+            "o_totalprice", cents("o_totalprice", pk, 7, 50)
+        ),
+        "orders",
+    )
+
+    write(
+        read("customer").withColumn(
+            "c_acctbal", cents("c_acctbal", [F.col("c_custkey")], 8, 100)
+        ),
+        "customer",
+    )
+    write(
+        read("supplier").withColumn(
+            "s_acctbal", cents("s_acctbal", [F.col("s_suppkey")], 9, 100)
+        ),
+        "supplier",
+    )
+    write(
+        read("part")
+        .withColumn(
+            "p_retailprice", cents("p_retailprice", [F.col("p_partkey")], 10, 50)
+        )
+        .withColumn(
+            "p_size",
+            F.greatest(
+                F.lit(1),
+                F.col("p_size")
+                + (_h([F.col("p_partkey")], seed, 11) % 3 - 1).cast("int"),
+            ),
+        ),
+        "part",
+    )
+
+    ev = read("events")
+    pk = [F.col("event_id")]
+    shift_s = (_h(pk, seed, 12) % 3601 - 1800).cast("int")
+    write(
+        ev.filter(keep(pk, 13))
+        .withColumn(
+            "ts", F.timestamp_add("SECOND", shift_s, F.col("ts"))
+        )
+        .withColumn("value", cents("value", pk, 14, 200)),
+        "events",
+    )
+
+    write(read("documents").filter(keep([F.col("doc_id")], 15)), "documents")
+
+    em = read("embeddings")
+    pk = [F.col("vec_id")]
+    dim = _h(pk, seed, 16) % F.size("embedding")
+    nudge = (
+        (_h(pk, seed, 17) % 21 - 10).cast("double") / 1000.0
+    )
+    write(
+        em.filter(keep(pk, 18)).withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == dim, x + nudge).otherwise(x),
+            ).cast("array<float>"),
+        ),
+        "embeddings",
+    )
+
+    open(marker, "w").close()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--seeds", nargs="+", type=int, default=[11, 22, 33])
+    ap.add_argument("--workdir", default="/tmp/fuzz_redraw")
+    ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--names", nargs="*", default=[])
+    args = ap.parse_args()
+
+    from cobalt_duckdb_spark.session import get_spark
+
+    spark = get_spark("fuzz-redraw")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    ok = True
+    for seed in args.seeds:
+        draw = os.path.join(
+            args.workdir,
+            f"{os.path.basename(args.sf.rstrip('/'))}_s{seed}",
+        )
+        build_redraw_dir(spark, args.sf, draw, seed)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "check_oracle.py"),
+                draw,
+                *args.names,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        tail = proc.stdout.strip().splitlines()
+        summary = tail[-1] if tail else ""
+        fails = [ln for ln in tail if ln.startswith("FAIL")]
+        m = re.match(r"(\d+)/(\d+) queries match", summary)
+        results[str(seed)] = {
+            "summary": summary,
+            "failures": fails[:20],
+            "exit": proc.returncode,
+        }
+        status = "OK " if proc.returncode == 0 and m else "RED"
+        print(f"seed {seed}: {status} {summary}")
+        for ln in fails[:10]:
+            print(f"  {ln}")
+        ok = ok and proc.returncode == 0
+    out = {"sf": args.sf, "seeds": args.seeds, "results": results}
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=2)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
