@@ -81,9 +81,22 @@ def _events_ts_unit(path: str) -> str:
     """Timestamp unit ('ns' | 'us' | ...) of events.ts from the Parquet
     footer. The driver has shipped testdata with BOTH encodings across
     rounds, so the loader adapts per file instead of assuming either; one
-    footer read per (session, sf_dir) thanks to the table cache."""
+    footer read per (session, sf_dir) thanks to the table cache.
+
+    ``path`` may be a single parquet file OR a Spark-written directory of
+    part files (every part of one write shares the footer schema, so
+    sniffing the first part suffices) — derived corpora from the probe /
+    fuzz tools and any real Spark-written lake layout arrive as
+    directories."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = parts[0]
     return pq.ParquetFile(path).schema_arrow.field("ts").type.unit
 
 # Per-session (sf_dir, table) → DataFrame. The testdata is immutable, so the

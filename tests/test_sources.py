@@ -380,3 +380,19 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
         # batch=2's footer won: batch=1's rows read with lang null
         assert urows[0]["lang"] is None and urows[1]["lang"] is None
         assert urows[3]["lang"] == "ja"
+
+
+def test_load_table_events_directory_layout(spark, sf_dir, tmp_path):
+    # Derived corpora (skew/fuzz probes, any real Spark-written lake) ship
+    # events.parquet as a DIRECTORY of part files; the ts-unit footer sniff
+    # must pick a part file instead of failing on the directory open.
+    import os
+
+    out = str(tmp_path / "derived")
+    os.makedirs(out)
+    src = load_table(spark, sf_dir, "events")
+    src.limit(100).repartition(4).write.parquet(out + "/events.parquet")
+    rows = load_table(spark, out, "events").collect()
+    assert len(rows) == 100
+    # unit adaptation still correct: no 1970 collapse
+    assert min(r["ts"] for r in rows).year > 1990
