@@ -45,10 +45,11 @@ def asof_join(
     per key ``on``.
 
     Implementation: tag both sides, union by (key, time), then
-    ``last(value, ignorenulls=True)`` over a running window (backward) /
-    ``first`` over the mirrored forward window — the standard distributed
-    merge-asof. Cost: one shuffle on the key, one sort within partitions;
-    output rows = |left|. Right rows are deduplicated to one per
+    ``last(value, ignorenulls=True)`` over a running window — ascending
+    time for backward, DESCENDING time for forward (the same running frame
+    mirrored by sort order, keeping WindowExec's O(n) incremental path in
+    both directions) — the standard distributed merge-asof. Cost: one
+    shuffle on the key, one sort within partitions; output rows = |left|. Right rows are deduplicated to one per
     (key, time) with a deterministic tie-break so results are stable (the
     reference's tie behavior is engine-accidental, SURVEY.md §5.2.4).
     """
@@ -89,13 +90,21 @@ def asof_join(
         *[F.col(c).alias(f"_lv_{c}") for c in left_cols],
     )
 
-    base = Window.partitionBy("_k").orderBy("_t", "_side")
+    # Both directions use the RUNNING frame (unboundedPreceding → current),
+    # which Spark's WindowExec evaluates incrementally in O(n) per partition.
+    # The mirror-image frame (current → unboundedFollowing) rescans the tail
+    # for every row — O(n²) per partition, measured 99× slower at 50k rows
+    # and 581× at 100k in one partition — so "forward" is expressed as
+    # backward over DESCENDING (time, side): the prefix of a left row in
+    # that order is exactly the rows with t > lt plus equal-time right rows
+    # (right sorts first at equal time via _side), and last(ignorenulls)
+    # picks the one nearest in time, i.e. the earliest right row ≥ lt.
     if fwd:
-        w = base.rowsBetween(0, Window.unboundedFollowing)
-        fill = F.first
+        base = Window.partitionBy("_k").orderBy(F.desc("_t"), F.desc("_side"))
     else:
-        w = base.rowsBetween(Window.unboundedPreceding, 0)
-        fill = F.last
+        base = Window.partitionBy("_k").orderBy("_t", "_side")
+    w = base.rowsBetween(Window.unboundedPreceding, 0)
+    fill = F.last
     unioned = r_side.unionByName(l_side)
     filled = unioned.select(
         "_k",
@@ -191,14 +200,19 @@ def asof_join_bucketed(
     )
     unioned = r_side.unionByName(l_side)
 
-    # (1) local as-of: the ONLY full-data window, partitioned on (key, bucket)
-    base = Window.partitionBy("_k", "_b").orderBy("_t", "_side")
+    # (1) local as-of: the ONLY full-data window, partitioned on (key, bucket).
+    # Forward runs over DESCENDING (time, side) so both directions use the
+    # incremental O(n) running frame — the (current → unboundedFollowing)
+    # frame is O(n²) per partition (see asof_join), which is exactly the
+    # hot-task blowup this bucketed variant exists to avoid.
     if fwd:
-        wloc = base.rowsBetween(0, Window.unboundedFollowing)
-        fill = F.first
+        base = Window.partitionBy("_k", "_b").orderBy(
+            F.desc("_t"), F.desc("_side")
+        )
     else:
-        wloc = base.rowsBetween(Window.unboundedPreceding, 0)
-        fill = F.last
+        base = Window.partitionBy("_k", "_b").orderBy("_t", "_side")
+    wloc = base.rowsBetween(Window.unboundedPreceding, 0)
+    fill = F.last
     r_marker = F.when(F.col("_side") == (1 if fwd else 0), F.col("_t"))
     filled = unioned.select(
         "_k",
@@ -235,13 +249,16 @@ def asof_join_bucketed(
     # (3) carry-in per (key, bucket): boundary right row of any EARLIER
     #     (backward) / LATER (forward) bucket — a window over the tiny
     #     spine, never the data
-    wspine = Window.partitionBy("_k").orderBy("_b")
+    # (_k, _b) is unique in the spine, so descending bucket order + the
+    # exclusive running frame is the exact mirror of "first among strictly
+    # later buckets" — again avoiding the quadratic tail-rescan frame even
+    # though the spine is small (one row per (key, bucket)).
     if fwd:
-        wcarry = wspine.rowsBetween(1, Window.unboundedFollowing)
-        cfill = F.first
+        wspine = Window.partitionBy("_k").orderBy(F.desc("_b"))
     else:
-        wcarry = wspine.rowsBetween(Window.unboundedPreceding, -1)
-        cfill = F.last
+        wspine = Window.partitionBy("_k").orderBy("_b")
+    wcarry = wspine.rowsBetween(Window.unboundedPreceding, -1)
+    cfill = F.last
     carry = spine.select(
         "_k",
         "_b",
@@ -279,11 +296,12 @@ def asof_join_nearest(
     ``merge_asof(direction='nearest')`` semantics). Output = left columns +
     matched right values + ``matched_time``.
 
-    One shuffle, one sort: both directional candidates come from a single
-    union + ONE window partition (two frames over the same sort — Spark
-    evaluates them in one WindowExec): running ``last(ignorenulls)`` fills
-    the latest-before candidate, mirrored ``first`` fills the
-    earliest-after, and a scalar comparison picks the nearer. Equal-time
+    One shuffle, two in-partition sorts: both directional candidates come
+    from a single union + one window PARTITIONING (ascending and descending
+    orderings over the same key — two WindowExecs, no second exchange):
+    running ``last(ignorenulls)`` over ascending time fills the
+    latest-before candidate, the same running frame over descending time
+    fills the earliest-after, and a scalar comparison picks the nearer. Equal-time
     right rows match the backward leg (they sort before the left row), so
     Δt=0 — which always wins — is never missed. Right rows are deduplicated
     to one per (key, time) exactly as :func:`asof_join`."""
@@ -317,22 +335,34 @@ def asof_join_nearest(
         ],
         *[F.col(c).alias(f"_lv_{c}") for c in left_cols],
     )
+    # Both legs use the incremental O(n) running frame; the forward leg runs
+    # over DESCENDING (time, side) rather than the (current →
+    # unboundedFollowing) frame, which is O(n²) per partition (tail rescan
+    # per row — see asof_join). Two orderings over the SAME partition key =
+    # two WindowExecs separated by an in-partition re-sort, still one
+    # shuffle; at equal time the right row (side 0) sorts after the left row
+    # (side 1) descending, so the forward leg keeps its strictly-later
+    # semantics and Δt=0 ties stay with the backward leg, which wins anyway.
     base = Window.partitionBy("_k").orderBy("_t", "_side")
     wb = base.rowsBetween(Window.unboundedPreceding, 0)
-    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.desc("_t"), F.desc("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     filled = r_side.unionByName(l_side).select(
         "_k",
         "_t",
         "_side",
         *[F.col(f"_lv_{c}") for c in left_cols],
         F.last("_rt", ignorenulls=True).over(wb).alias("_bt"),
-        F.first("_rt", ignorenulls=True).over(wf).alias("_ft"),
+        F.last("_rt", ignorenulls=True).over(wf).alias("_ft"),
         *[
             F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
             for c in right_values
         ],
         *[
-            F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+            F.last(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
             for c in right_values
         ],
     )

@@ -1512,8 +1512,11 @@ def events_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.row_number().over(Window.orderBy("h")).cast("double").alias("pos"),
     )
+    # next-observation lookup runs the same O(n) running frame over
+    # DESCENDING pos — the (current → unboundedFollowing) frame rescans the
+    # tail per row (O(grid²); quadratic even on the calendar-bounded grid)
     back = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    fwd = Window.orderBy("pos").rowsBetween(0, Window.unboundedFollowing)
+    fwd = Window.orderBy(F.desc("pos")).rowsBetween(Window.unboundedPreceding, 0)
     vpos = F.when(F.col("v").isNotNull(), F.col("pos"))
     br = series.select(
         "h",
@@ -1521,8 +1524,8 @@ def events_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.last("v", ignorenulls=True).over(back).alias("pv"),
         F.last(vpos, ignorenulls=True).over(back).alias("pp"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(vpos, ignorenulls=True).over(fwd).alias("np"),
+        F.last("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(vpos, ignorenulls=True).over(fwd).alias("np"),
     )
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
