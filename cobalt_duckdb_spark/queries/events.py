@@ -787,12 +787,20 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind marketing-mix and funnel-credit reporting.
 
     Scale shape: the purchase×touch meet is a double-bounded interval join
-    on user_id (the T6 stream-stream batch-twin shape — finite state in the
-    streaming form); per-purchase touch counts ride a window over the
+    on user_id run through :func:`band_join_bucketed` — the plain
+    equi+residual form enumerates |purch_u|×|touch_u| pairs per user before
+    the band filter (the skew probe measured ×3.97 under a 40%-hot-user
+    corpus), while the (user, 30-min bucket) key bounds the hot user's work
+    by per-bucket density. Per-purchase touch counts ride a window over the
     already-shuffled purchase key, and the final per-type rollup is a 4-row
     aggregate. The division happens before the sum so the allocation is
     conserved: Σ attributed = Σ value of attributed purchases."""
     from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.operators.joins import (
+        band_join_bucketed,
+        minute_bucket_fn,
+    )
 
     e = load_table(spark, sf_dir, "events")
     purch = e.filter(F.col("event_type") == "purchase").select(
@@ -801,11 +809,15 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch = e.filter(F.col("event_type") != "purchase").select(
         "user_id", "event_type", F.col("ts").alias("t_ts")
     )
-    pairs = purch.join(
+    pairs = band_join_bucketed(
+        purch,
         touch,
-        (purch.user_id == touch.user_id)
-        & (F.col("t_ts") <= F.col("ts"))
-        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+        "user_id",
+        "ts",
+        "t_ts",
+        band_lo=lambda t: t - F.expr("INTERVAL 30 MINUTES"),
+        band_hi=lambda t: t,
+        bucket_fn=minute_bucket_fn(30),
     ).select("purchase_id", "value", "event_type")
     n_touch = F.count("*").over(Window.partitionBy("purchase_id"))
     credited = pairs.withColumn("credit", F.col("value") / n_touch)

@@ -2119,10 +2119,17 @@ def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     exponents.
 
     Scale shape: identical to the linear sibling — the purchase↔touch
-    interval join is user-keyed (co-partitioned equi part + bounded time
-    band), the per-purchase normalization is a purchase-keyed window, and
-    the rollup is |types| rows. Nothing new shuffles."""
+    interval join runs through :func:`band_join_bucketed` on a (user,
+    {_DECAY_WINDOW_MIN}-min bucket) key, so a hot user's pair enumeration
+    is bounded by per-bucket density instead of |purch_u|×|touch_u|; the
+    per-purchase normalization is a purchase-keyed window, and the rollup
+    is |types| rows. Nothing new shuffles."""
     from pyspark.sql import Window
+
+    from cobalt_duckdb_spark.operators.joins import (
+        band_join_bucketed,
+        minute_bucket_fn,
+    )
 
     e = load_table(spark, sf_dir, "events")
     purch = e.filter(F.col("event_type") == "purchase").select(
@@ -2134,13 +2141,15 @@ def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     # ts is TIMESTAMP_NTZ — unix_micros wants LTZ; NTZ-safe timestampdiff
     gap_us = F.expr("timestampdiff(MICROSECOND, tts, pts)").cast("double")
     pairs = (
-        purch.join(touch, "user_id")
-        .filter(
-            (F.col("tts") <= F.col("pts"))
-            & (
-                F.col("tts")
-                >= F.col("pts") - F.expr(f"INTERVAL {_DECAY_WINDOW_MIN} MINUTES")
-            )
+        band_join_bucketed(
+            purch,
+            touch,
+            "user_id",
+            "pts",
+            "tts",
+            band_lo=lambda t: t - F.expr(f"INTERVAL {_DECAY_WINDOW_MIN} MINUTES"),
+            band_hi=lambda t: t,
+            bucket_fn=minute_bucket_fn(_DECAY_WINDOW_MIN),
         )
         .select(
             "purchase_id",

@@ -368,7 +368,15 @@ def correlate_clicks_to_errors(
     ``how='left_outer'`` keeps errors with NO click in the window (click
     columns NULL) — in streaming mode the null-extended row is emitted only
     once the watermark proves no matching click can still arrive, so outer
-    results are late by the watermark delay by design."""
+    results are late by the watermark delay by design.
+
+    Batch inputs route through :func:`~cobalt_duckdb_spark.operators.joins.
+    band_join_bucketed` instead of the plain equi+residual join: streaming
+    state is bounded by the watermark, but the batch twin's hash join
+    enumerates |errors_u| × |clicks_u| pairs per user before the band
+    filter — quadratic in a hot user. The (user, window-width bucket) key
+    gives the same rows with per-bucket-bounded work; the left_outer twin
+    null-extends unmatched errors with an anti join on error_id."""
     from pyspark.sql import functions as F
 
     e = errors.select(
@@ -384,14 +392,46 @@ def correlate_clicks_to_errors(
     if errors.isStreaming:
         e = e.withWatermark("error_ts", "10 minutes")
         c = c.withWatermark("click_ts", "10 minutes")
-    cond = (
-        (e.user_id == c.c_user_id)
-        & (c.click_ts <= e.error_ts)
-        & (c.click_ts >= e.error_ts - F.expr(f"INTERVAL {within}"))
+        cond = (
+            (e.user_id == c.c_user_id)
+            & (c.click_ts <= e.error_ts)
+            & (c.click_ts >= e.error_ts - F.expr(f"INTERVAL {within}"))
+        )
+        return e.join(c, cond, how).select(
+            "user_id", "error_id", "error_ts", "click_id", "click_ts"
+        )
+
+    from cobalt_duckdb_spark.operators.joins import (
+        band_join_bucketed,
+        minute_bucket_fn,
     )
-    return e.join(c, cond, how).select(
-        "user_id", "error_id", "error_ts", "click_id", "click_ts"
+
+    qty, unit = within.split()
+    width_min = int(qty) * {"minute": 1, "minutes": 1, "hour": 60, "hours": 60}[unit]
+    matched = band_join_bucketed(
+        e,
+        c.withColumnRenamed("c_user_id", "user_id"),
+        "user_id",
+        "error_ts",
+        "click_ts",
+        band_lo=lambda t: t - F.expr(f"INTERVAL {within}"),
+        band_hi=lambda t: t,
+        bucket_fn=minute_bucket_fn(width_min),
+    ).select("user_id", "error_id", "error_ts", "click_id", "click_ts")
+    if how == "inner":
+        return matched
+    if how != "left_outer":
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    orphans = e.join(
+        matched.select("error_id"), "error_id", "left_anti"
+    ).select(
+        "user_id",
+        "error_id",
+        "error_ts",
+        F.lit(None).cast(c.schema["click_id"].dataType).alias("click_id"),
+        F.lit(None).cast(c.schema["click_ts"].dataType).alias("click_ts"),
     )
+    return matched.unionByName(orphans)
 
 
 def windowed_type_counts(
