@@ -146,15 +146,30 @@ def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a numeric ordering column: for each event, how many of
     the same user's events have value within ±5. Values are 2-dp currency, so
     ordering by integer cents keeps the frame bounds integral (Spark's
-    rangeBetween takes long offsets) and the comparison exact in both engines."""
+    rangeBetween takes long offsets) and the comparison exact in both engines.
+
+    Runs through :func:`range_frame_window_bucketed` — partitioned on
+    (user, 1000-cent bucket) with ≤2× row replication instead of one task
+    per user, so a hot user's events spread across value buckets (skew
+    probe: ×8.1 → flat)."""
+    from cobalt_duckdb_spark.operators.windows import range_frame_window_bucketed
+
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    w = Window.partitionBy("user_id").orderBy(cents).rangeBetween(-500, 500)
-    return e.select(
+    out = range_frame_window_bucketed(
+        e.withColumn("_cents", cents),
+        ["user_id"],
+        F.col("_cents"),
+        -500,
+        500,
+        {"n_within_5": lambda w: F.count(F.lit(1)).over(w).cast("bigint")},
+        bucket_width=1000,
+    )
+    return out.select(
         "user_id",
         "event_id",
         F.round("value", 2).alias("value"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_within_5"),
+        "n_within_5",
     ).orderBy("user_id", "value", "event_id")
 
 
@@ -180,23 +195,37 @@ def window_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection shape). Spark's rangeBetween takes LONG offsets, so the
     ordering column is epoch MICROseconds — full timestamp precision, exactly
     DuckDB's RANGE INTERVAL semantics (ordering by epoch seconds would
-    truncate and disagree at boundaries)."""
+    truncate and disagree at boundaries).
+
+    Runs through :func:`range_frame_window_bucketed` on a (user, hour
+    bucket) partition — the trailing-hour frame replicates each row into
+    at most the next hour bucket, so a hot user's stream splits across
+    hours instead of serializing through one task."""
+    from cobalt_duckdb_spark.operators.windows import range_frame_window_bucketed
+
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     # ts is TIMESTAMP_NTZ (io.load_table); unix_micros needs LTZ. The cast
     # interprets wall time in the session tz — only frame *differences*
     # matter for RANGE membership, so any fixed offset cancels out.
     micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(micros)
-        .rangeBetween(-3_600_000_000, 0)
+    out = range_frame_window_bucketed(
+        e,
+        ["user_id"],
+        micros,
+        -3_600_000_000,
+        0,
+        {
+            "n_trailing_1h": lambda w: F.count(F.lit(1)).over(w).cast("bigint"),
+            "value_trailing_1h": lambda w: F.round(F.sum("value").over(w), 2),
+        },
+        bucket_width=3_600_000_000,
     )
-    return e.select(
+    return out.select(
         "user_id",
         "event_id",
         "ts",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
-        F.round(F.sum("value").over(w), 2).alias("value_trailing_1h"),
+        "n_trailing_1h",
+        "value_trailing_1h",
     ).orderBy("user_id", "ts", "event_id")
 
 

@@ -1,5 +1,6 @@
 """Unit tests for operators on tiny literal frames + planted-dup checks."""
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1816,3 +1817,65 @@ def test_selection_pack_semantic_invariants(spark, sf_dir):
         .collect()
     )
     assert dense_top == [r["vec_id"] for r in brute]
+
+
+# ---------------------------------------------------------------------------
+# range_frame_window_bucketed: exact equivalence to the plain window
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_window_case(spark, lo, hi, width):
+    import random
+
+    from cobalt_duckdb_spark.operators.windows import (
+        range_frame_window_bucketed,
+    )
+
+    rng = random.Random(hash((lo, hi, width)) & 0xFFFF)
+    # hottest key owns ~half the rows; order values cluster so frames span
+    # bucket boundaries both sparsely and densely
+    rows = [
+        (
+            1 if rng.random() < 0.5 else rng.randrange(2, 8),
+            rng.randrange(-5000, 5000),
+            i,
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, o BIGINT, rid BIGINT")
+    aggs = {
+        "n": lambda w: F.count(F.lit(1)).over(w).cast("bigint"),
+        "s": lambda w: F.sum("o").over(w).cast("bigint"),
+    }
+    got = range_frame_window_bucketed(
+        df, ["k"], F.col("o"), lo, hi, aggs, bucket_width=width
+    )
+    w = Window.partitionBy("k").orderBy("o").rangeBetween(lo, hi)
+    want = df.select("*", *[fn(w).alias(name) for name, fn in aggs.items()])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_range_frame_window_bucketed_trailing(spark):
+    _bucketed_window_case(spark, lo=-700, hi=0, width=700)
+
+
+def test_range_frame_window_bucketed_symmetric_wide_bucket(spark):
+    _bucketed_window_case(spark, lo=-300, hi=300, width=1500)
+
+
+def test_range_frame_window_bucketed_rejects_narrow_bucket(spark):
+    from cobalt_duckdb_spark.operators.windows import (
+        range_frame_window_bucketed,
+    )
+
+    df = spark.range(1).select(F.lit(1).alias("k"), F.col("id").alias("o"))
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_frame_window_bucketed(
+            df, ["k"], F.col("o"), -10, 10, {}, bucket_width=5
+        )
+    with pytest.raises(ValueError, match="straddle"):
+        range_frame_window_bucketed(
+            df, ["k"], F.col("o"), 5, 10, {}, bucket_width=100
+        )

@@ -26,9 +26,12 @@ bounded-per-entity-cardinality contract (documented) or a salted two-phase
 rewrite (chunk the hot entity by coarse time bucket, compute locally,
 merge boundaries — see SCALE.md §Round 5 skew posture).
 
-Flagging: ratio > ``--flag-ratio`` (default 3.0). Rows-out is reported so
-output-size changes (e.g. fewer distinct users → fewer groups) can be
-separated from plan degradation.
+Flagging: time ratio normalized by output growth (``per_row_ratio`` =
+time ratio / max(1, rows ratio)) > ``--flag-ratio`` (default 3.0). The
+hot key passes study filters (user_id < K), so per-key output can grow
+~60× legitimately; plan degradation is time growing out of proportion
+with output. Raw-ratio exceeders whose per-row cost stayed flat land in
+``output_growth`` instead — reported, never silently dropped.
 
 Usage:
     python tools/probe_skew.py [--sf /root/testdata/sf0.1]
@@ -166,7 +169,7 @@ def main() -> int:
         if any(fnmatch.fnmatch(n, p) for p in args.names)
         and (explicit or n not in DEFAULT_EXCLUDE)
     }
-    report, flagged = {}, []
+    report, flagged, output_growth = {}, [], []
     for name, fn in selected.items():
         try:
             base_s, base_rows = time_query(fn, spark, args.sf)
@@ -177,17 +180,33 @@ def main() -> int:
             print(f"ERROR {name}: {e}")
             continue
         ratio = round(skew_s / base_s, 2) if base_s > 0 else None
+        # The hot key frequently passes study filters (user_id < K), so
+        # per-key window/join output can legitimately grow ~60x. Plan
+        # degradation is time growing OUT OF PROPORTION with output:
+        # normalize the time ratio by output growth (never below 1x) and
+        # flag on that. Raw-ratio exceeders whose per-row cost stayed flat
+        # are reported separately so they can't silently vanish.
+        rows_ratio = (skew_rows / base_rows) if base_rows else None
+        eff = (
+            round(ratio / max(1.0, rows_ratio), 2)
+            if ratio is not None and rows_ratio is not None
+            else ratio
+        )
         report[name] = {
             "base_sec": base_s,
             "skew_sec": skew_s,
             "ratio": ratio,
+            "per_row_ratio": eff,
             "rows_base": base_rows,
             "rows_skew": skew_rows,
         }
         mark = ""
-        if ratio is not None and ratio > args.flag_ratio:
+        if eff is not None and eff > args.flag_ratio:
             flagged.append(name)
             mark = "  <-- SKEW-SENSITIVE"
+        elif ratio is not None and ratio > args.flag_ratio:
+            output_growth.append(name)
+            mark = "  (output growth)"
         print(
             f"{name:<44} {base_s:>7.2f}s -> {skew_s:>7.2f}s  x{ratio}"
             f"  rows {base_rows}->{skew_rows}{mark}"
@@ -198,6 +217,7 @@ def main() -> int:
         "hot_frac": args.hot_frac,
         "flag_ratio": args.flag_ratio,
         "flagged": flagged,
+        "output_growth": output_growth,
         "excluded": {} if explicit else DEFAULT_EXCLUDE,
         "queries": report,
     }
