@@ -147,6 +147,41 @@ def test_stability_report_current():
     )
 
 
+def test_scaling_report_current():
+    """The newest committed SCALING_r*.json must cover every registered
+    query and flag none. tools/probe_scaling.py times each query at two
+    committed scale factors (sf0.01 -> sf0.1, a 10x data step) and flags
+    super-linear time-vs-data slopes after normalizing for legitimate
+    output growth — the volume axis complementing probe_dup (duplication)
+    and probe_skew (hot keys). Registering a query without re-running the
+    sweep is a test failure (same trip-wire as the stability report)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reports = sorted(
+        glob.glob(os.path.join(repo, "SCALING_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    assert reports, (
+        "no scaling report committed — run "
+        "python tools/probe_scaling.py --json SCALING_rN.json"
+    )
+    with open(reports[-1]) as f:
+        rep = json.load(f)
+    assert not rep["flagged"], (
+        f"super-linear queries in {os.path.basename(reports[-1])}: "
+        f"{rep['flagged']}"
+    )
+    missing = set(QUERIES) - set(rep["queries"]) - set(rep.get("excluded", {}))
+    assert not missing, (
+        f"registered queries absent from the scaling report: {missing} — "
+        "re-run tools/probe_scaling.py"
+    )
+
+
 def test_probe_family_coverage():
     """Every pair-emitting-family registry entry is either selected by the
     duplication probe's default patterns or carries a documented exclusion
