@@ -182,6 +182,50 @@ def test_scaling_report_current():
     )
 
 
+def test_skew_report_current():
+    """The newest committed SKEW_r*.json must cover every registry entry in
+    the key-shuffle-sensitive families (probe_skew's DEFAULT_PATTERNS minus
+    documented exclusions) and carry zero plan-shaped flags. The probe
+    reassigns 40% of events to one user and times BASE vs SKEW; output
+    growth is normalized away (per_row_ratio), so a flag means a genuinely
+    skew-quadratic plan — the class the r5 as-of frame rewrite removed."""
+    import fnmatch
+    import glob
+    import json
+    import os
+    import re
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tools.probe_skew import DEFAULT_EXCLUDE, DEFAULT_PATTERNS
+
+    reports = sorted(
+        glob.glob(os.path.join(repo, "SKEW_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    assert reports, (
+        "no skew report committed — run python tools/probe_skew.py --json SKEW_rN.json"
+    )
+    with open(reports[-1]) as f:
+        rep = json.load(f)
+    assert not rep["flagged"], (
+        f"plan-shaped skew flags in {os.path.basename(reports[-1])}: {rep['flagged']}"
+    )
+    selected = {
+        n
+        for n in QUERIES
+        if any(fnmatch.fnmatch(n, p) for p in DEFAULT_PATTERNS)
+    }
+    missing = selected - set(rep["queries"]) - set(DEFAULT_EXCLUDE)
+    assert not missing, (
+        f"skew-sensitive registry entries absent from the skew report: {missing} — "
+        "re-run tools/probe_skew.py"
+    )
+    stale = set(DEFAULT_EXCLUDE) - set(QUERIES)
+    assert not stale, f"skew exclusions for unregistered names: {stale}"
+
+
 def test_probe_family_coverage():
     """Every pair-emitting-family registry entry is either selected by the
     duplication probe's default patterns or carries a documented exclusion
