@@ -8,6 +8,9 @@ fraction of fact rows collapse onto one hot entity —
   ``user_id = 1`` (timestamps/types/values untouched);
 - ``lineitem``: the same fraction of lines reassigned to ``l_partkey = 1``
   and, independently hashed, ``l_suppkey = 1``;
+- ``orders``: the same fraction reassigned to ``o_custkey = 1`` (one
+  whale customer holding 40% of all orders — the customer-keyed twin of
+  the hot user/part/supplier);
 - every other table copied through unchanged —
 
 then times each selected query at BASE vs SKEW (same row counts, same
@@ -68,6 +71,12 @@ DEFAULT_PATTERNS = [
     "q11_*",
     "q15_*",
     "q20_*",
+    "q3_*",
+    "q4_*",
+    "q10_*",
+    "q13_*",
+    "q18_*",
+    "q22_*",
     "agg_*",
     "stats_*",
 ]
@@ -82,11 +91,15 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+_BUILD_V = 2  # v2: + orders.o_custkey hot key
+
 
 def build_skew_dir(spark, sf_dir: str, out_dir: str, hot_frac: float) -> None:
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out_dir, f"_built_f{hot_frac}")
+    # bump _BUILD_V whenever the derivation changes, else a cached workdir
+    # from an older builder silently serves the old corpus
+    marker = os.path.join(out_dir, f"_built_f{hot_frac}_v{_BUILD_V}")
     if os.path.exists(marker):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -118,8 +131,19 @@ def build_skew_dir(spark, sf_dir: str, out_dir: str, hot_frac: float) -> None:
         .parquet(os.path.join(out_dir, "lineitem.parquet"))
     )
 
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    hot_c = F.abs(F.xxhash64("o_orderkey", F.lit(10))) % 100 < pct
+    (
+        od.withColumn(
+            "o_custkey", F.when(hot_c, F.lit(1).cast("long")).otherwise(F.col("o_custkey"))
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+
     for t in TABLES:
-        if t in ("events", "lineitem"):
+        if t in ("events", "lineitem", "orders"):
             continue
         src = os.path.join(sf_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
