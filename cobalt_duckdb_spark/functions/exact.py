@@ -39,12 +39,15 @@ The portable recipe, verified identical on Spark 4 and DuckDB:
 Each helper ships as a (Spark Column, oracle-SQL fragment) pair so a query
 and its DuckDB twin stay mechanically in lockstep.
 
-Magnitude contract: inputs cast to DECIMAL(28, ``scale``); the integer mean
-path requires ``|sum| · 10^scale`` and ``2·count·10^(scale-dp)`` to fit an
-int64 and stay under 2^53 (exact double division of exact multiples) —
-holds through |sum| ≤ 4·10^8 at the default scale=6, far above any test SF;
-at the 100 TB end the same recipe widens to DECIMAL(38, s) unchanged, only
-the int64 mean path would move to a wider integer type.
+Magnitude contract: per-row casts use DECIMAL(18, ``scale``) — the compact
+long-backed representation (values up to 10^12 at the default scale=6, far
+above any per-row magnitude here) — and Spark's SUM widens the accumulator
+to DECIMAL(28, ``scale``) itself (headroom 10^22). The half-away integer
+divisions run on DECIMAL(38,0) operands through the exact integral-divide
+operator (Spark ``div`` / DuckDB ``//`` on HUGEINT), so they carry NO 2^53
+ceiling: only the final QUOTIENT (a rounded mean scaled by 10^dp — small by
+construction) must fit an int64. The recipe is magnitude-safe through
+DECIMAL(38) sums, i.e. the 100 TB end, without switching types.
 """
 
 from __future__ import annotations
@@ -56,12 +59,21 @@ from pyspark.sql import functions as F
 # input and every product of two 2-dp-grid inputs (1e-4 grid) is represented
 # EXACTLY, and finer (truly continuous) inputs are snapped deterministically.
 _SCALE = 6
+# Oracle-side cast precision (DuckDB SUM widens to DECIMAL(38,s) regardless).
 _SUMPREC = 28
+# Spark-side PER-ROW cast precision: 18 keeps the compact long-backed Decimal
+# representation in the scan/partial-agg hot path (values < 10^12 at scale 6;
+# SUM itself widens its accumulator to precision+10 = 28, headroom 10^22).
+# Cross-engine safety needs only the same SCALE on both sides — both casts
+# round-to-nearest onto the same 10^-scale lattice and ties are impossible
+# (a decimal half-way point is not a dyadic rational) — so the Spark and
+# oracle precisions may differ.
+_ROWPREC = 18
 
 
 def _dec(col: Column | str, scale: int) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({_SUMPREC},{scale})")
+    return c.cast(f"decimal({_ROWPREC},{scale})")
 
 
 def exact_round_sum(col: Column | str, dp: int, scale: int = _SCALE) -> Column:
@@ -88,13 +100,18 @@ def exact_round_sum_sql(expr: str, dp: int, scale: int = _SCALE) -> str:
 
 
 def _trunc_div(a: Column, b: Column) -> Column:
-    """Exact truncating integer division for NON-NEGATIVE int64 a, positive b.
+    """Exact truncating integer division, non-negative a, positive b.
 
-    ``(a - pmod(a,b)) / b``: the numerator is an exact multiple of b, and
-    both operands stay below 2^53, so the double division is exact. Avoids
-    SQL-text ``div`` so the helper composes with arbitrary Column inputs.
-    """
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    Runs Spark's integral-divide operator on DECIMAL(38,0) operands —
+    exact at ANY operand magnitude (BigDecimal divideToIntegralValue), no
+    doubles anywhere. Only the QUOTIENT must fit an int64 (``div`` returns
+    LongType); every caller divides a scaled sum by a scaled count, so the
+    quotient is a rounded mean/ratio × 10^dp — small by construction.
+    ``F.call_function`` keeps the helper composable with arbitrary Column
+    inputs (``F.expr`` is text-only)."""
+    return F.call_function(
+        "div", a.cast("decimal(38,0)"), b.cast("decimal(38,0)")
+    )
 
 
 def exact_round_avg(
@@ -113,35 +130,85 @@ def exact_round_avg(
     assert 0 < dp <= scale
     s = F.sum(_dec(col, scale))
     n = F.count(F.col(col) if isinstance(col, str) else col)
-    # Narrow before the power-of-ten multiply so Spark's decimal * stays
-    # inside precision 38 and cannot enter precision-loss rounding.
-    big_n = (s.cast(f"decimal(20,{scale})") * F.lit(10**scale)).cast("long")
-    # greatest(n,1): ANSI mode throws on mod-by-zero and the all-NULL-group
-    # (n=0) branch is still *evaluated* under F.when — the outer n>0 guard
-    # discards the dummy result.
+    # s is DECIMAL(28,scale); × 10^scale (precision 7,0) → DECIMAL(36,scale),
+    # exact (≤ 38), holding an integer value — cast to (38,0) is lossless.
+    # No int64 anywhere on the numerator path, so no 2^53/2^63 ceiling.
+    big_n = (s * F.lit(10**scale)).cast("decimal(38,0)")
+    # greatest(n,1): the all-NULL-group (n=0) branch is still *evaluated*
+    # under F.when — the outer n>0 guard discards the dummy result.
     d = F.greatest(n, F.lit(1)) * F.lit(10 ** (scale - dp))
     m = _trunc_div(2 * F.abs(big_n) + d, 2 * d)
-    signed = F.when(big_n < 0, -m).otherwise(m)
+    signed = F.when(big_n < F.lit(0), -m).otherwise(m)
     return F.when(n > 0, signed.cast("double") / F.lit(float(10**dp)))
+
+
+def exact_round_avg_int(
+    col: Column | str, dp: int = 4, unit_scale: int = 0
+) -> Column:
+    """``ROUND(AVG(col), dp)`` for columns EXACT on a coarse 10^-unit_scale
+    lattice (integer-valued counts/quantities at unit_scale=0, cent-valued
+    rates/prices at unit_scale=2).
+
+    Same engine-independent half-away-from-zero arithmetic as
+    :func:`exact_round_avg`, but the per-row representation is a plain
+    BIGINT (``round(col·10^unit_scale)`` — the true value sits within
+    ~1e-10 of the lattice point, so nearest-int is identical on both
+    engines and ties are impossible) and the accumulator is a compact
+    int64 SUM instead of a DECIMAL — measured ~3× cheaper per aggregate on
+    scan-shaped queries (q1 A/B, SCALE.md §Round 5). The final division
+    runs on DECIMAL(38,0) like the decimal path, so the only magnitude
+    contract is the int64 SUM itself: |Σ col|·10^unit_scale < 9.2·10^18
+    (e.g. quantities ≤ 50 over 6·10^11 rows at 100 TB: 3·10^13 — fine;
+    NOT suitable for dollar-scale columns at extreme row counts — use
+    :func:`exact_round_avg` there).
+    """
+    assert 0 <= unit_scale and 0 < dp
+    c = F.col(col) if isinstance(col, str) else col
+    iv = F.round(c * F.lit(10**unit_scale), 0).cast("long")
+    s = F.sum(iv)
+    n = F.count(c)
+    num = s.cast("decimal(38,0)") * F.lit(10**dp)
+    d = F.greatest(n, F.lit(1)) * F.lit(10**unit_scale)
+    m = _trunc_div(2 * F.abs(num) + d, 2 * d)
+    signed = F.when(num < F.lit(0), -m).otherwise(m)
+    return F.when(n > 0, signed.cast("double") / F.lit(float(10**dp)))
+
+
+def exact_round_avg_int_sql(
+    expr: str, dp: int = 4, unit_scale: int = 0, dialect: str = "duckdb"
+) -> str:
+    """SQL twin of :func:`exact_round_avg_int` (same lattice, same rounding)."""
+    assert 0 <= unit_scale and 0 < dp
+    intdiv = {"duckdb": "//", "spark": " div "}[dialect]
+    wide = {"duckdb": "HUGEINT", "spark": "DECIMAL(38,0)"}[dialect]
+    s = f"SUM(CAST(ROUND(({expr}) * {10 ** unit_scale}, 0) AS BIGINT))"
+    num = f"(CAST({s} AS {wide}) * {10 ** dp})"
+    d = f"(GREATEST(COUNT({expr}), 1) * {10 ** unit_scale})"
+    m = f"((2 * ABS({num}) + {d}) {intdiv} (2 * {d}))"
+    return (
+        f"(CASE WHEN COUNT({expr}) > 0 THEN"
+        f" (CASE WHEN {num} < 0 THEN -{m} ELSE {m} END"
+        f" / CAST({10 ** dp} AS DOUBLE)) ELSE NULL END)"
+    )
 
 
 def exact_round_ratio(num: Column, den: Column, dp: int = 4) -> Column:
     """``ROUND(num/den, dp)`` half-away-from-zero for INTEGER-VALUED Columns.
 
-    For post-aggregation rationals (an exact int64 sum over an exact count,
-    a hit count over a total, …) where the true quotient can sit exactly on
-    a 10^-dp half-way point. Pure integer arithmetic; |num|·10^dp must stay
-    under 2^53. den ≤ 0 yields NULL (NULL den propagates) — and the den=0
-    branch is guarded with GREATEST because a caller's enclosing F.when
-    does NOT stop Spark evaluating this expression on discarded rows, and
-    ANSI mode would throw on the pmod-by-zero (same hazard exact_round_avg
-    documents).
+    For post-aggregation rationals (an exact integer sum over an exact
+    count, a hit count over a total, …) where the true quotient can sit
+    exactly on a 10^-dp half-way point. Pure integer/decimal arithmetic on
+    DECIMAL(38,0) operands — no magnitude ceiling below 10^33. den ≤ 0
+    yields NULL (NULL den propagates) — and the den=0 branch is guarded
+    with GREATEST because a caller's enclosing F.when does NOT stop Spark
+    evaluating this expression on discarded rows, and ANSI mode would
+    throw on a division by zero (same hazard exact_round_avg documents).
     """
-    n_scaled = (num.cast("long") * F.lit(10**dp)).cast("long")
+    n_scaled = num.cast("decimal(38,0)") * F.lit(10**dp)
     d = den.cast("long")
     d_safe = F.greatest(d, F.lit(1))
     m = _trunc_div(2 * F.abs(n_scaled) + d_safe, 2 * d_safe)
-    signed = F.when(n_scaled < 0, -m).otherwise(m)
+    signed = F.when(n_scaled < F.lit(0), -m).otherwise(m)
     return F.when(d > 0, signed.cast("double") / F.lit(float(10**dp)))
 
 
@@ -151,9 +218,12 @@ def exact_round_ratio_sql(
     """SQL twin of :func:`exact_round_ratio` (integer-valued num/den).
 
     den ≤ 0 yields NULL via the CASE guard (GREATEST keeps the dead branch
-    from dividing by zero — mirrors the Column twin)."""
+    from dividing by zero — mirrors the Column twin). DuckDB runs the
+    half-away division on HUGEINT (int128), Spark-dialect on DECIMAL(38,0)
+    through ``div`` — exact at any magnitude on both, like the Column twin."""
     intdiv = {"duckdb": "//", "spark": " div "}[dialect]
-    n_scaled = f"(CAST({num} AS BIGINT) * {10**dp})"
+    wide = {"duckdb": "HUGEINT", "spark": "DECIMAL(38,0)"}[dialect]
+    n_scaled = f"(CAST({num} AS {wide}) * {10**dp})"
     d = f"CAST({den} AS BIGINT)"
     d_safe = f"GREATEST({d}, 1)"
     m = f"((2 * ABS({n_scaled}) + {d_safe}) {intdiv} (2 * {d_safe}))"
@@ -212,12 +282,23 @@ def exact_round_avg_sql(
     """
     assert 0 < dp <= scale
     intdiv = {"duckdb": "//", "spark": " div "}[dialect]
-    # narrow the decimal sum before the power-of-ten multiply so Spark's
-    # decimal * cannot enter its precision-loss path (20+7+1 = 28 <= 38)
-    big_n = (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_SUMPREC},{scale})))"
-        f" AS DECIMAL(20,{scale})) * {10 ** scale} AS BIGINT)"
-    )
+    if dialect == "duckdb":
+        # DuckDB widens SUM(DECIMAL) to precision 38; narrow to 31 so the
+        # ×10^scale multiply fits DuckDB's strict p1+p2 ≤ 38 rule (31+7),
+        # then land the integer value in HUGEINT (int128) — the half-away
+        # division below is exact at any realistic magnitude.
+        big_n = (
+            f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_SUMPREC},{scale})))"
+            f" AS DECIMAL(31,{scale})) * {10 ** scale} AS HUGEINT)"
+        )
+    else:
+        # Spark: per-row DECIMAL(18,s) keeps the compact representation;
+        # SUM widens to (28,s); ×10^scale → (36,s), exact; the integer
+        # value casts losslessly to DECIMAL(38,0) and `div` is exact.
+        big_n = (
+            f"CAST(SUM(CAST(({expr}) AS DECIMAL({_ROWPREC},{scale})))"
+            f" * {10 ** scale} AS DECIMAL(38,0))"
+        )
     d = f"(GREATEST(COUNT({expr}), 1) * {10 ** (scale - dp)})"
     m = f"((2 * ABS({big_n}) + {d}) {intdiv} (2 * {d}))"
     # divisor spelled CAST(... AS DOUBLE): Spark SQL parses a bare `10000.0`

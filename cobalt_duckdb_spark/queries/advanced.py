@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
+    exact_round_avg_int,
+    exact_round_avg_int_sql,
     exact_round_avg_sql,
     exact_round_ratio,
     exact_round_ratio_sql,
@@ -2165,9 +2167,9 @@ def stats_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
            {avg_att} AS att,
            ROUND(AVG(dist), 6) AS avg_match_distance
     FROM matched WHERE rn = 1
-    """.replace("{avg_t}", exact_round_avg_sql("t_outcome", 4))
-    .replace("{avg_c}", exact_round_avg_sql("c_outcome", 4))
-    .replace("{avg_att}", exact_round_avg_sql("t_outcome - c_outcome", 4)),
+    """.replace("{avg_t}", exact_round_avg_int_sql("t_outcome", 4, 2))
+    .replace("{avg_c}", exact_round_avg_int_sql("c_outcome", 4, 2))
+    .replace("{avg_att}", exact_round_avg_int_sql("t_outcome - c_outcome", 4, 2)),
 )
 def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariate matching with replacement for an ATT estimate: every
@@ -2248,9 +2250,9 @@ def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         # outcomes live on the 2-dp value lattice: their means (and the
         # paired-difference mean) can sit exactly on 4-dp half-way points —
         # exact integer rounding per functions/exact.py
-        exact_round_avg(F.col("t_outcome"), 4).alias("treated_mean_outcome"),
-        exact_round_avg(F.col("c_outcome"), 4).alias("control_mean_outcome"),
-        exact_round_avg(F.col("t_outcome") - F.col("c_outcome"), 4).alias("att"),
+        exact_round_avg_int(F.col("t_outcome"), 4, 2).alias("treated_mean_outcome"),
+        exact_round_avg_int(F.col("c_outcome"), 4, 2).alias("control_mean_outcome"),
+        exact_round_avg_int(F.col("t_outcome") - F.col("c_outcome"), 4, 2).alias("att"),
         F.round(F.avg("dist"), 6).alias("avg_match_distance"),
     )
 

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
+    exact_round_avg_int,
+    exact_round_avg_int_sql,
     exact_round_avg_sql,
     exact_round_sum,
     exact_round_sum_sql,
@@ -982,7 +984,7 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e JOIN stats s ON e.event_type = s.event_type
     GROUP BY e.event_type ORDER BY e.event_type
-    """.replace("{mean_raw}", exact_round_avg_sql("e.value", 4)).replace(
+    """.replace("{mean_raw}", exact_round_avg_int_sql("e.value", 4, 2)).replace(
         "{mean_wins}",
         exact_round_avg_sql("LEAST(GREATEST(e.value, s.p01), s.p99)", 4),
     ),
@@ -1008,7 +1010,7 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            exact_round_avg(F.col("value"), 4).alias("mean_raw"),
+            exact_round_avg_int(F.col("value"), 4, 2).alias("mean_raw"),
             exact_round_avg(clipped, 4).alias("mean_winsorized"),
             F.sum(
                 F.when(

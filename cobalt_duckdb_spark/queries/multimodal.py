@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
+    exact_round_avg_int,
+    exact_round_avg_int_sql,
     exact_round_avg_sql,
     exact_round_ratio,
     exact_round_ratio_sql,
@@ -392,7 +394,7 @@ _CUT_THRESHOLD = 5
         FROM sig
     )
     SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media,
-           {exact_round_avg_sql('d', 4)} AS mean_frame_delta,
+           {exact_round_avg_int_sql('d', 4, 0)} AS mean_frame_delta,
            CAST(SUM(CASE WHEN d >= {_CUT_THRESHOLD} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_cuts,
            {exact_round_ratio_sql(
@@ -474,7 +476,7 @@ def multimodal_scene_cut_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROUND is engine-dependent — exact integer rounding (functions/exact.py)
     return cuts.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_media"),
-        exact_round_avg(F.col("d"), 4).alias("mean_frame_delta"),
+        exact_round_avg_int(F.col("d"), 4, 0).alias("mean_frame_delta"),
         F.sum(F.when(F.col("d") >= _CUT_THRESHOLD, 1).otherwise(0))
         .cast("bigint")
         .alias("n_cuts"),

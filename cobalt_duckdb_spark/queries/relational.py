@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
+    exact_round_avg_int,
+    exact_round_avg_int_sql,
     exact_round_avg_sql,
     exact_round_sum,
     exact_round_sum_sql,
@@ -56,16 +58,19 @@ from cobalt_duckdb_spark.queries import register
             "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2
         ),
     )
-    .replace("{avg_qty}", exact_round_avg_sql("l_quantity", 4))
+    .replace("{avg_qty}", exact_round_avg_int_sql("l_quantity", 4, 0))
     .replace("{avg_price}", exact_round_avg_sql("l_extendedprice", 4))
-    .replace("{avg_disc}", exact_round_avg_sql("l_discount", 4)),
+    .replace("{avg_disc}", exact_round_avg_int_sql("l_discount", 4, 2)),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1. Raw-column sums at their own 2-dp grid are safe to round
     as doubles; the product sums (1e-4 / 1e-6 lattices) and the 4-dp means
     (exact half-way points when a group size is 2^a·5^b) use the exact
-    decimal discipline of functions/exact.py so the result is independent
-    of accumulation order AND engine rounding procedure."""
+    discipline of functions/exact.py so the result is independent of
+    accumulation order AND engine rounding procedure. The qty/discount
+    means ride the BIGINT lattice path (integer- and cent-valued columns;
+    ~3× cheaper accumulators than decimal, same exactness — SCALE.md);
+    the price mean keeps the decimal path for 100 TB sum headroom."""
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -78,9 +83,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_round_sum(disc_price * (1 + F.col("l_tax")), 2).alias(
                 "sum_charge"
             ),
-            exact_round_avg(F.col("l_quantity"), 4).alias("avg_qty"),
+            exact_round_avg_int(F.col("l_quantity"), 4, 0).alias("avg_qty"),
             exact_round_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
-            exact_round_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            exact_round_avg_int(F.col("l_discount"), 4, 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1041,9 +1046,9 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(value, 0.5), 4) AS median,
            {mean_all} - {trimmed} AS tail_pull
     FROM ranked GROUP BY event_type ORDER BY event_type
-    """.replace("{mean_all}", exact_round_avg_sql("value", 4)).replace(
+    """.replace("{mean_all}", exact_round_avg_int_sql("value", 4, 2)).replace(
         "{trimmed}",
-        exact_round_avg_sql("CASE WHEN pr BETWEEN 0.1 AND 0.9 THEN value END", 4),
+        exact_round_avg_int_sql("CASE WHEN pr BETWEEN 0.1 AND 0.9 THEN value END", 4, 2),
     ),
 )
 def agg_trimmed_mean_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,9 +1081,9 @@ def agg_trimmed_mean_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2-dp values can sit exactly on a 4-dp half-way point); tail_pull is
     # the difference of the two PUBLISHED rounded means — self-consistent
     # and a subtraction of bit-identical doubles on every engine.
-    mean_all = exact_round_avg(F.col("value"), 4)
-    trimmed_x = exact_round_avg(
-        F.when(F.col("pr").between(0.1, 0.9), F.col("value")), 4
+    mean_all = exact_round_avg_int(F.col("value"), 4, 2)
+    trimmed_x = exact_round_avg_int(
+        F.when(F.col("pr").between(0.1, 0.9), F.col("value")), 4, 2
     )
     return (
         ranked.groupBy("event_type")

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from cobalt_duckdb_spark.functions import text as T
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
+    exact_round_avg_int,
+    exact_round_avg_int_sql,
     exact_round_avg_sql,
 )
 from cobalt_duckdb_spark.io import load_table
@@ -178,7 +180,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND levenshtein(a.p_name, b.p_name) <= 3
     )
     GROUP BY p_brand ORDER BY p_brand
-    """.replace("{avg_dist}", exact_round_avg_sql("d", 4)),
+    """.replace("{avg_dist}", exact_round_avg_int_sql("d", 4, 0)),
 )
 def text_levenshtein_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-matching (fuzzy dedup for short strings like
@@ -220,7 +222,7 @@ def text_levenshtein_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("d").between(1, 3), 1).otherwise(0))
             .cast("bigint")
             .alias("n_near"),
-            exact_round_avg(F.col("d"), 4).alias("avg_dist"),
+            exact_round_avg_int(F.col("d"), 4, 0).alias("avg_dist"),
         )
         .orderBy("p_brand")
     )

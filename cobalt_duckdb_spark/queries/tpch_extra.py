@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
+    exact_round_avg_int,
+    exact_round_avg_int_sql,
     exact_round_avg_sql,
     exact_round_ratio,
     exact_round_ratio_sql,
@@ -859,7 +861,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(days, 0.9), 4) AS p90_days,
            {sla_rate} AS sla_violation_rate
     FROM lt GROUP BY priority ORDER BY priority
-    """.replace("{mean_days}", exact_round_avg_sql("days", 4)).replace(
+    """.replace("{mean_days}", exact_round_avg_int_sql("days", 4, 0)).replace(
         "{sla_rate}",
         exact_round_ratio_sql(
             "SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END)", "COUNT(*)", 4
@@ -891,7 +893,7 @@ def orders_fulfillment_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFra
         lt.groupBy("priority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            exact_round_avg(F.col("days"), 4).alias("mean_days"),
+            exact_round_avg_int(F.col("days"), 4, 0).alias("mean_days"),
             F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
             exact_round_ratio(
                 F.sum(F.when(F.col("days") > 90, 1).otherwise(0)),
@@ -1203,7 +1205,7 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(gap, 0.9), 2) AS p90_days,
            {mean_days} AS mean_days
     FROM iv WHERE gap IS NOT NULL
-    """.replace("{mean_days}", exact_round_avg_sql("gap", 2)),
+    """.replace("{mean_days}", exact_round_avg_int_sql("gap", 2, 0)),
 )
 def orders_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase cycle: the distribution of day gaps between a
@@ -1229,5 +1231,5 @@ def orders_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("gap").cast("bigint").alias("n_intervals"),
         F.round(F.expr("percentile(gap, 0.5)"), 2).alias("p50_days"),
         F.round(F.expr("percentile(gap, 0.9)"), 2).alias("p90_days"),
-        exact_round_avg(F.col("gap"), 2).alias("mean_days"),
+        exact_round_avg_int(F.col("gap"), 2, 0).alias("mean_days"),
     )

@@ -176,6 +176,84 @@ def test_exact_round_sum_property(spark, cents, dp):
     assert s == pytest.approx(expected, abs=0), (s, expected, cents, dp)
 
 
+@settings(**_HSETTINGS)
+@given(
+    cents=st.lists(st.integers(-10_000_00, 10_000_00), min_size=1, max_size=24),
+    dp=st.sampled_from([2, 3, 4]),
+)
+def test_exact_round_avg_int_property(spark, cents, dp):
+    """The BIGINT cent-lattice mean must agree with the decimal-path mean,
+    the DuckDB twin, and the exact integer reference on the same draws the
+    decimal property test uses."""
+    from cobalt_duckdb_spark.functions.exact import (
+        exact_round_avg_int,
+        exact_round_avg_int_sql,
+    )
+
+    values = [c / 100.0 for c in cents]
+    expected = _py_half_away(sum(cents), 100 * len(cents), dp)
+    s = _spark(spark, values, exact_round_avg_int(F.col("v"), dp, 2))
+    d = _duck(values, exact_round_avg_int_sql("v", dp, 2))
+    s_dec = _spark(spark, values, exact_round_avg(F.col("v"), dp))
+    assert s == d == s_dec
+    assert s == pytest.approx(expected, abs=0), (s, expected, cents, dp)
+
+
+def test_exact_round_avg_int_integer_values(spark):
+    # unit_scale=0: integer-valued column (TPC-H l_quantity). 3 values with
+    # mean 7/3 = 2.3333…, and a half-way case 3/2 = 1.5 at dp=0-equivalent
+    # grids; NULLs excluded like AVG.
+    from cobalt_duckdb_spark.functions.exact import (
+        exact_round_avg_int,
+        exact_round_avg_int_sql,
+    )
+
+    vals = [1.0, 2.0, 4.0, None]
+    s = _spark(spark, vals, exact_round_avg_int(F.col("v"), 4, 0))
+    d = _duck(vals, exact_round_avg_int_sql("v", 4, 0))
+    assert s == d == 2.3333
+    vals2 = [1.0, 2.0]  # mean 1.5: 4-dp repr exact, no half-way at dp=4
+    assert _spark(spark, vals2, exact_round_avg_int(F.col("v"), 4, 0)) == 1.5
+
+
+def test_exact_round_avg_wide_operands_beyond_2_53(spark):
+    # The half-away division runs on DECIMAL(38,0) operands (Spark `div`,
+    # DuckDB HUGEINT `//`), so sums whose micro-unit integer exceeds 2^53
+    # must still round EXACTLY. n=2 values summing to 10,000,000,000.01:
+    # micro-units N = 1.0000000000001e16 > 2^53, mean 5,000,000,000.005 is
+    # an exact 2-dp half-way point -> 5000000000.01 half-away on both
+    # engines. A double-based division here could be off by one ulp and
+    # flip the digit; the integer reference pins it.
+    vals = [10_000_000_000.00, 0.01]
+    expected = _py_half_away(1_000_000_000_001, 200, 2)
+    assert expected == 5_000_000_000.01
+    s = _spark(spark, vals, exact_round_avg(F.col("v"), 2))
+    d = _duck(vals, exact_round_avg_sql("v", 2))
+    assert s == d == expected, (s, d, expected)
+
+
+def test_exact_round_ratio_wide_operands_beyond_2_63(spark):
+    # num·10^dp beyond even int64: 2^60 over 2^59 at dp=4 scales the
+    # numerator to ~1.15e22 — representable only on the DECIMAL/HUGEINT
+    # path. Exact quotient 2.0.
+    from cobalt_duckdb_spark.functions.exact import (
+        exact_round_ratio,
+        exact_round_ratio_sql,
+    )
+
+    num, den = 2**60, 2**59
+    df = spark.createDataFrame([(num, den)], "num long, den long")
+    s = df.select(
+        exact_round_ratio(F.col("num"), F.col("den"), 4).alias("r")
+    ).collect()[0]["r"]
+    d = duckdb.sql(
+        "SELECT "
+        + exact_round_ratio_sql("num", "den", 4)
+        + f" AS r FROM (VALUES (CAST({num} AS BIGINT), CAST({den} AS BIGINT))) t(num, den)"
+    ).fetchone()[0]
+    assert s == d == 2.0, (s, d)
+
+
 def test_exact_round_ratio_zero_den_yields_null(spark):
     # den=0 must yield NULL on BOTH engines without an ANSI pmod/div-by-zero
     # error — even when the call sits inside a discarded F.when branch
