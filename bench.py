@@ -30,6 +30,38 @@ from cobalt_duckdb_spark.session import get_spark
 from cobalt_duckdb_spark.queries import queries
 
 
+def _calibrate(spark) -> float:
+    """Host-speed anchor: a fixed, data-independent workload (synthetic scan
+    → hash shuffle into ~1M groups → global agg), min-of-3 after one warm
+    run. Round-5 found same-code full-bench totals drifting ±30% across
+    days on this box (SCALE.md "what the totals can and cannot tell you");
+    dividing two runs' totals by their calib_sec ratio separates host drift
+    from code-attributable change. The workload touches the same cost
+    centers as the registry median query — whole-stage codegen arithmetic,
+    one hash exchange, partial aggregation — and no data files, so it is
+    identical on every host and every scale factor.
+    """
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(
+                ((F.col("id") * F.lit(2654435761)) % F.lit(100003)).alias("k"),
+                (F.col("id") % F.lit(97)).cast("double").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("ss"), F.sum("n").alias("nn"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    run()  # plan/JIT warm-up
+    return round(min(run() for _ in range(3)), 4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", nargs="+", default=None)
@@ -91,6 +123,11 @@ def main() -> None:
         )
         return
 
+    # Host-speed anchor (full runs only — subset mode stays lean): measured
+    # AFTER the query sweep so it reflects the same JVM state the timings
+    # accumulated, and is itself min-of-3.
+    calib_sec = _calibrate(spark)
+
     # Warm-path KNN throughput at the reference's operating point: repeated
     # queries against a resident (persisted, normalized) vector store —
     # the reference's serving loop (vector.py:139-188) equivalent.
@@ -142,6 +179,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "knn_warm_ms_per_query": knn_ms,
+        "calib_sec": calib_sec,
     }
     print(json.dumps(full_record))
     # The driver's BENCH_r{N}.json keeps only a ~2 KB tail of this output,
@@ -178,6 +216,7 @@ def main() -> None:
                 "median_sec": round(median, 4) if median is not None else None,
                 "max_sec": ts[-1] if ts else None,
                 "knn_warm_ms_per_query": knn_ms,
+                "calib_sec": calib_sec,
                 "sf": sf_dir,
             }
         )

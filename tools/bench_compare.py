@@ -23,6 +23,18 @@ def main() -> int:
     oq, nq = old["queries"], new["queries"]
 
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s")
+    # Host-speed anchor (bench.py `calib_sec`, round 5+): the same fixed
+    # synthetic workload timed on each host/day. When both records carry it,
+    # report the host ratio and the host-normalized total ratio — the number
+    # that is actually attributable to code.
+    oc, nc = old.get("calib_sec"), new.get("calib_sec")
+    if oc and nc:
+        host = nc / oc
+        raw = new["value"] / old["value"]
+        print(
+            f"calib: {oc:.3f}s -> {nc:.3f}s (host x{host:.2f}); "
+            f"total raw x{raw:.2f}, host-normalized x{raw / host:.2f}"
+        )
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     if added:
