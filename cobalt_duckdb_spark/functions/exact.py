@@ -198,15 +198,19 @@ def exact_round_ratio(num: Column, den: Column, dp: int = 4) -> Column:
     For post-aggregation rationals (an exact integer sum over an exact
     count, a hit count over a total, …) where the true quotient can sit
     exactly on a 10^-dp half-way point. Pure integer/decimal arithmetic on
-    DECIMAL(38,0) operands — no magnitude ceiling below 10^33. den ≤ 0
-    yields NULL (NULL den propagates) — and the den=0 branch is guarded
-    with GREATEST because a caller's enclosing F.when does NOT stop Spark
-    evaluating this expression on discarded rows, and ANSI mode would
-    throw on a division by zero (same hazard exact_round_avg documents).
+    DECIMAL(38,0) operands for BOTH numerator and denominator — no
+    magnitude ceiling below 10^33 on either (a product of two 100-TB row
+    counts, ~10^24, fits; callers passing such products should build them
+    in DECIMAL, e.g. ``a.cast("decimal(38,0)") * b``, so the multiply
+    itself cannot overflow int64 upstream). den ≤ 0 yields NULL (NULL den
+    propagates) — and the den=0 branch is guarded with GREATEST because a
+    caller's enclosing F.when does NOT stop Spark evaluating this
+    expression on discarded rows, and ANSI mode would throw on a division
+    by zero (same hazard exact_round_avg documents).
     """
     n_scaled = num.cast("decimal(38,0)") * F.lit(10**dp)
-    d = den.cast("long")
-    d_safe = F.greatest(d, F.lit(1))
+    d = den.cast("decimal(38,0)")
+    d_safe = F.greatest(d, F.lit(1).cast("decimal(38,0)"))
     m = _trunc_div(2 * F.abs(n_scaled) + d_safe, 2 * d_safe)
     signed = F.when(n_scaled < F.lit(0), -m).otherwise(m)
     return F.when(d > 0, signed.cast("double") / F.lit(float(10**dp)))
@@ -220,11 +224,13 @@ def exact_round_ratio_sql(
     den ≤ 0 yields NULL via the CASE guard (GREATEST keeps the dead branch
     from dividing by zero — mirrors the Column twin). DuckDB runs the
     half-away division on HUGEINT (int128), Spark-dialect on DECIMAL(38,0)
-    through ``div`` — exact at any magnitude on both, like the Column twin."""
+    through ``div`` — exact at any magnitude on both, like the Column twin;
+    the denominator is widened the same way, so count-product denominators
+    (up to ~10^33) carry no int64 ceiling."""
     intdiv = {"duckdb": "//", "spark": " div "}[dialect]
     wide = {"duckdb": "HUGEINT", "spark": "DECIMAL(38,0)"}[dialect]
     n_scaled = f"(CAST({num} AS {wide}) * {10**dp})"
-    d = f"CAST({den} AS BIGINT)"
+    d = f"CAST({den} AS {wide})"
     d_safe = f"GREATEST({d}, 1)"
     m = f"((2 * ABS({n_scaled}) + {d_safe}) {intdiv} (2 * {d_safe}))"
     return (

@@ -15,6 +15,7 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg_sql,
     exact_round_ratio,
     exact_round_ratio_sql,
+    spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
@@ -2257,9 +2258,26 @@ def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact difference-of-cell-means: each cell exposes its cent sum s (exact
+# int) and count n; mean_post − mean_pre = (s_q·n_p − s_p·n_q)/(100·n_p·n_q)
+# is an integer rational, rounded half-away without ever rounding a double
+# (functions/exact.py). Widened to HUGEINT/DECIMAL(38,0) so count-product
+# denominators carry no int64 ceiling at the 100 TB end.
+_DID_T = exact_round_ratio_sql(
+    "(CAST(s_tq AS HUGEINT) * n_tp - CAST(s_tp AS HUGEINT) * n_tq)",
+    "(CAST(100 AS HUGEINT) * n_tp * n_tq)",
+    4,
+)
+_DID_C = exact_round_ratio_sql(
+    "(CAST(s_cq AS HUGEINT) * n_cp - CAST(s_cp AS HUGEINT) * n_cq)",
+    "(CAST(100 AS HUGEINT) * n_cp * n_cq)",
+    4,
+)
+
+
 @register(
     "stats_diff_in_diff",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
         SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0,
                MAX(CAST(ts AS TIMESTAMP)) AS t1
@@ -2280,25 +2298,33 @@ def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
         SELECT arm, period,
                CAST(COUNT(*) AS BIGINT) AS n,
-               AVG(value) AS mean_value
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s
         FROM assigned GROUP BY arm, period
     ),
     wide AS (
         SELECT
-            (SELECT mean_value FROM cells
-             WHERE arm = 'treat' AND period = 'pre') AS tp,
-            (SELECT mean_value FROM cells
-             WHERE arm = 'treat' AND period = 'post') AS tq,
-            (SELECT mean_value FROM cells
-             WHERE arm = 'control' AND period = 'pre') AS cp,
-            (SELECT mean_value FROM cells
-             WHERE arm = 'control' AND period = 'post') AS cq,
+            (SELECT s FROM cells
+             WHERE arm = 'treat' AND period = 'pre') AS s_tp,
+            (SELECT n FROM cells
+             WHERE arm = 'treat' AND period = 'pre') AS n_tp,
+            (SELECT s FROM cells
+             WHERE arm = 'treat' AND period = 'post') AS s_tq,
+            (SELECT n FROM cells
+             WHERE arm = 'treat' AND period = 'post') AS n_tq,
+            (SELECT s FROM cells
+             WHERE arm = 'control' AND period = 'pre') AS s_cp,
+            (SELECT n FROM cells
+             WHERE arm = 'control' AND period = 'pre') AS n_cp,
+            (SELECT s FROM cells
+             WHERE arm = 'control' AND period = 'post') AS s_cq,
+            (SELECT n FROM cells
+             WHERE arm = 'control' AND period = 'post') AS n_cq,
             (SELECT SUM(n) FROM cells) AS n_total
     )
     SELECT CAST(n_total AS BIGINT) AS n_obs,
-           ROUND(tq - tp, 4) AS treat_delta,
-           ROUND(cq - cp, 4) AS control_delta,
-           ROUND((tq - tp) - (cq - cp), 4) AS did_estimate
+           {_DID_T} AS treat_delta,
+           {_DID_C} AS control_delta,
+           ROUND(({_DID_T}) - ({_DID_C}), 4) AS did_estimate
     FROM wide
     """,
 )
@@ -2312,11 +2338,17 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash arms make this an A/A calibration whose true effect is 0.
 
     One 2×2 grouped aggregate off a single filtered scan; the midpoint and
-    the four cell means are broadcast-sized."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    bounds = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    the four cell aggregates are broadcast-sized. The midpoint bounds come
+    from the FULL event stream (the corpus midpoint, matching the oracle),
+    not the purchase subset — a ±30 min redraw-fuzz world caught the
+    filtered-bounds variant shifting rows across the two engines' different
+    midpoints. Cell deltas are exact integer rationals (cent sums over
+    counts, functions/exact.py): the difference of two lattice means can
+    sit exactly on a 4-dp half-way point, where double rounding is
+    engine-dependent."""
+    full = load_table(spark, sf_dir, "events")
+    e = full.filter(F.col("event_type") == "purchase")
+    bounds = full.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
     arm = F.when(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
@@ -2335,32 +2367,36 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("arm", "period")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.avg("value").alias("mean_value"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
         )
     )
 
-    def cell(a, p):
+    def cell(a, p, col):
         return F.first(
             F.when(
-                (F.col("arm") == a) & (F.col("period") == p),
-                F.col("mean_value"),
+                (F.col("arm") == a) & (F.col("period") == p), F.col(col)
             ),
             ignorenulls=True,
         )
 
+    def wide(c):
+        return c.cast("decimal(38,0)")
+
+    def delta(a):
+        s_pre, n_pre = cell(a, "pre", "s"), cell(a, "pre", "n")
+        s_post, n_post = cell(a, "post", "s"), cell(a, "post", "n")
+        num = wide(s_post) * n_pre - wide(s_pre) * n_post
+        den = wide(F.lit(100)) * n_pre * n_post
+        return exact_round_ratio(num, den, 4)
+
+    t_delta, c_delta = delta("treat"), delta("control")
     return cells.agg(
         F.sum("n").cast("bigint").alias("n_obs"),
-        F.round(cell("treat", "post") - cell("treat", "pre"), 4).alias(
-            "treat_delta"
-        ),
-        F.round(cell("control", "post") - cell("control", "pre"), 4).alias(
-            "control_delta"
-        ),
-        F.round(
-            (cell("treat", "post") - cell("treat", "pre"))
-            - (cell("control", "post") - cell("control", "pre")),
-            4,
-        ).alias("did_estimate"),
+        t_delta.alias("treat_delta"),
+        c_delta.alias("control_delta"),
+        # the deltas are exact 4-dp lattice doubles; their difference is
+        # never a rounding-boundary case, so a plain round matches DuckDB
+        F.round(t_delta - c_delta, 4).alias("did_estimate"),
     )
 
 
@@ -3053,15 +3089,21 @@ def stats_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_value_drift_psi",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
         SELECT value, ts, ntile(2) OVER (ORDER BY ts, event_id) AS half
         FROM events WHERE event_type = 'purchase'
     ),
+    ref AS (SELECT value FROM ranked WHERE half = 1),
+    idx AS (
+        SELECT value, row_number() OVER (ORDER BY value) AS rn FROM ref
+    ),
+    pos AS (
+        SELECT (i * (SELECT COUNT(*) FROM ref) + 9) // 10 AS rn
+        FROM range(1, 10) t(i)
+    ),
     edges AS (
-        SELECT quantile_cont(value,
-                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
-        FROM ranked WHERE half = 1
+        SELECT list_sort(list(idx.value)) AS qs FROM idx JOIN pos USING (rn)
     ),
     binned AS (
         SELECT half,
@@ -3071,16 +3113,22 @@ def stats_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
         SELECT bin,
-               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) * 1.0
-                   / (SELECT COUNT(*) FROM ranked WHERE half = 1) AS p_ref,
-               SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) * 1.0
-                   / (SELECT COUNT(*) FROM ranked WHERE half = 2) AS p_cur
+               {exact_round_ratio_sql(
+                   "SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)",
+                   "(SELECT COUNT(*) FROM ranked WHERE half = 1)", 4)}
+                   AS p_ref,
+               {exact_round_ratio_sql(
+                   "SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)",
+                   "(SELECT COUNT(*) FROM ranked WHERE half = 2)", 4)}
+                   AS p_cur
         FROM binned GROUP BY bin
     )
     SELECT CAST(bin AS BIGINT) AS bin,
-           ROUND(p_ref, 4) AS p_ref, ROUND(p_cur, 4) AS p_cur,
-           ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
-           ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+           p_ref, p_cur,
+           {spark_round_sql("(p_cur - p_ref) * ln(p_cur / p_ref)", 6)}
+               AS psi_term,
+           {spark_round_sql(
+               "SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER ()", 6)}
                AS psi_total
     FROM dist ORDER BY bin
     """,
@@ -3097,10 +3145,21 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard actually renders bin by bin. ~0.014 on the synthetic split
     is the stable-reading calibration.
 
-    Plan: one sort window for the time split, one exact-decile aggregate
-    on the reference half (9-value broadcast array), map-side binning via
-    a filtered-array count, one 10-group rollup. approx_percentile swap
-    documented for frozen-bin serving at 1e12 rows."""
+    Plan: one sort window for the time split, one rank window + 9-position
+    broadcast join for the reference deciles (9-value broadcast array),
+    map-side binning via a filtered-array count, one 10-group rollup.
+    approx_percentile swap documented for frozen-bin serving at 1e12 rows.
+
+    Cross-engine discipline (an sf0.1 redraw world caught the interpolated
+    variant): decile edges are DISCRETE order statistics — the value at
+    row ceil(i·n/10) — not interpolated percentiles. Interpolation
+    arithmetic differs between engines by ulps, and with lattice-valued
+    data an edge that lands ON a data value flips every tied row's bin;
+    an order statistic is an exact lattice value, bit-identical on both
+    engines, and `value > q` then resolves ties identically. Bin shares
+    are exact count/total rationals (functions/exact.py), and the PSI
+    terms are computed from the published rounded shares so the table is
+    self-consistent."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").filter(
@@ -3110,10 +3169,19 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.ntile(2).over(Window.orderBy("ts", "event_id")).alias("half"),
     )
-    edges = ranked.filter(F.col("half") == 1).agg(
-        F.expr(
-            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
-        ).alias("qs")
+    ref = ranked.filter(F.col("half") == 1)
+    nref = ref.agg(F.count(F.lit(1)).alias("n"))
+    idx = ref.select(
+        "value", F.row_number().over(Window.orderBy("value")).alias("rn")
+    )
+    pos = (
+        spark.range(1, 10)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(nref))
+        .select(F.expr("(i * n + 9) div 10").alias("rn"))
+    )
+    edges = idx.join(F.broadcast(pos), "rn").agg(
+        F.sort_array(F.collect_list("value")).alias("qs")
     )
     binned = ranked.crossJoin(F.broadcast(edges)).select(
         "half",
@@ -3130,11 +3198,15 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = binned.select("half", "bin", n_ref.alias("nr"), n_cur.alias("nc"))
     dist = counts.groupBy("bin").agg(
-        (
-            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) / F.first("nr")
+        exact_round_ratio(
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)),
+            F.first("nr"),
+            4,
         ).alias("p_ref"),
-        (
-            F.sum(F.when(F.col("half") == 2, 1).otherwise(0)) / F.first("nc")
+        exact_round_ratio(
+            F.sum(F.when(F.col("half") == 2, 1).otherwise(0)),
+            F.first("nc"),
+            4,
         ).alias("p_cur"),
     )
     term = (F.col("p_cur") - F.col("p_ref")) * F.log(
@@ -3143,8 +3215,8 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy()
     return dist.select(
         F.col("bin").cast("bigint").alias("bin"),
-        F.round("p_ref", 4).alias("p_ref"),
-        F.round("p_cur", 4).alias("p_cur"),
+        F.col("p_ref"),
+        F.col("p_cur"),
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(wall), 6).alias("psi_total"),
     ).orderBy("bin")

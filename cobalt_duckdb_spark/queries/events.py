@@ -20,6 +20,8 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg_int,
     exact_round_avg_int_sql,
     exact_round_avg_sql,
+    exact_round_ratio,
+    exact_round_ratio_sql,
     exact_round_sum,
     exact_round_sum_sql,
 )
@@ -1976,7 +1978,7 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cohort_ltv_curve",
-    oracle="""
+    oracle=f"""
     WITH firsts AS (
         SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
         FROM events GROUP BY user_id
@@ -1990,19 +1992,25 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE e.event_type = 'purchase'
     ),
     weekly AS (
-        SELECT cohort, week_offset, SUM(v) AS wrev,
+        SELECT cohort, week_offset,
+               SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) AS wrev_c,
                COUNT(DISTINCT user_id) AS active_users
         FROM rev GROUP BY cohort, week_offset
     ),
-    sized AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
-    SELECT w.cohort, w.week_offset,
-           CAST(s.cohort_size AS BIGINT) AS cohort_size,
-           CAST(w.active_users AS BIGINT) AS active_buyers,
-           ROUND(SUM(w.wrev) OVER (
-                     PARTITION BY w.cohort ORDER BY w.week_offset)
-                 / s.cohort_size, 4) AS cum_ltv_per_user
-    FROM weekly w JOIN sized s USING (cohort)
-    ORDER BY w.cohort, w.week_offset
+    sized AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort),
+    cum AS (
+        SELECT w.cohort, w.week_offset,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               CAST(w.active_users AS BIGINT) AS active_buyers,
+               SUM(w.wrev_c) OVER (
+                   PARTITION BY w.cohort ORDER BY w.week_offset) AS cum_c
+        FROM weekly w JOIN sized s USING (cohort)
+    )
+    SELECT cohort, week_offset, cohort_size, active_buyers,
+           {exact_round_ratio_sql("cum_c", "cohort_size * 100", 4)}
+               AS cum_ltv_per_user
+    FROM cum
+    ORDER BY cohort, week_offset
     """,
 )
 def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2042,8 +2050,13 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("v"),
         )
     )
+    # weekly revenue as an exact cent sum: the cumulative LTV per user is
+    # then an integer rational (cents over 100·cohort_size), which can sit
+    # exactly on a 4-dp half-way point — rounded without ever rounding a
+    # double (functions/exact.py; an sf0.1 redraw-fuzz world caught the
+    # double-path variant flipping a …5 boundary)
     weekly = rev.groupBy("cohort", "week_offset").agg(
-        F.sum("v").alias("wrev"),
+        F.sum(F.round(F.col("v") * 100, 0).cast("long")).alias("wrev_c"),
         F.countDistinct("user_id").alias("active_users"),
     )
     sized = firsts.groupBy("cohort").agg(
@@ -2057,8 +2070,8 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             F.col("cohort_size").cast("bigint").alias("cohort_size"),
             F.col("active_users").cast("bigint").alias("active_buyers"),
-            F.round(
-                F.sum("wrev").over(cum) / F.col("cohort_size"), 4
+            exact_round_ratio(
+                F.sum("wrev_c").over(cum), F.col("cohort_size") * 100, 4
             ).alias("cum_ltv_per_user"),
         )
         .orderBy("cohort", "week_offset")

@@ -1428,7 +1428,7 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_gap_interpolation",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
         SELECT time_bucket(INTERVAL '1 hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
                time_bucket(INTERVAL '1 hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
@@ -1440,7 +1440,7 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     obs AS (
         SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
-               AVG(value) AS v
+               {exact_round_avg_sql("value", 6)} AS v
         FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     series AS (
@@ -1470,12 +1470,12 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT h AS bucket_start,
            (v IS NOT NULL) AS observed,
-           ROUND(CASE
+           {spark_round_sql('''CASE
                WHEN v IS NOT NULL THEN v
                WHEN pv IS NULL THEN nv
                WHEN nv IS NULL THEN pv
                ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
-           END, 6) AS value
+           END''', 6)} AS value
     FROM bracketed
     ORDER BY bucket_start
     """,
@@ -1504,8 +1504,13 @@ def events_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 hour"))).alias("h")
     )
+    # the series LEVEL is the exact 6-dp hourly mean (functions/exact.py):
+    # a mean of cent-lattice values can sit exactly on a 6-dp half-way
+    # point (an sf0.1 redraw world caught one), and feeding both engines
+    # the identical rounded level also makes every interpolated value an
+    # identical IEEE expression over identical inputs
     obs = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.avg("value").alias("v")
+        exact_round_avg("value", 6).alias("v")
     )
     series = grid.join(obs, "h", "left").select(
         "h",

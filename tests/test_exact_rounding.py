@@ -254,6 +254,38 @@ def test_exact_round_ratio_wide_operands_beyond_2_63(spark):
     assert s == d == 2.0, (s, d)
 
 
+def test_exact_round_ratio_wide_denominator_beyond_2_63(spark):
+    # Count-PRODUCT denominators (diff-in-diff cell deltas: 100·n_p·n_q at
+    # 100 TB row counts) exceed int64, so den is widened to
+    # DECIMAL(38,0)/HUGEINT like num. Exact half-way case at dp=4:
+    # num/den = 1.00005 with den = 2e19 > 2^63 — half-away must yield
+    # 1.0001 on both engines; a long-typed den would overflow before the
+    # division.
+    import duckdb
+
+    from cobalt_duckdb_spark.functions.exact import (
+        exact_round_ratio,
+        exact_round_ratio_sql,
+    )
+
+    num, den = 20_001_000_000_000_000_000, 20_000_000_000_000_000_000
+    assert den > 2**63
+    df = spark.sql(
+        f"SELECT CAST('{num}' AS DECIMAL(38,0)) AS num,"
+        f" CAST('{den}' AS DECIMAL(38,0)) AS den"
+    )
+    s = df.select(
+        exact_round_ratio(F.col("num"), F.col("den"), 4).alias("r")
+    ).collect()[0]["r"]
+    d = duckdb.sql(
+        "SELECT "
+        + exact_round_ratio_sql("num", "den", 4)
+        + f" AS r FROM (VALUES (CAST('{num}' AS HUGEINT),"
+        f" CAST('{den}' AS HUGEINT))) t(num, den)"
+    ).fetchone()[0]
+    assert s == d == 1.0001, (s, d)
+
+
 def test_exact_round_ratio_zero_den_yields_null(spark):
     # den=0 must yield NULL on BOTH engines without an ANSI pmod/div-by-zero
     # error — even when the call sits inside a discarded F.when branch
