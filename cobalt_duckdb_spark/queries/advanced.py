@@ -1351,11 +1351,11 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_key_skew_profiler",
     oracle="""
     WITH counts AS (
-        SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS cnt
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM events GROUP BY user_id
     ),
     blocks AS (
-        SELECT cnt, CAST(COUNT(*) AS DOUBLE) AS m
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS m
         FROM counts GROUP BY cnt
     ),
     cum AS (
@@ -1367,7 +1367,8 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM blocks
     ),
     gini_terms AS (
-        SELECT SUM(cnt * (keys_before * m + m * (m + 1) / 2)) AS sum_rank_x
+        SELECT SUM(CAST(cnt AS HUGEINT)
+                   * (keys_before * m + m * (m + 1) // 2)) AS sum_rank_x
         FROM cum
     ),
     top10 AS (
@@ -1375,23 +1376,44 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT cnt FROM counts ORDER BY cnt DESC, user_id ASC LIMIT 10
         )
     ),
+    ranked_cnt AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+               COUNT(*) OVER () AS n
+        FROM counts
+    ),
+    pct AS (
+        SELECT MIN(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS med,
+               MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN cnt END) AS p99
+        FROM ranked_cnt
+    ),
     agg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
                SUM(cnt) AS n_rows,
-               MAX(cnt) AS max_cnt,
-               percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt) AS med,
-               percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt) AS p99
+               MAX(cnt) AS max_cnt
         FROM counts
     )
     SELECT a.n_keys,
            CAST(a.n_rows AS BIGINT) AS n_rows,
-           ROUND(a.max_cnt / a.n_rows, 6) AS top1_share,
-           ROUND(t.s / a.n_rows, 6) AS top10_share,
-           ROUND(2.0 * g.sum_rank_x / (a.n_keys * a.n_rows)
-                 - (a.n_keys + 1.0) / a.n_keys, 6) AS gini,
-           ROUND(a.p99 / a.med, 6) AS p99_over_median
-    FROM agg a, gini_terms g, top10 t
-    """,
+           {r_top1} AS top1_share,
+           {r_top10} AS top10_share,
+           {r_gini} AS gini,
+           {r_tail} AS p99_over_median
+    FROM agg a, gini_terms g, top10 t, pct p
+    """.replace(
+        "{r_top1}", exact_round_ratio_sql("a.max_cnt", "a.n_rows", 6)
+    ).replace(
+        "{r_top10}", exact_round_ratio_sql("t.s", "a.n_rows", 6)
+    ).replace(
+        "{r_gini}",
+        exact_round_ratio_sql(
+            "(2 * g.sum_rank_x"
+            " - (CAST(a.n_keys AS HUGEINT) + 1) * a.n_rows)",
+            "(CAST(a.n_keys AS HUGEINT) * a.n_rows)",
+            6,
+        ),
+    ).replace(
+        "{r_tail}", exact_round_ratio_sql("p.p99", "p.med", 6)
+    ),
 )
 def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic over ``events.user_id`` — the profile you
@@ -1404,19 +1426,20 @@ def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the raw scan collapses to one row per key, then to one row
     per DISTINCT COUNT VALUE — the Gini rank sum is computed over tied
     blocks (rank range of a block = keys_before·m + m(m+1)/2), so the only
-    window runs over |distinct count values| rows, never a global sort of
-    all keys. Top-10 is TakeOrderedAndProject; percentiles are one exact
-    aggregate over the per-key table (swap approx_percentile in at 1e9+
-    keys, same plan)."""
+    windows run over |distinct count values| and |keys| rows, never a
+    global sort of the raw stream. Top-10 is TakeOrderedAndProject; the
+    median/p99 are DISCRETE order statistics over the per-key table (swap
+    approx_percentile in at 1e9+ keys, same plan) — and every published
+    share/ratio, the Gini included, is an exact integer rational
+    (functions/exact.py): per-key counts are integers, so a rounded double
+    division here is the redraw-fuzz boundary class, and the engines'
+    percentile interpolation at the non-dyadic 0.99 is the
+    `events_winsorized_stats` class."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    counts = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("double").alias("cnt")
-    )
-    blocks = counts.groupBy("cnt").agg(
-        F.count(F.lit(1)).cast("double").alias("m")
-    )
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    blocks = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
     cum = blocks.select(
         "cnt",
         "m",
@@ -1426,15 +1449,18 @@ def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
                     Window.unboundedPreceding, -1
                 )
             ),
-            F.lit(0.0),
+            F.lit(0),
         ).alias("keys_before"),
     )
+    # the rank-sum accumulates keys_before·m products (up to |keys|² per
+    # term) — DECIMAL(38,0) keeps it exact past int64 at 1e9+ keys, like
+    # the oracle's HUGEINT
     gini_terms = cum.agg(
         F.sum(
-            F.col("cnt")
+            F.col("cnt").cast("decimal(38,0)")
             * (
                 F.col("keys_before") * F.col("m")
-                + F.col("m") * (F.col("m") + 1) / 2
+                + F.expr("m * (m + 1) div 2")
             )
         ).alias("sum_rank_x")
     )
@@ -1443,27 +1469,46 @@ def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .agg(F.sum("cnt").alias("s"))
     )
+    ranked_cnt = counts.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    pct = ranked_cnt.agg(
+        F.min(F.when(F.expr("rn = (nn + 1) div 2"), F.col("cnt"))).alias(
+            "med"
+        ),
+        F.min(
+            F.when(F.expr("rn = (99 * nn + 99) div 100"), F.col("cnt"))
+        ).alias("p99"),
+    )
     agg = counts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.expr("percentile(cnt, 0.5)").alias("med"),
-        F.expr("percentile(cnt, 0.99)").alias("p99"),
     )
+    wide = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gini_num = 2 * F.col("sum_rank_x") - (
+        wide(F.col("n_keys")) + 1
+    ) * F.col("n_rows")
+    gini_den = wide(F.col("n_keys")) * F.col("n_rows")
     return (
         agg.crossJoin(F.broadcast(gini_terms))
         .crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(pct))
         .select(
             "n_keys",
             F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top1_share"),
-            F.round(F.col("s") / F.col("n_rows"), 6).alias("top10_share"),
-            F.round(
-                2.0 * F.col("sum_rank_x") / (F.col("n_keys") * F.col("n_rows"))
-                - (F.col("n_keys") + 1.0) / F.col("n_keys"),
-                6,
-            ).alias("gini"),
-            F.round(F.col("p99") / F.col("med"), 6).alias("p99_over_median"),
+            exact_round_ratio(F.col("max_cnt"), F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+            exact_round_ratio(F.col("s"), F.col("n_rows"), 6).alias(
+                "top10_share"
+            ),
+            exact_round_ratio(gini_num, gini_den, 6).alias("gini"),
+            exact_round_ratio(F.col("p99"), F.col("med"), 6).alias(
+                "p99_over_median"
+            ),
         )
     )
 

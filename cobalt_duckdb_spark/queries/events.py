@@ -972,11 +972,18 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_winsorized_stats",
     oracle="""
-    WITH stats AS (
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    stats AS (
         SELECT event_type,
-               quantile_cont(value, 0.01) AS p01,
-               quantile_cont(value, 0.99) AS p99
-        FROM events GROUP BY event_type
+               MIN(CASE WHEN rn = (n + 99) // 100 THEN value END) AS p01,
+               MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        FROM ranked GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -988,7 +995,9 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e.event_type ORDER BY e.event_type
     """.replace("{mean_raw}", exact_round_avg_int_sql("e.value", 4, 2)).replace(
         "{mean_wins}",
-        exact_round_avg_sql("LEAST(GREATEST(e.value, s.p01), s.p99)", 4),
+        exact_round_avg_int_sql(
+            "LEAST(GREATEST(e.value, s.p01), s.p99)", 4, 2
+        ),
     ),
 )
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,14 +1006,37 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps a fat-fingered 10000× value from dragging a feature mean, without
     dropping the row like the z-score filter does.
 
-    Scale shape: the per-type percentile table is |types| rows → broadcast
-    back onto the stream; clipping is map-only. Exact percentiles are the
+    Scale shape: the per-type threshold table is |types| rows → broadcast
+    back onto the stream; clipping is map-only. Exact thresholds are the
     audit form — at 100 TB swap ``percentile_approx`` into the stats CTE,
-    plan unchanged (the `events_mad_robust_outliers` pattern)."""
+    plan unchanged (the `events_mad_robust_outliers` pattern).
+
+    Cross-engine discipline (an sf0.1 redraw world, seed 808, caught the
+    interpolated variant): the clip thresholds are DISCRETE order
+    statistics — the value at rank ceil(n/100) / ceil(99n/100) per type —
+    not interpolated percentiles. An interpolated threshold landing ON a
+    lattice data value puts every tied row's strict `value < p01`
+    comparison on an engine-ulp knife edge (n_clipped flipped by 3 rows
+    while both means agreed); an order statistic is an exact lattice
+    value, so ties resolve identically — and the clipped values stay on
+    the cent lattice, so the winsorized mean runs the exact int path."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("p01"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nn"),
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.expr("rn = (nn + 99) div 100"), F.col("value"))
+        ).alias("p01"),
+        F.max(
+            F.when(F.expr("rn = (99 * nn + 99) div 100"), F.col("value"))
+        ).alias("p99"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
     return (
@@ -1013,7 +1045,7 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n"),
             exact_round_avg_int(F.col("value"), 4, 2).alias("mean_raw"),
-            exact_round_avg(clipped, 4).alias("mean_winsorized"),
+            exact_round_avg_int(clipped, 4, 2).alias("mean_winsorized"),
             F.sum(
                 F.when(
                     (F.col("value") < F.col("p01"))

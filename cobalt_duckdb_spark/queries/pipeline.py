@@ -423,33 +423,41 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT doc_id, lang, text, n_chars, md5(text) AS fp FROM documents
     ),
+    ranked AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars) AS rn,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
     vol AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
-               COUNT(DISTINCT fp) AS n_distinct
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct
         FROM base
     ),
     lang_rows AS (
         SELECT 'lang' AS section, lang AS metric,
-               ROUND(COUNT(*) / (SELECT n_docs FROM vol), 6) AS value
+               {ratio_lang} AS value
         FROM base GROUP BY lang
     ),
     pct AS (
-        SELECT ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50,
-               ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90,
-               ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 4) AS p99
-        FROM base
+        SELECT CAST(MIN(CASE WHEN rn = (n + 1) // 2
+                             THEN n_chars END) AS DOUBLE) AS p50,
+               CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10
+                             THEN n_chars END) AS DOUBLE) AS p90,
+               CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100
+                             THEN n_chars END) AS DOUBLE) AS p99
+        FROM ranked
     ),
     scalar_rows AS (
-        SELECT 'volume' AS section, 'n_docs' AS metric, n_docs AS value FROM vol
+        SELECT 'volume' AS section, 'n_docs' AS metric,
+               CAST(n_docs AS DOUBLE) AS value FROM vol
         UNION ALL
-        SELECT 'volume', 'total_chars', total_chars FROM vol
+        SELECT 'volume', 'total_chars', CAST(total_chars AS DOUBLE) FROM vol
         UNION ALL
-        SELECT 'volume', 'avg_chars',
-               ROUND(total_chars / n_docs, 6) FROM vol
+        SELECT 'volume', 'avg_chars', {ratio_avg} FROM vol
         UNION ALL
-        SELECT 'dedup', 'exact_dup_rate',
-               ROUND(1.0 - n_distinct / n_docs, 6) FROM vol
+        SELECT 'dedup', 'exact_dup_rate', {ratio_dup} FROM vol
         UNION ALL
         SELECT 'length', 'p50_chars', p50 FROM pct
         UNION ALL
@@ -461,7 +469,15 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT section, metric, value FROM lang_rows
     ORDER BY section, metric
-    """,
+    """.replace(
+        "{ratio_lang}",
+        exact_round_ratio_sql("COUNT(*)", "(SELECT n_docs FROM vol)", 6),
+    ).replace(
+        "{ratio_avg}", exact_round_ratio_sql("total_chars", "n_docs", 6)
+    ).replace(
+        "{ratio_dup}",
+        exact_round_ratio_sql("(n_docs - n_distinct)", "n_docs", 6),
+    ),
 )
 def profile_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card — the governance artifact a dataset release ships
@@ -471,19 +487,39 @@ def profile_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE pass builds fingerprints and lengths (map-side), the
     volume/dedup numbers are a single aggregate, language shares one 4-group
-    aggregate, and the three exact percentiles share one sort — every piece
-    is a mergeable aggregate, so per-shard cards roll up to the corpus card
-    without re-scanning (the same property `dq_histogram_totalprice` pins)."""
+    aggregate, and the three length percentiles ride one rank window —
+    every piece is a mergeable aggregate, so per-shard cards roll up to the
+    corpus card without re-scanning (the same property
+    `dq_histogram_totalprice` pins).
+
+    Cross-engine discipline: the length percentiles are DISCRETE order
+    statistics (value at rank ceil(q·n)) — the engines' percentile
+    interpolation arithmetic diverges on lattice data at non-dyadic
+    fractions (the `events_winsorized_stats` redraw-fuzz class) — and
+    every published share/mean is an exact integer rational
+    (functions/exact.py), never a rounded double division."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("fp")
     )
-    vol = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("n_chars").cast("double").alias("total_chars"),
-        F.countDistinct("fp").cast("double").alias("n_distinct"),
-        F.expr("percentile(n_chars, 0.5)").alias("p50"),
-        F.expr("percentile(n_chars, 0.9)").alias("p90"),
-        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+    ranked = d.select(
+        "n_chars",
+        "fp",
+        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+
+    def at_rank(cond: str):
+        return F.min(F.when(F.expr(cond), F.col("n_chars")))
+
+    vol = ranked.agg(
+        F.count(F.lit(1)).alias("n_docs_l"),
+        F.sum("n_chars").alias("total_chars_l"),
+        F.countDistinct("fp").alias("n_distinct_l"),
+        at_rank("rn = (nn + 1) div 2").alias("p50i"),
+        at_rank("rn = (9 * nn + 9) div 10").alias("p90i"),
+        at_rank("rn = (99 * nn + 99) div 100").alias("p99i"),
     )
     scalars = vol.select(
         F.explode(
@@ -491,51 +527,57 @@ def profile_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("volume").alias("section"),
                     F.lit("n_docs").alias("metric"),
-                    F.col("n_docs").alias("value"),
+                    F.col("n_docs_l").cast("double").alias("value"),
                 ),
                 F.struct(
                     F.lit("volume").alias("section"),
                     F.lit("total_chars").alias("metric"),
-                    F.col("total_chars").alias("value"),
+                    F.col("total_chars_l").cast("double").alias("value"),
                 ),
                 F.struct(
                     F.lit("volume").alias("section"),
                     F.lit("avg_chars").alias("metric"),
-                    F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("value"),
+                    exact_round_ratio(
+                        F.col("total_chars_l"), F.col("n_docs_l"), 6
+                    ).alias("value"),
                 ),
                 F.struct(
                     F.lit("dedup").alias("section"),
                     F.lit("exact_dup_rate").alias("metric"),
-                    F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6).alias(
-                        "value"
-                    ),
+                    exact_round_ratio(
+                        F.col("n_docs_l") - F.col("n_distinct_l"),
+                        F.col("n_docs_l"),
+                        6,
+                    ).alias("value"),
                 ),
                 F.struct(
                     F.lit("length").alias("section"),
                     F.lit("p50_chars").alias("metric"),
-                    F.round("p50", 4).alias("value"),
+                    F.col("p50i").cast("double").alias("value"),
                 ),
                 F.struct(
                     F.lit("length").alias("section"),
                     F.lit("p90_chars").alias("metric"),
-                    F.round("p90", 4).alias("value"),
+                    F.col("p90i").cast("double").alias("value"),
                 ),
                 F.struct(
                     F.lit("length").alias("section"),
                     F.lit("p99_chars").alias("metric"),
-                    F.round("p99", 4).alias("value"),
+                    F.col("p99i").cast("double").alias("value"),
                 ),
             )
         ).alias("row")
     ).select("row.section", "row.metric", "row.value")
     langs = (
         d.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-        .crossJoin(F.broadcast(vol.select("n_docs")))
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(F.broadcast(vol.select("n_docs_l")))
         .select(
             F.lit("lang").alias("section"),
             F.col("lang").alias("metric"),
-            F.round(F.col("n") / F.col("n_docs"), 6).alias("value"),
+            exact_round_ratio(F.col("n_l"), F.col("n_docs_l"), 6).alias(
+                "value"
+            ),
         )
     )
     return scalars.unionByName(langs).orderBy("section", "metric")

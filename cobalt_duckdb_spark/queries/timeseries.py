@@ -498,7 +498,8 @@ _MAD_CUT = 3.0
         FROM dev GROUP BY event_type
     )
     SELECT d.event_id, d.event_type, ROUND(d.value, 2) AS value,
-           ROUND((d.value - d.med) / ({_MAD_K} * m.mad), 4) AS robust_z
+           {spark_round_sql(f"(d.value - d.med) / ({_MAD_K} * m.mad)", 4)}
+               AS robust_z
     FROM dev d JOIN mad m USING (event_type)
     WHERE m.mad > 0
       AND ABS(d.value - d.med) > {_MAD_CUT} * {_MAD_K} * m.mad
@@ -545,37 +546,71 @@ def events_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_latency_percentile_rollup",
     oracle="""
-    SELECT event_type,
-           CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_part('hour', ts)
+                   ORDER BY value) AS rn,
+               COUNT(*) OVER (
+                   PARTITION BY event_type, date_part('hour', ts)) AS n
+        FROM events
+    )
+    SELECT event_type, hour_of_day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
-           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95,
-           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 4) AS p99
-    FROM events
-    GROUP BY event_type, date_part('hour', ts)
+           ROUND(MIN(CASE WHEN rn = (n + 1) // 2 THEN value END), 4) AS p50,
+           ROUND(MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN value END), 4)
+               AS p95,
+           ROUND(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN value END), 4)
+               AS p99
+    FROM ranked
+    GROUP BY event_type, hour_of_day
     ORDER BY event_type, hour_of_day
     """,
 )
 def events_latency_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SRE dashboard rollup: exact P50/P95/P99 of event value per
     (event_type × hour-of-day) — tail percentiles are THE latency metric,
-    and hour-of-day grouping exposes diurnal load patterns. Exact
-    interpolated percentiles on both engines (Spark ``percentile`` ==
-    DuckDB ``percentile_cont``).
+    and hour-of-day grouping exposes diurnal load patterns.
+
+    Percentiles are DISCRETE order statistics — the value at rank
+    ceil(q·n), integer-position arithmetic — not interpolated: with
+    lattice-valued data the two engines' interpolation arithmetic is the
+    redraw-fuzz divergence class `events_winsorized_stats` was caught in
+    (non-dyadic quantile fractions like 0.95/0.99 are exactly where the
+    engines' position/lerp formulas can part by an ulp; the order
+    statistic is an exact lattice value on both).
 
     Scale shape: one shuffle on the (type, hour) grouping key — 5×24 = 120
-    groups, each holding a per-group sort: the honest cost of EXACT tail
-    percentiles. At 100 TB swap ``percentile_approx`` (mergeable KLL-style
-    sketch, map-side combinable) — same plan minus the per-group sort; the
-    exact query stays as the calibration twin."""
-    e = load_table(spark, sf_dir, "events")
+    groups, each holding a per-group rank window: the honest cost of EXACT
+    tail percentiles. At 100 TB swap ``percentile_approx`` (mergeable
+    KLL-style sketch, map-side combinable) — same plan minus the per-group
+    sort; the exact query stays as the calibration twin."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day"), "value"
+    )
+    grp = Window.partitionBy("event_type", "hour_of_day")
+    ranked = e.select(
+        "event_type",
+        "hour_of_day",
+        "value",
+        F.row_number().over(grp.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("nn"),
+    )
+
+    def at_rank(cond: str):
+        return F.round(F.min(F.when(F.expr(cond), F.col("value"))), 4)
+
     return (
-        e.groupBy("event_type", F.hour("ts").cast("int").alias("hour_of_day"))
+        ranked.groupBy("event_type", "hour_of_day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.percentile("value", 0.5), 4).alias("p50"),
-            F.round(F.percentile("value", 0.95), 4).alias("p95"),
-            F.round(F.percentile("value", 0.99), 4).alias("p99"),
+            at_rank("rn = (nn + 1) div 2").alias("p50"),
+            at_rank("rn = (19 * nn + 19) div 20").alias("p95"),
+            at_rank("rn = (99 * nn + 99) div 100").alias("p99"),
         )
         .orderBy("event_type", "hour_of_day")
     )

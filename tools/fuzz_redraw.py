@@ -35,6 +35,13 @@ Usage:
         [--seeds 11 22 33] [--workdir /tmp/fuzz_redraw] [--json out.json]
 
 Exit 1 if any seed's differential reports a failure.
+
+Fuzz AT THE LARGEST scale factor, not only the cheap one: boundary
+classes are per-(group × rounded column) trials, so an sf0.1 world runs
+~10× the trials of an sf0.001 world per seed. The first sf0.1 world
+(round 5, seed 606) caught four divergences — including a genuine
+Spark-vs-oracle subset-contract bug — that 16 smaller worlds missed.
+Budget guide on this box: ~4 min/seed at sf0.001, ~25 min/seed at sf0.1.
 """
 
 from __future__ import annotations
