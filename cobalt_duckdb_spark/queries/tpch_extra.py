@@ -639,7 +639,7 @@ def q20_nested_in_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit_by_nation_year",
     oracle="""
     SELECT nation, o_year,
-           ROUND(CAST(SUM(CAST(amount AS DECIMAL(28, 10))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(amount AS DECIMAL(28, 10))), 2) AS DOUBLE)
                AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
@@ -660,7 +660,16 @@ def q20_nested_in_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape: profit per nation per year for a product family — 5-way
     join with a LIKE filter on the part dimension and a computed margin
-    (supplycost adapted to 0.6×retailprice: the testdata has no partsupp)."""
+    (supplycost adapted to 0.6×retailprice: the testdata has no partsupp).
+
+    Rounding order matters (sf0.1 redraw seed 1010): the per-row amount is
+    an identical IEEE double on both engines, its DECIMAL(28,10) snap and
+    SUM are exact and identical — but the TRUE amount lives on the 1e-3
+    lattice (0.6·retail·qty), so a group sum can end …775, an exact 2-dp
+    half-way point. ROUND must therefore run IN DECIMAL (half-away on both
+    engines) with the double cast outside; round-after-cast re-enters the
+    engine-divergent double-rounding procedure the exact.py recipe exists
+    to avoid."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -681,9 +690,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "o_year")
         .agg(
-            F.round(
-                F.sum(F.col("amount").cast("decimal(28,10)")).cast("double"), 2
-            ).alias("sum_profit")
+            F.round(F.sum(F.col("amount").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_profit")
         )
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
