@@ -274,6 +274,59 @@ _DRIVER_VERIFIED = frozenset(
         "udaf_arrow_source_stats",
         "udtf_polymorphic_windows",
         "udtf_table_argument_sessions",
+        # --- r05 greens (CORRECTNESS_r05.json; 50/50 green, 0 errors, all
+        # fresh names — the entire r4 selection pack plus the float-heaviest
+        # stats/simsearch/embedding backlog is now driver-certified).
+        "cluster_silhouette_audit",
+        "curriculum_quality_phases",
+        "dedup_bloom_prefilter_audit",
+        "dedup_cdc_chunk_report",
+        "dedup_cross_source_matrix",
+        "dedup_family_size_report",
+        "dedup_minhash_estimator_audit",
+        "dq_distinct_chao1_estimate",
+        "dq_orders_lineitem_reconciliation",
+        "dq_value_drift_psi",
+        "embedding_centroid_drift",
+        "embedding_isotropy_audit",
+        "embedding_label_alignment_matrix",
+        "embedding_norm_outlier_screen",
+        "embedding_ood_mahalanobis_diag",
+        "embedding_rptree_partition_audit",
+        "events_activity_streak_islands",
+        "events_autocorrelation_hourly",
+        "events_changepoint_cusum",
+        "events_piecewise_trend_knots",
+        "events_rolling_median",
+        "events_time_decay_attribution",
+        "features_hashing_collision_audit",
+        "graph_hits_hubs_authorities",
+        "graph_personalized_pagerank_error",
+        "hybrid_alpha_blend_curve",
+        "matryoshka_recall_audit",
+        "mix_doremi_proxy_reweight",
+        "pipeline_loso_source_influence",
+        "pipeline_quality_calibration_ece",
+        "pipeline_token_budget_allocator",
+        "sample_coreset_kcenter_greedy",
+        "sample_dsir_importance",
+        "sample_group_holdout_leakage_audit",
+        "simsearch_mmr_diversified",
+        "simsearch_pq_rerank_exact",
+        "simsearch_recall_nprobe_curve",
+        "simsearch_rocchio_feedback_topk",
+        "simsearch_srp_multiprobe_recall",
+        "sql_api_group_by_all",
+        "stats_anova_dow_effect",
+        "stats_bayes_ab_conversion",
+        "stats_key_skew_profiler",
+        "stats_power_analysis_mde",
+        "stats_theil_sen_slope",
+        "text_backoff_bigram_perplexity",
+        "text_heaps_law_fit",
+        "text_tokenizer_fertility_by_lang",
+        "text_winnowing_fingerprints",
+        "text_zipf_law_fit",
     }
 )
 
@@ -283,7 +336,7 @@ _DRIVER_VERIFIED = frozenset(
 # (e.g. CORRECTNESS_r06.json at the next round boundary), the rotation test
 # reports it as a pending fold (warning + instruction) instead of going red
 # with no code change (ADVICE r4, tests/test_registry_contract.py:78).
-_DRIVER_ROUNDS_FOLDED = 4
+_DRIVER_ROUNDS_FOLDED = 5
 
 
 # Previously driver-RED names: fixed this round, so they jump the fresh
@@ -292,66 +345,72 @@ _DRIVER_ROUNDS_FOLDED = 4
 # pipeline_corpus_curation retried green and is folded above).
 _DRIVER_RETRY: tuple[str, ...] = ()
 
-# Round-5 window picks (slots 1-49): the highest-divergence-risk entries
-# among the 137 never-driver-checked backlog, per the r4 verdict — the full
-# 25-entry selection pack (queries/selection.py; ECE binning, backoff
-# perplexity, Theil-Sen medians and friends lean on exactly the cross-engine
-# float discipline that produced every driver-red so far) plus the late-r4
-# registrations, then the float-heaviest remainder (recall/quality audits,
-# estimator audits, distribution fits). Explicitly ordered so nothing can
-# displace them out of the 50-slot window.
+# Round-6 window picks (50 fresh slots from the 87 never-driver-checked
+# backlog, per the r5 verdict): lead with the queries the late-r5
+# percentile/rounding rewrites touched that have no external certification
+# (profile_corpus_datacard, events_winsorized_stats — exactly the
+# cross-engine-trap shape: non-dyadic quantiles, lattice means, rank
+# boundaries), then the full events/timeseries tail (25), text (15),
+# sample (7), and the two percentile/trimmed-mean aggs. The 37 remaining
+# (dq/orders/simsearch/features/misc — mostly integer/count-shaped) rotate
+# in at r7, driving the backlog to 0.
 _DRIVER_PRIORITY = (
-    # --- selection pack (registered r4, zero external certification).
-    "sample_coreset_kcenter_greedy",
-    "mix_doremi_proxy_reweight",
-    "graph_hits_hubs_authorities",
-    "text_winnowing_fingerprints",
-    "pipeline_token_budget_allocator",
-    "events_activity_streak_islands",
-    "embedding_ood_mahalanobis_diag",
-    "hybrid_alpha_blend_curve",
-    "dq_orders_lineitem_reconciliation",
-    "events_piecewise_trend_knots",
-    "text_backoff_bigram_perplexity",
-    "dedup_bloom_prefilter_audit",
-    "embedding_rptree_partition_audit",
-    "pipeline_quality_calibration_ece",
-    "stats_theil_sen_slope",
-    "features_hashing_collision_audit",
-    "pipeline_loso_source_influence",
-    "text_tokenizer_fertility_by_lang",
-    "events_time_decay_attribution",
-    "sql_api_group_by_all",
-    "sample_group_holdout_leakage_audit",
-    "embedding_label_alignment_matrix",
-    "stats_bayes_ab_conversion",
-    "simsearch_rocchio_feedback_topk",
-    "simsearch_srp_multiprobe_recall",
-    # --- float-heaviest remainder of the backlog.
-    "matryoshka_recall_audit",
-    "simsearch_pq_rerank_exact",
-    "simsearch_recall_nprobe_curve",
-    "simsearch_mmr_diversified",
-    "cluster_silhouette_audit",
-    "embedding_centroid_drift",
-    "embedding_norm_outlier_screen",
-    "embedding_isotropy_audit",
-    "dedup_minhash_estimator_audit",
-    "dedup_family_size_report",
-    "dedup_cdc_chunk_report",
-    "dedup_cross_source_matrix",
-    "events_changepoint_cusum",
-    "events_autocorrelation_hourly",
-    "events_rolling_median",
-    "stats_key_skew_profiler",
-    "stats_power_analysis_mde",
-    "stats_anova_dow_effect",
-    "dq_value_drift_psi",
-    "dq_distinct_chao1_estimate",
-    "text_zipf_law_fit",
-    "text_heaps_law_fit",
-    "graph_personalized_pagerank_error",
-    "sample_dsir_importance",
+    # --- rewritten by the late-r5 percentile/rounding fixes (9b282ec),
+    # never driver-checked: certify first.
+    "profile_corpus_datacard",
+    "events_winsorized_stats",
+    # --- events/timeseries tail (float-heaviest first).
+    "events_rolling_beta_24h",
+    "events_gumbel_peak_analysis",
+    "events_mann_kendall_trend",
+    "events_seasonal_naive_backtest",
+    "events_volume_anomaly_weekday_adjusted",
+    "events_markov_entropy_rate",
+    "events_interarrival_burstiness",
+    "events_cross_correlation",
+    "events_linear_attribution",
+    "events_gap_interpolation",
+    "events_error_share_pchart",
+    "events_slo_burn_rate_alerts",
+    "events_revenue_drawdown",
+    "events_growth_accounting",
+    "events_dau_wau_mau_stickiness",
+    "events_bot_detection_screen",
+    "events_interval_coverage",
+    "events_incremental_rollup_merge",
+    "events_bitemporal_restatement",
+    "events_sessionization",
+    "events_fsm_conformance",
+    "events_window_funnel_depth",
+    "events_ohlc_bars",
+    "events_dow_hour_heatmap",
+    # --- text tail.
+    "text_doc_length_lognormal_fit",
+    "text_sif_information_density",
+    "text_umass_keyword_coherence",
+    "text_theil_length_inequality",
+    "text_term_burstiness",
+    "text_char_entropy_bound",
+    "text_corpus_drift_kl",
+    "text_yule_k_richness",
+    "text_watermark_greenlist_detect",
+    "text_ngram_novelty_split",
+    "text_bm25_prf_expansion",
+    "text_rake_keywords",
+    "text_bpe_merge_rounds",
+    "text_mojibake_screen",
+    "text_normalization_audit",
+    # --- sample tail.
+    "sample_raking_calibration",
+    "sample_horvitz_thompson_total",
+    "sample_neyman_allocation",
+    "sample_pps_systematic",
+    "sample_method_bakeoff",
+    "sample_balanced_class_downsample",
+    "sample_epoch_shuffle",
+    # --- percentile/trimmed-mean aggs (rank-boundary shape).
+    "agg_weighted_percentile",
+    "agg_trimmed_mean_comparison",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally

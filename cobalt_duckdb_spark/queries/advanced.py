@@ -1368,7 +1368,8 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gini_terms AS (
         SELECT SUM(CAST(cnt AS HUGEINT)
-                   * (keys_before * m + m * (m + 1) // 2)) AS sum_rank_x
+                   * (CAST(keys_before AS HUGEINT) * m
+                      + CAST(m AS HUGEINT) * (m + 1) // 2)) AS sum_rank_x
         FROM cum
     ),
     top10 AS (
@@ -1377,8 +1378,8 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ),
     ranked_cnt AS (
-        SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
-               COUNT(*) OVER () AS n
+        SELECT cnt, row_number() OVER (ORDER BY cnt NULLS LAST) AS rn,
+               COUNT(cnt) OVER () AS n
         FROM counts
     ),
     pct AS (
@@ -1453,14 +1454,21 @@ def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keys_before"),
     )
     # the rank-sum accumulates keys_before·m products (up to |keys|² per
-    # term) — DECIMAL(38,0) keeps it exact past int64 at 1e9+ keys, like
-    # the oracle's HUGEINT
+    # term) — every factor is widened to DECIMAL(38,0) BEFORE its multiply
+    # (ADVICE r5: an int64 inner product wraps silently in non-ANSI Spark
+    # near ~3e9 keys while DuckDB throws), like the oracle's HUGEINT. The
+    # triangular term splits on parity (m or m+1 is even) so it stays pure
+    # integer decimal arithmetic with no div-result narrowing.
     gini_terms = cum.agg(
         F.sum(
             F.col("cnt").cast("decimal(38,0)")
             * (
-                F.col("keys_before") * F.col("m")
-                + F.expr("m * (m + 1) div 2")
+                F.col("keys_before").cast("decimal(38,0)") * F.col("m")
+                + F.expr(
+                    "CASE WHEN m % 2 = 0"
+                    " THEN cast(m div 2 as decimal(38,0)) * (m + 1)"
+                    " ELSE cast((m + 1) div 2 as decimal(38,0)) * m END"
+                )
             )
         ).alias("sum_rank_x")
     )
@@ -1469,10 +1477,16 @@ def stats_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .agg(F.sum("cnt").alias("s"))
     )
+    # cnt is COUNT(*)-derived and never NULL, but the rank window keeps the
+    # uniform NULLS LAST + non-null-count discipline of every discrete
+    # order statistic in this repo (ADVICE r5) so a future edit can't
+    # reintroduce the engine null-order divergence.
     ranked_cnt = counts.select(
         "cnt",
-        F.row_number().over(Window.orderBy("cnt")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+        F.row_number()
+        .over(Window.orderBy(F.asc_nulls_last("cnt")))
+        .alias("rn"),
+        F.count("cnt").over(Window.partitionBy()).alias("nn"),
     )
     pct = ranked_cnt.agg(
         F.min(F.when(F.expr("rn = (nn + 1) div 2"), F.col("cnt"))).alias(
@@ -3170,10 +3184,13 @@ def stats_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(bin AS BIGINT) AS bin,
            p_ref, p_cur,
-           {spark_round_sql("(p_cur - p_ref) * ln(p_cur / p_ref)", 6)}
+           {spark_round_sql(
+               "CASE WHEN p_cur > 0 AND p_ref > 0"
+               " THEN (p_cur - p_ref) * ln(p_cur / p_ref) END", 6)}
                AS psi_term,
            {spark_round_sql(
-               "SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER ()", 6)}
+               "SUM(CASE WHEN p_cur > 0 AND p_ref > 0"
+               " THEN (p_cur - p_ref) * ln(p_cur / p_ref) END) OVER ()", 6)}
                AS psi_total
     FROM dist ORDER BY bin
     """,
@@ -3254,8 +3271,15 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p_cur"),
     )
-    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
-        F.col("p_cur") / F.col("p_ref")
+    # ln() is fed the PUBLISHED 4dp-rounded shares, so a nonzero share
+    # below 5e-5 rounds to 0.0 — guard the log term to NULL (summed-over
+    # on both engines) instead of ±Infinity (ADVICE r5). Unreachable with
+    # decile-sized bins (~0.1 shares); load-bearing if bin construction
+    # or data shape ever changes.
+    term = F.when(
+        (F.col("p_cur") > 0) & (F.col("p_ref") > 0),
+        (F.col("p_cur") - F.col("p_ref"))
+        * F.log(F.col("p_cur") / F.col("p_ref")),
     )
     wall = Window.partitionBy()
     return dist.select(

@@ -975,8 +975,9 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
         SELECT event_type, value,
                row_number() OVER (
-                   PARTITION BY event_type ORDER BY value) AS rn,
-               COUNT(*) OVER (PARTITION BY event_type) AS n
+                   PARTITION BY event_type
+                   ORDER BY value NULLS LAST) AS rn,
+               COUNT(value) OVER (PARTITION BY event_type) AS n
         FROM events
     ),
     stats AS (
@@ -1023,12 +1024,18 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
+    # NULL discipline (ADVICE r5): rank with NULLS LAST and count NON-NULL
+    # values, so NULL rows take ranks > nn and can never be the selected
+    # order statistic — mirroring how the percentile aggregates this window
+    # replaced skip NULLs (Spark default is nulls-first ASC, DuckDB's is
+    # nulls-last; without this, a NULL-carrying redraw world shifts every
+    # rank by the null count on one engine only).
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("value"))
     ranked = e.select(
         "event_type",
         "value",
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nn"),
+        F.count("value").over(Window.partitionBy("event_type")).alias("nn"),
     )
     stats = ranked.groupBy("event_type").agg(
         F.min(

@@ -425,8 +425,8 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT n_chars,
-               row_number() OVER (ORDER BY n_chars) AS rn,
-               COUNT(*) OVER () AS n
+               row_number() OVER (ORDER BY n_chars NULLS LAST) AS rn,
+               COUNT(n_chars) OVER () AS n
         FROM base
     ),
     vol AS (
@@ -503,11 +503,17 @@ def profile_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("fp")
     )
+    # NULLS LAST + non-null count keeps the length percentiles NULL-safe
+    # like the aggregates they replaced (ADVICE r5): a NULL n_chars ranks
+    # past nn on both engines instead of shifting Spark's ranks (nulls
+    # first by default) while DuckDB's stay put.
     ranked = d.select(
         "n_chars",
         "fp",
-        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+        F.row_number()
+        .over(Window.orderBy(F.asc_nulls_last("n_chars")))
+        .alias("rn"),
+        F.count("n_chars").over(Window.partitionBy()).alias("nn"),
     )
 
     def at_rank(cond: str):

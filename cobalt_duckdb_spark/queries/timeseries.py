@@ -552,8 +552,8 @@ def events_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                value,
                row_number() OVER (
                    PARTITION BY event_type, date_part('hour', ts)
-                   ORDER BY value) AS rn,
-               COUNT(*) OVER (
+                   ORDER BY value NULLS LAST) AS rn,
+               COUNT(value) OVER (
                    PARTITION BY event_type, date_part('hour', ts)) AS n
         FROM events
     )
@@ -593,12 +593,18 @@ def events_latency_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         "event_type", F.hour("ts").cast("int").alias("hour_of_day"), "value"
     )
     grp = Window.partitionBy("event_type", "hour_of_day")
+    # NULLS LAST + non-null count: NULL values rank past nn, so the
+    # ceil(q*nn) order statistic skips them like the percentile aggregates
+    # this window replaced (ADVICE r5 — Spark/DuckDB default null order
+    # differs).
     ranked = e.select(
         "event_type",
         "hour_of_day",
         "value",
-        F.row_number().over(grp.orderBy("value")).alias("rn"),
-        F.count(F.lit(1)).over(grp).alias("nn"),
+        F.row_number()
+        .over(grp.orderBy(F.asc_nulls_last("value")))
+        .alias("rn"),
+        F.count("value").over(grp).alias("nn"),
     )
 
     def at_rank(cond: str):

@@ -640,6 +640,50 @@ def test_tws_dedup_matches_batch(spark, sf_dir, events_stream_dir):
     assert len(got) == len({r["event_id"] for r in got})  # no dupes emitted
 
 
+def test_arbitrary_state_survives_restart_rocksdb(spark, tmp_path):
+    """T5 100-TB state posture (r5 verdict stretch): the
+    applyInPandasWithState running-totals op under the ROCKSDB state store
+    provider — unlike the TWS twins (protobuf-gated, skipped in this
+    container), this path runs everywhere, so it is the test that actually
+    certifies RocksDB state snapshot/restore here. Totals accumulated
+    before a checkpointed stop must carry over the restart: per-user counts
+    keep growing, never reset."""
+    from cobalt_duckdb_spark.streaming import running_user_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    collected: dict[int, tuple[int, float]] = {}
+
+    def run_once():
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                collected[r["user_id"]] = (r["n_events"], r["total_value"])
+
+        with _rocksdb_state_store(spark):
+            q = (
+                running_user_totals(read_events_stream(spark, src))
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+    _append_events(spark, src, [(1, 0, 1, "click"), (2, 5, 1, "view"),
+                                (3, 8, 2, "click")])
+    run_once()
+    assert collected[1] == (2, 2.0) and collected[2] == (1, 1.0)
+
+    # restart from the SAME checkpoint: user 1's count continues from the
+    # restored RocksDB state (2 -> 3), user 3 starts fresh
+    _append_events(spark, src, [(4, 30, 1, "purchase"), (5, 35, 3, "click")])
+    run_once()
+    assert collected[1] == (3, 3.0)
+    assert collected[2] == (1, 1.0)
+    assert collected[3] == (1, 1.0)
+
+
 def test_tws_dedup_state_survives_restart(spark, tmp_path):
     """Restart carry-over: ids seen before a checkpointed stop must NOT
     re-emit when the same ids arrive again after restart (ValueState is

@@ -12,15 +12,25 @@ commit of a round and commit the refreshed artifacts it writes.
 Stages (each skippable; heavy Spark stages run SERIALLY — every one
 spins a local[*] session and concurrent runs contaminate timings):
 
-1. window   — tools/next_window.py policy gate (fast, no Spark)
+1. window   — tools/next_window.py policy gate (fast, no Spark). At
+              CLOSE, a pending unfolded CORRECTNESS round is a FAILURE,
+              not a warning: sealing a round without folding the driver
+              greens wastes next round's certification slots (r5 verdict
+              item 5a).
 2. oracle   — tools/check_oracle.py at --sf (full differential)
 3. stability— tools/check_stability.py --json STABILITY_r{N}.json
 4. dup      — tools/probe_dup.py --json PROBE_r{N}.json
 5. skew     — tools/probe_skew.py --json SKEW_r{N}.json
 6. scaling  — tools/probe_scaling.py --json SCALING_r{N}.json
-7. bench    — python bench.py, then copy bench_full_latest.json to
+7. redraw   — tools/fuzz_redraw.py at BENCH scale (--sf-hi) with two
+              round-derived seeds (1000*round + 7 / + 77) that are
+              checked against every committed REDRAW_*.json for reuse —
+              bench-scale fuzz on fresh worlds found 3 of round 5's 4
+              cross-engine bugs; sf0.001 seeds alone found none
+              (r5 verdict item 5b).
+8. bench    — python bench.py, then copy bench_full_latest.json to
               bench_r{N}_full.json
-8. pytest   — python -m pytest tests/ -q
+9. pytest   — python -m pytest tests/ -q
 
 Usage:
     python tools/round_close.py --round 6 [--sf /root/testdata/sf0.01]
@@ -35,6 +45,8 @@ not judge.
 from __future__ import annotations
 
 import argparse
+import glob
+import json
 import os
 import shutil
 import subprocess
@@ -44,10 +56,79 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, list[str]]:
+def round_seeds(rnd: int) -> list[int]:
+    """Two never-used redraw seeds, derived from the round number so the
+    choice is mechanical (not builder diligence) and collision-free by
+    construction against the r5 ad-hoc seeds (all < 1112)."""
+    return [1000 * rnd + 7, 1000 * rnd + 77]
+
+
+def used_redraw_seeds() -> set[int]:
+    used: set[int] = set()
+    for path in glob.glob(os.path.join(REPO, "REDRAW_*.json")):
+        try:
+            with open(path) as f:
+                used.update(json.load(f).get("seeds", []))
+        except (OSError, ValueError):
+            continue
+    return used
+
+
+def check_fold_pending() -> int:
+    """Fail the window stage at CLOSE if a driver CORRECTNESS round has
+    not been folded into _DRIVER_VERIFIED — mid-round that is a benign
+    warning (next_window.py exits 0); at round close it means the next
+    window would re-burn certified slots."""
+    out = subprocess.run(
+        [sys.executable, "tools/next_window.py", "--json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    sys.stdout.write(out.stdout)
+    sys.stderr.write(out.stderr)
+    if out.returncode != 0:
+        return out.returncode
+    try:
+        report = json.loads(out.stdout)
+    except ValueError:
+        print("window: could not parse next_window.py --json output")
+        return 1
+    pending = report.get("summary", {}).get("pending_unfolded_rounds", [])
+    if pending:
+        print(
+            f"window: driver rounds {pending} not folded into "
+            "_DRIVER_VERIFIED — fold them (and bump _DRIVER_ROUNDS_FOLDED) "
+            "before sealing the round."
+        )
+        return 1
+    return 0
+
+
+def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
     py = sys.executable
+    seeds = round_seeds(rnd)
+    reused = sorted(set(seeds) & used_redraw_seeds())
+
+    def redraw() -> int:
+        if reused:
+            print(
+                f"redraw: seeds {reused} already appear in a committed "
+                "REDRAW_*.json — fresh worlds only (r5: re-used seeds "
+                "re-test worlds the code was already fixed against)."
+            )
+            return 1
+        return subprocess.call(
+            [
+                py, "tools/fuzz_redraw.py", "--sf", sf_hi,
+                "--seeds", *[str(s) for s in seeds],
+                "--json", f"REDRAW_r{rnd:02d}.json",
+            ],
+            cwd=REPO,
+        )
+
     return {
-        "window": [py, "tools/next_window.py", "--json"],
+        "window": check_fold_pending,
         "oracle": [py, "tools/check_oracle.py", sf],
         "stability": [
             py, "tools/check_stability.py", "--json", f"STABILITY_r{rnd:02d}.json",
@@ -57,6 +138,7 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, list[str]]:
         "scaling": [
             py, "tools/probe_scaling.py", "--json", f"SCALING_r{rnd:02d}.json",
         ],
+        "redraw": redraw,
         "bench": [py, "bench.py"],
         "pytest": [py, "-m", "pytest", "tests/", "-q"],
     }
@@ -86,8 +168,13 @@ def main() -> int:
     failed = False
     for name in selected:
         t0 = time.perf_counter()
-        print(f"=== {name}: {' '.join(cmds[name])}", flush=True)
-        rc = subprocess.call(cmds[name], cwd=REPO)
+        cmd = cmds[name]
+        if callable(cmd):
+            print(f"=== {name}: <built-in {name} stage>", flush=True)
+            rc = cmd()
+        else:
+            print(f"=== {name}: {' '.join(cmd)}", flush=True)
+            rc = subprocess.call(cmd, cwd=REPO)
         dt = time.perf_counter() - t0
         if name == "bench" and rc == 0:
             src = os.path.join(REPO, "bench_full_latest.json")
