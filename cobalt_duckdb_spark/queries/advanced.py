@@ -1087,7 +1087,10 @@ def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "features_quantile_normalize",
     oracle="""
-    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    WITH d AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars IS NOT NULL
+    ),
     s AS (
         SELECT doc_id, source, n_chars,
                ROW_NUMBER() OVER (PARTITION BY source
@@ -1128,7 +1131,14 @@ def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — the per-source side is unchanged."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # a doc with no length has no quantile: excluded on both sides —
+    # otherwise the rank windows shift by the null count on Spark only
+    # (NULL-world fuzz, r6)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     s = d.select(
         "doc_id",
@@ -1320,10 +1330,16 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(tbl: pa.Table) -> pa.Table:
         chars = tbl.column("n_chars")
+        # the mean divides by the NON-NULL count (pc.sum skips nulls, so
+        # dividing by num_rows would silently deflate the mean on a
+        # NULL-carrying corpus while the oracle's AVG does not —
+        # NULL-world fuzz, r6); n_docs stays the COUNT(*) row count
+        n_vals = len(chars) - chars.null_count
         return pa.table(
             {
                 "source": pa.array([tbl.column("source")[0].as_py()], pa.string()),
                 "n_docs": pa.array([tbl.num_rows], pa.int64()),
+                "n_vals": pa.array([n_vals], pa.int64()),
                 "sum_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
                 "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
             }
@@ -1334,13 +1350,14 @@ def udaf_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("source")
         .applyInArrow(
             stats,
-            schema="source string, n_docs bigint, sum_chars bigint, max_chars bigint",
+            schema="source string, n_docs bigint, n_vals bigint,"
+            " sum_chars bigint, max_chars bigint",
         )
         # finalize the mean JVM-side from the EXACT integer sum the kernel
         # emitted: an int/int mean can sit exactly on a 4-dp half-way point,
         # where double ROUND is engine-dependent (functions/exact.py)
         .withColumn(
-            "mean_chars", exact_round_ratio(F.col("sum_chars"), F.col("n_docs"), 4)
+            "mean_chars", exact_round_ratio(F.col("sum_chars"), F.col("n_vals"), 4)
         )
         .select("source", "n_docs", "mean_chars", "max_chars")
         .orderBy("source")
@@ -1826,10 +1843,12 @@ def stats_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_ks_two_sample",
     oracle="""
     WITH a AS (
-        SELECT value FROM events WHERE event_type = 'click'
+        SELECT value FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL
     ),
     b AS (
-        SELECT value FROM events WHERE event_type = 'view'
+        SELECT value FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL
     ),
     pooled AS (
         SELECT value, 1.0 AS in_a, 0.0 AS in_b FROM a
@@ -1883,7 +1902,12 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction, bounded frame."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # an ECDF is over OBSERVED values: NULLs carry no position on the
+    # value axis, and the engines disagree on where NULL order keys sort
+    # in the pooled running sum (NULL-world fuzz, r6)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     a = e.filter(F.col("event_type") == "click").select("value")
     b = e.filter(F.col("event_type") == "view").select("value")
     pooled = a.select(
@@ -1978,7 +2002,8 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pooled AS (
         SELECT value, CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END
                    AS in_a
-        FROM events WHERE event_type IN ('click', 'view')
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
     ),
     ranked AS (
         /* average ranks over ties: rank() spans + tie-count arithmetic */
@@ -2019,8 +2044,11 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank approximation is the 1e9-row swap), then a 1-row reduction."""
     from pyspark.sql import Window
 
+    # rank statistics are over OBSERVED values (NULL has no rank; the
+    # engines disagree on where NULL order keys sort) — NULL-world fuzz, r6
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     pooled = e.select(
         "value",
@@ -3151,7 +3179,7 @@ def stats_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ranked AS (
         SELECT value, ts, ntile(2) OVER (ORDER BY ts, event_id) AS half
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ),
     ref AS (SELECT value FROM ranked WHERE half = 1),
     idx AS (
@@ -3224,8 +3252,11 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-consistent."""
     from pyspark.sql import Window
 
+    # a value-distribution drift score is over OBSERVED values: a NULL has
+    # no decile bin, and the reference-decile rank window would otherwise
+    # shift by the null count on one engine only (NULL-world fuzz, r6)
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
     ranked = e.select(
         "value",

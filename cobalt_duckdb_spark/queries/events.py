@@ -1169,23 +1169,35 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
     ),
     daily AS (
+        /* exact lattice sums (functions/exact.py): the revenue pair feeds
+           a DIFFERENCE, where a float-epsilon spread between two
+           double-sum orders can turn a true zero into ROUND(-eps, 2) =
+           -0.0 on DuckDB only (signed-zero class, r6) */
         SELECT CAST(valid_ts AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS n_final,
-               SUM(value) AS rev_final,
-               SUM(CASE WHEN CAST(ingest_ts AS DATE) = CAST(valid_ts AS DATE)
-                        THEN value ELSE 0 END) AS rev_known,
+               {rev_final} AS rev_final,
+               {rev_known} AS rev_known,
                CAST(SUM(CASE WHEN CAST(ingest_ts AS DATE)
                                   > CAST(valid_ts AS DATE)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         FROM bt GROUP BY 1
     )
     SELECT CAST(day AS VARCHAR) AS day, n_final, n_late,
-           ROUND(rev_known, 2) AS rev_known_at_day_end,
-           ROUND(rev_final, 2) AS rev_final,
+           rev_known AS rev_known_at_day_end,
+           rev_final,
            ROUND(rev_final - rev_known, 2) AS restatement
     FROM daily
     ORDER BY day
-    """,
+    """.replace(
+        "{rev_final}", exact_round_sum_sql("value", 2)
+    ).replace(
+        "{rev_known}",
+        exact_round_sum_sql(
+            "CASE WHEN CAST(ingest_ts AS DATE) = CAST(valid_ts AS DATE)"
+            " THEN value ELSE 0 END",
+            2,
+        ),
+    ),
 )
 def events_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal restatement audit: daily purchase revenue "as known at
@@ -1214,12 +1226,17 @@ def events_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame
         "value",
     )
     same_day = F.to_date("ingest_ts") == F.to_date("valid_ts")
+    # exact lattice sums: the revenue pair feeds a DIFFERENCE — see the
+    # oracle comment (signed-zero class, r6). The published doubles are
+    # exact 2-dp values on both engines, so restatement is a deterministic
+    # subtraction of identical lattice doubles (never -0.0: a == b gives
+    # +0.0 in IEEE).
     daily = bt.groupBy(F.to_date("valid_ts").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_final"),
-        F.sum("value").alias("rev_final"),
-        F.sum(F.when(same_day, F.col("value")).otherwise(0.0)).alias(
-            "rev_known"
-        ),
+        exact_round_sum(F.col("value"), 2).alias("rev_final"),
+        exact_round_sum(
+            F.when(same_day, F.col("value")).otherwise(0.0), 2
+        ).alias("rev_known"),
         F.sum(F.when(~same_day, 1).otherwise(0))
         .cast("bigint")
         .alias("n_late"),
@@ -1228,8 +1245,8 @@ def events_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("day").cast("string").alias("day"),
         "n_final",
         "n_late",
-        F.round("rev_known", 2).alias("rev_known_at_day_end"),
-        F.round("rev_final", 2).alias("rev_final"),
+        F.col("rev_known").alias("rev_known_at_day_end"),
+        F.col("rev_final"),
         F.round(F.col("rev_final") - F.col("rev_known"), 2).alias(
             "restatement"
         ),

@@ -364,7 +364,7 @@ _CURR_PHASES = 4
     WITH scored AS (
         SELECT doc_id,
                n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
-        FROM documents
+        FROM documents WHERE n_chars IS NOT NULL
     ),
     phased AS (
         SELECT doc_id, score,
@@ -394,7 +394,13 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     range lookup, which keeps the same phase semantics modulo boundary
     rounding without the global sort. The oracle pins the exact-ntile
     semantics at test scale."""
-    d = load_table(spark, sf_dir, "documents")
+    # an unscoreable doc (NULL n_chars → NULL score) cannot be curriculum-
+    # ranked: excluded on both sides, else ntile puts the NULL group in
+    # phase 1 on Spark (nulls first) and phase 4 on DuckDB (nulls last)
+    # (NULL-world fuzz, r6)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     from pyspark.sql import Window
 
     scored = d.select(

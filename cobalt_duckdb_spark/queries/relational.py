@@ -24,6 +24,7 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg_sql,
     exact_round_sum,
     exact_round_sum_sql,
+    spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
@@ -371,10 +372,18 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_quantity_price",
     oracle="""
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+           {corr} AS corr_qty_price,
+           {covar} AS covar_qty_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
+    """.replace(
+        # sign-capable near-zero statistics publish through spark_round_sql:
+        # DuckDB's plain ROUND keeps IEEE -0.0 for tiny negatives while
+        # Spark's BigDecimal round normalizes to +0.0 (signed-zero class,
+        # sf0.1 redraw seed 2317)
+        "{corr}", spark_round_sql("corr(l_quantity, l_extendedprice)", 6)
+    ).replace(
+        "{covar}", spark_round_sql("covar_samp(l_quantity, l_extendedprice)", 4)
+    ),
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -641,13 +650,24 @@ def unpivot_event_totals_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND((SUM(d*d*d) / COUNT(*))
-                 / POW(SUM(d*d) / COUNT(*), 1.5), 4) AS skewness_pop,
-           ROUND((SUM(d*d*d*d) / COUNT(*))
-                 / POW(SUM(d*d) / COUNT(*), 2.0) - 3.0, 4) AS excess_kurtosis_pop
+           {skew} AS skewness_pop,
+           {kurt} AS excess_kurtosis_pop
     FROM dev GROUP BY o_orderstatus
     ORDER BY o_orderstatus
-    """,
+    """.replace(
+        # skewness/kurtosis are sign-capable near-zero stats — publish via
+        # spark_round_sql (signed-zero + half-point procedure parity)
+        "{skew}",
+        spark_round_sql(
+            "(SUM(d*d*d) / COUNT(*)) / POW(SUM(d*d) / COUNT(*), 1.5)", 4
+        ),
+    ).replace(
+        "{kurt}",
+        spark_round_sql(
+            "(SUM(d*d*d*d) / COUNT(*)) / POW(SUM(d*d) / COUNT(*), 2.0) - 3.0",
+            4,
+        ),
+    ),
 )
 def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped skewness and excess kurtosis — distribution-shape audit for
@@ -972,10 +992,14 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT flag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(corr(rq, rp), 4) AS spearman_qty_price,
-           ROUND(corr(rq, rd), 4) AS spearman_qty_discount
+           {c1} AS spearman_qty_price,
+           {c2} AS spearman_qty_discount
     FROM ranked GROUP BY flag ORDER BY flag
-    """,
+    """.replace(
+        # correlations are sign-capable near zero: spark_round_sql kills
+        # the DuckDB ROUND(-eps) = -0.0 signed-zero divergence
+        "{c1}", spark_round_sql("corr(rq, rp)", 4)
+    ).replace("{c2}", spark_round_sql("corr(rq, rd)", 4)),
 )
 def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per return flag — the robust,
@@ -1038,7 +1062,7 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value,
                percent_rank() OVER (
                    PARTITION BY event_type ORDER BY value) AS pr
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            {mean_all} AS mean_all,
@@ -1066,7 +1090,13 @@ def agg_trimmed_mean_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed; all three locations come from the same grouped pass."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # location estimators are over OBSERVED values: percent_rank over a
+    # NULL-carrying column shifts every rank by the null count on Spark
+    # (nulls first) but not DuckDB (nulls last), and the means/median
+    # skip NULLs anyway (NULL-world fuzz, r6)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     ranked = e.select(
         "event_type",
         "value",

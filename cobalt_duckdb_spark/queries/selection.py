@@ -18,6 +18,7 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg_sql,
     exact_round_sum,
     exact_round_sum_sql,
+    spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
@@ -145,7 +146,8 @@ _DOREMI_ETA = 1.0
            ROUND(base_share, 6) AS base_share,
            ROUND(proxy_loss, 6) AS proxy_loss,
            ROUND(unnorm / SUM(unnorm) OVER (), 6) AS doremi_share,
-           ROUND(unnorm / SUM(unnorm) OVER () - base_share, 6) + 0 AS delta_share
+           {spark_round_sql("unnorm / SUM(unnorm) OVER () - base_share", 6)}
+               AS delta_share
     FROM scored ORDER BY source
     """,
 )
@@ -1096,8 +1098,11 @@ _PW_SEGMENTS = 3
     )
     SELECT seg_idx,
            CAST(n AS BIGINT) AS n_hours,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           {spark_round_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)}
+               AS slope,
+           {spark_round_sql(
+               "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6
+           )}
                AS intercept,
            ROUND(CASE WHEN (n * syy - sy * sy) <= 0 THEN 1.0
                       ELSE POW(n * sxy - sx * sy, 2)
@@ -1955,10 +1960,13 @@ def features_hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFr
            CAST(toks AS BIGINT) AS n_tokens,
            ROUND(gsq / gn, 6) AS global_mean_quality,
            ROUND((gsq - sq) / (gn - n), 6) AS loso_mean_quality,
-           ROUND(gsq / gn - (gsq - sq) / (gn - n), 6) AS influence
+           {infl} AS influence
     FROM per_src, gtot
     ORDER BY influence DESC, source
-    """,
+    """.replace(
+        # a mean DIFFERENCE is sign-capable near zero (signed-zero class)
+        "{infl}", spark_round_sql("gsq / gn - (gsq - sq) / (gn - n)", 6)
+    ),
 )
 def pipeline_loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-source-out data valuation: each source's INFLUENCE on the
@@ -2344,10 +2352,13 @@ def sample_group_holdout_leakage_audit(spark: SparkSession, sf_dir: str) -> Data
         SELECT label, list(c ORDER BY i) AS cv FROM cdim GROUP BY label
     )
     SELECT a.label AS label_a, b.label AS label_b,
-           ROUND(list_cosine_similarity(a.cv, b.cv), 6) AS centroid_cosine
+           {cos} AS centroid_cosine
     FROM cent a JOIN cent b ON a.label <= b.label
     ORDER BY label_a, label_b
-    """,
+    """.replace(
+        # cross-label cosines are sign-capable near zero (signed-zero class)
+        "{cos}", spark_round_sql("list_cosine_similarity(a.cv, b.cv)", 6)
+    ),
 )
 def embedding_label_alignment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-geometry diagnostic: cosine similarity between LABEL CENTROIDS
@@ -2434,9 +2445,9 @@ _Z975 = 1.959963984540054
            CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS conv_b,
            ROUND(mu_a, 6) AS post_mean_a,
            ROUND(mu_b, 6) AS post_mean_b,
-           ROUND(uplift, 6) AS uplift,
-           ROUND(uplift - {_Z975} * se, 6) AS ci95_lo,
-           ROUND(uplift + {_Z975} * se, 6) AS ci95_hi,
+           {spark_round_sql("uplift", 6)} AS uplift,
+           {spark_round_sql(f"uplift - {_Z975} * se", 6)} AS ci95_lo,
+           {spark_round_sql(f"uplift + {_Z975} * se", 6)} AS ci95_hi,
            ROUND(0.5 * (1 + (CASE WHEN zval >= 0 THEN 1 ELSE -1 END)
                  * (1 - (((({_ERF_A[4]} * t + {_ERF_A[3]}) * t + {_ERF_A[2]})
                           * t + {_ERF_A[1]}) * t + {_ERF_A[0]}) * t

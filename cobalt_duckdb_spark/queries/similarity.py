@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import spark_round_sql
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.operators.knn import knn_topk_batch
 from cobalt_duckdb_spark.operators.similarity import ivf_topk
@@ -309,7 +310,7 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     per_dim AS (
         SELECT i AS dim,
-               ROUND(AVG(v[CAST(i AS INT)]), 6) AS mean,
+               {mean} AS mean,
                ROUND(VAR_POP(v[CAST(i AS INT)]), 6) AS variance
         FROM e CROSS JOIN range(1, 65) t(i)
         GROUP BY i
@@ -317,7 +318,10 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dim AS INT) AS dim, mean, variance
     FROM per_dim
     ORDER BY variance DESC, dim LIMIT 10
-    """,
+    """.replace(
+        # dim means are centered near zero — sign-capable (signed-zero class)
+        "{mean}", spark_round_sql("AVG(v[CAST(i AS INT)])", 6)
+    ),
 )
 def embedding_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension variance audit over the embedding matrix: the 10
@@ -710,10 +714,13 @@ def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(gb.n_batch, 0) AS n_batch,
            ROUND(gc.dc, 6) AS avg_dist_corpus,
            ROUND(gb.db, 6) AS avg_dist_batch,
-           ROUND(gb.db - gc.dc, 6) AS drift
+           {drift} AS drift
     FROM gc FULL OUTER JOIN gb ON gc.cell = gb.cell
     ORDER BY cell
-    """,
+    """.replace(
+        # a distance DIFFERENCE is sign-capable near zero (signed-zero class)
+        "{drift}", spark_round_sql("gb.db - gc.dc", 6)
+    ),
 )
 def simsearch_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-staleness audit: the corpus (vec_id % 5 ≠ 0) trains the
@@ -815,11 +822,15 @@ def simsearch_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.label,
            CAST(c.n_a AS BIGINT) AS n_even,
            CAST(c.n_b AS BIGINT) AS n_odd,
-           ROUND(s.dot / (s.na * s.nb), 6) AS centroid_cosine,
-           ROUND(s.nb - s.na, 6) AS norm_shift
+           {cos} AS centroid_cosine,
+           {shift} AS norm_shift
     FROM sums s JOIN cnt c ON c.label = s.label
     ORDER BY s.label
-    """,
+    """.replace(
+        # cosines and norm differences are sign-capable near zero
+        # (signed-zero class, sf0.1 redraw seed 2317)
+        "{cos}", spark_round_sql("s.dot / (s.na * s.nb)", 6)
+    ).replace("{shift}", spark_round_sql("s.nb - s.na", 6)),
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label SEMANTIC drift: split each label's vectors into two halves
@@ -917,8 +928,8 @@ def _silhouette_oracle() -> str:
     )
     SELECT cid,
            CAST(COUNT(*) AS BIGINT) AS n_points,
-           ROUND(AVG(s), 4) AS avg_silhouette,
-           ROUND(MIN(s), 4) AS min_silhouette,
+           {spark_round_sql("AVG(s)", 4)} AS avg_silhouette,
+           {spark_round_sql("MIN(s)", 4)} AS min_silhouette,
            CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_misassigned
     FROM sil
@@ -1163,13 +1174,15 @@ def _pca_oracle() -> str:
             FROM centered a JOIN centered b ON a.vec_id = b.vec_id
             GROUP BY a.i, b.i
         )""",
-        """m0 AS MATERIALIZED (
+        f"""m0 AS MATERIALIZED (
             SELECT i, j,
-                   ROUND(val / (SELECT MAX(ABS(val)) FROM cov), 9) AS val
+                   {spark_round_sql("val / (SELECT MAX(ABS(val)) FROM cov)", 9)}
+                       AS val
             FROM cov
         )""",
     ]
     for t in range(1, _PCA_SQUARINGS + 1):
+        rnd = spark_round_sql(f"val / (SELECT MAX(ABS(val)) FROM sq{t})", 9)
         parts.append(f"""sq{t} AS MATERIALIZED (
             SELECT x.i AS i, y.j AS j, SUM(x.val * y.val) AS val
             FROM m{t - 1} x JOIN m{t - 1} y ON x.j = y.i
@@ -1177,7 +1190,7 @@ def _pca_oracle() -> str:
         ),
         m{t} AS MATERIALIZED (
             SELECT i, j,
-                   ROUND(val / (SELECT MAX(ABS(val)) FROM sq{t}), 9) AS val
+                   {rnd} AS val
             FROM sq{t}
         )""")
     last = _PCA_SQUARINGS
@@ -1186,7 +1199,8 @@ def _pca_oracle() -> str:
     vraw AS MATERIALIZED (SELECT i, SUM(val) AS y FROM m{last} GROUP BY i),
     vnrm AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS nrm FROM vraw),
     v AS MATERIALIZED (
-        SELECT i, ROUND(y / (SELECT nrm FROM vnrm), 6) AS val FROM vraw
+        SELECT i, {spark_round_sql("y / (SELECT nrm FROM vnrm)", 6)} AS val
+        FROM vraw
     ),
     rayleigh AS MATERIALIZED (
         SELECT SUM(va.val * c.val * vb.val) AS lam
@@ -1196,7 +1210,7 @@ def _pca_oracle() -> str:
     )
     SELECT CAST(v.i - 1 AS BIGINT) AS dim,
            v.val AS loading,
-           ROUND((SELECT lam FROM rayleigh), 4) AS eigenvalue
+           {spark_round_sql("(SELECT lam FROM rayleigh)", 4)} AS eigenvalue
     FROM v
     ORDER BY dim
     """
@@ -1721,7 +1735,7 @@ _HUB_TOP = 10
            i.vec_id,
            CAST(i.d AS BIGINT) AS in_degree,
            CAST(m.n_reached AS BIGINT) AS n_reached,
-           ROUND(m.m3 / POW(m.m2, 1.5), 4) AS in_degree_skew
+           {spark_round_sql("m.m3 / POW(m.m2, 1.5)", 4)} AS in_degree_skew
     FROM indeg i, mom m
     ORDER BY hub_rank LIMIT {_HUB_TOP}
     """,
@@ -1825,10 +1839,14 @@ def embedding_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM nrm) AS n
     )
     SELECT CAST(n AS BIGINT) AS n_vectors,
-           ROUND((sum_sq - n) / (n * (n - 1.0)), 6) AS avg_pairwise_cosine,
+           {apc} AS avg_pairwise_cosine,
            ROUND(sqrt(sum_sq) / n, 6) AS mean_vector_norm
     FROM agg
-    """,
+    """.replace(
+        # the average pairwise cosine is ~0 by construction for isotropic
+        # embeddings — the canonical signed-zero trap shape
+        "{apc}", spark_round_sql("(sum_sq - n) / (n * (n - 1.0))", 6)
+    ),
 )
 def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotropy audit WITHOUT the pairwise join: the average pairwise

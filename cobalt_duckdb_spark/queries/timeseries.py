@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg,
     exact_round_avg_sql,
+    exact_round_ratio,
+    exact_round_ratio_sql,
     spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
@@ -417,13 +419,22 @@ _EWMA_SPAN = 20  # trailing rows folded per point
 @register(
     "events_ewma_user_value",
     oracle=f"""
-    WITH windows AS (
+    WITH raw AS (
         SELECT user_id, event_id, value,
                list(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW
-               ) AS vals
+               ) AS vals0
         FROM events WHERE user_id < 40
+    ),
+    windows AS (
+        /* Spark's collect_list SKIPS NULLs while DuckDB's list() keeps
+           them — filter so both engines fold the same observed sequence,
+           and guard the empty (all-NULL frame) case to NULL
+           (NULL-world fuzz, r6) */
+        SELECT user_id, event_id, value,
+               list_filter(vals0, x -> x IS NOT NULL) AS vals
+        FROM raw
     )
     SELECT user_id, event_id, ROUND(value, 2) AS value,
            {{ewma}} AS ewma
@@ -432,8 +443,9 @@ _EWMA_SPAN = 20  # trailing rows folded per point
     """.replace(
         "{ewma}",
         spark_round_sql(
-            f"list_reduce(vals, (acc, x) -> acc * {1 - _EWMA_ALPHA}"
-            f" + x * {_EWMA_ALPHA})",
+            f"CASE WHEN len(vals) > 0 THEN list_reduce(vals,"
+            f" (acc, x) -> acc * {1 - _EWMA_ALPHA}"
+            f" + x * {_EWMA_ALPHA}) END",
             6,
         ),
     ),
@@ -463,9 +475,13 @@ def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = e.select(
         "user_id", "event_id", "value", F.collect_list("value").over(w).alias("vals")
     )
+    # F.get (0-indexed) returns NULL on an empty array where ANSI-mode
+    # element_at raises: an all-NULL frame (collect_list skipped every
+    # value) must yield ewma = NULL, not a runtime error (NULL-world
+    # fuzz, r6)
     folded = F.aggregate(
         F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
-        F.element_at("vals", 1),
+        F.get("vals", 0),
         lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
     )
     return vals.select(
@@ -1095,9 +1111,13 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = F.array_sort(F.collect_list("value").over(w))
     n = F.size(arr)
-    # 1-based element_at; odd n → middle, even n → mean of the two middles
-    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    # 0-indexed F.get (NULL on out-of-range, where ANSI element_at raises):
+    # collect_list skips NULL values, so an all-NULL frame is EMPTY — the
+    # median must be NULL like DuckDB's NULL-skipping median window, not a
+    # runtime error (NULL-world fuzz, r6). Odd n → middle, even n → mean
+    # of the two middles.
+    lo = F.get(arr, ((n + 1) / 2).cast("int") - 1)
+    hi = F.get(arr, (n / 2).cast("int"))
     return (
         e.select(
             "event_id",
@@ -1971,10 +1991,25 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "6 hours").start.alias("bar_start"),
         )
         .agg(
-            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            # mask the ordering key on NULL values: Spark's min_by/max_by
+            # return the value AT the arg-extreme even when it is NULL,
+            # while DuckDB's arg_min/arg_max skip NULL values — masking
+            # makes both engines pick the extreme among OBSERVED values
+            # (NULL-world fuzz, r6)
+            F.round(
+                F.min_by(
+                    "value", F.when(F.col("value").isNotNull(), F.col("ts"))
+                ),
+                2,
+            ).alias("open"),
             F.round(F.max("value"), 2).alias("high"),
             F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.round(
+                F.max_by(
+                    "value", F.when(F.col("value").isNotNull(), F.col("ts"))
+                ),
+                2,
+            ).alias("close"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.round(F.sum("value"), 2).alias("volume"),
         )
@@ -2080,20 +2115,45 @@ def events_gumbel_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_interarrival_burstiness",
     oracle="""
     WITH arr AS (
-        SELECT event_type, ts,
-               epoch(ts - lag(ts) OVER (
-                   PARTITION BY event_type ORDER BY ts, event_id)) AS gap
+        SELECT event_type,
+               date_diff('microsecond', lag(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id), ts)
+                   AS gap_us
         FROM events
+    ),
+    m AS (
+        /* exact integer moments: CV and B are derived from (n, sum,
+           sum-of-squares) through ONE identical correctly-rounded IEEE
+           chain on both engines — stddev_samp/AVG accumulate doubles in
+           engine- and partition-dependent order (sf0.1 redraw seed 2317:
+           B = -2.98e-05 rounded to -0.0 on DuckDB, +0.0 on Spark) */
+        SELECT event_type,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               SUM(CAST(gap_us AS HUGEINT)) AS s1,
+               SUM(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+        FROM arr WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    ),
+    stats AS (
+        SELECT event_type, n_gaps, s1,
+               CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu_us,
+               sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(CAST(n_gaps AS HUGEINT) * (n_gaps - 1)
+                           AS DOUBLE)) AS sd_us
+        FROM m
     )
-    SELECT event_type,
-           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+    SELECT event_type, n_gaps,
            {mean_gap} AS mean_gap_s,
-           ROUND(stddev_samp(gap) / AVG(gap), 4) AS cv,
-           ROUND((stddev_samp(gap) - AVG(gap))
-                 / (stddev_samp(gap) + AVG(gap)), 4) AS burstiness_b
-    FROM arr WHERE gap IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
-    """.replace("{mean_gap}", exact_round_avg_sql("gap", 4)),
+           CASE WHEN n_gaps > 1 THEN {cv} END AS cv,
+           CASE WHEN n_gaps > 1 THEN {b} END AS burstiness_b
+    FROM stats ORDER BY event_type
+    """.replace(
+        "{mean_gap}", exact_round_ratio_sql("s1", "n_gaps * 1000000", 4)
+    ).replace(
+        "{cv}", spark_round_sql("sd_us / mu_us", 4)
+    ).replace(
+        "{b}", spark_round_sql("(sd_us - mu_us) / (sd_us + mu_us)", 4)
+    ),
 )
 def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per event type: coefficient of variation of
@@ -2106,30 +2166,56 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
     `text_term_burstiness` is the same dispersion idea over token counts.
 
     Plan: one type-keyed lag window (microsecond-exact gaps), one moment
-    aggregate — a two-shuffle query at any scale."""
+    aggregate — a two-shuffle query at any scale.
+
+    Cross-engine discipline (sf0.1 redraw seed 2317): CV and B are built
+    from EXACT integer-microsecond moments (n, Σgap, Σgap²) in
+    DECIMAL(38,0)/HUGEINT — stddev_samp/avg accumulate doubles in engine-
+    and partition-order, and B near 0 exposed a new class on top of that:
+    DuckDB ROUND(-2.98e-05, 4) = -0.0 while Spark's BigDecimal path gives
+    +0.0 (signed-zero divergence). From identical integers both engines
+    run one correctly-rounded IEEE chain (cast, /, sqrt), so the doubles
+    are bit-identical and the oracle's spark_round_sql publishes the
+    same 4-dp value. Magnitude contract: n·Σgap² ≤ ~1e36 at 1e12 gaps of
+    ≤1e6 µs — inside DECIMAL(38,0), documented like functions/exact.py."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    gap = (
-        F.expr(
-            "timestampdiff(MICROSECOND, lag(ts) OVER "
-            "(PARTITION BY event_type ORDER BY ts, event_id), ts)"
-        )
-        / 1e6
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id), ts)"
     )
-    arr = e.select("event_type", gap.alias("gap")).filter(
-        F.col("gap").isNotNull()
+    arr = e.select("event_type", gap_us.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
     )
+    m = arr.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us")).alias(
+            "s2"
+        ),
+    )
+    mu_us = F.col("s1").cast("double") / F.col("n_gaps").cast("double")
+    sd_us = F.sqrt(
+        (
+            F.col("n_gaps").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1") * F.col("s1")
+        ).cast("double")
+        / (
+            F.col("n_gaps").cast("decimal(38,0)") * (F.col("n_gaps") - 1)
+        ).cast("double")
+    )
+    guard = F.col("n_gaps") > 1
     return (
-        arr.groupBy("event_type")
-        .agg(
-            F.count("gap").cast("bigint").alias("n_gaps"),
-            exact_round_avg(F.col("gap"), 4).alias("mean_gap_s"),
-            F.round(F.stddev_samp("gap") / F.avg("gap"), 4).alias("cv"),
-            F.round(
-                (F.stddev_samp("gap") - F.avg("gap"))
-                / (F.stddev_samp("gap") + F.avg("gap")),
-                4,
+        m.select(
+            "event_type",
+            "n_gaps",
+            exact_round_ratio(
+                F.col("s1"), F.col("n_gaps").cast("decimal(38,0)") * 1000000, 4
+            ).alias("mean_gap_s"),
+            F.when(guard, F.round(sd_us / mu_us, 4)).alias("cv"),
+            F.when(
+                guard, F.round((sd_us - mu_us) / (sd_us + mu_us), 4)
             ).alias("burstiness_b"),
         )
         .orderBy("event_type")
@@ -2346,10 +2432,18 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     )
     SELECT h,
-           ROUND((n * sxy - sx * sy)
-                 / NULLIF(n * sxx - sx * sx, 0), 6) AS beta_24h
+           {beta} AS beta_24h
     FROM roll WHERE n = 24 ORDER BY h
-    """,
+    """.replace(
+        # the rolling OLS slope is sign-capable near zero; its moments are
+        # exact integer-valued doubles (hourly counts), so the doubles are
+        # engine-identical and spark_round_sql closes the signed-zero +
+        # rounding-procedure classes (sf0.1 redraw seed 2317 family)
+        "{beta}",
+        spark_round_sql(
+            "(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)", 6
+        ),
+    ),
 )
 def events_rolling_beta_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling OLS slope: how many purchases ride on each click, hour by

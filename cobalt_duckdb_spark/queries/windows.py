@@ -138,7 +138,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT)
                RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT) AS n_within_5
     FROM events
-    WHERE user_id < 10
+    WHERE user_id < 10 AND value IS NOT NULL
     ORDER BY user_id, value, event_id
     """,
 )
@@ -154,7 +154,13 @@ def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe: ×8.1 → flat)."""
     from cobalt_duckdb_spark.operators.windows import range_frame_window_bucketed
 
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    # a RANGE frame needs a concrete ordering value for every row: a NULL
+    # value has no ±5 band (and the engines disagree on where NULL order
+    # keys sit), so NULL-value rows are excluded on both sides
+    # (NULL-world fuzz, r6)
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 10) & F.col("value").isNotNull()
+    )
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     out = range_frame_window_bucketed(
         e.withColumn("_cents", cents),

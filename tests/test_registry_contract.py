@@ -86,6 +86,39 @@ def test_driver_window_rotation_policy():
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
+def test_round_close_seed_hygiene():
+    """tools/round_close.py's redraw stage (r5 verdict item 5b) must pick
+    never-used seeds: round-derived (deterministic, no builder diligence),
+    disjoint from every seed any committed REDRAW_*.json already burned —
+    a re-used seed re-tests a world the code was already fixed against."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from round_close import round_seeds, used_redraw_seeds
+    finally:
+        sys.path.pop(0)
+
+    used = used_redraw_seeds()
+    for rnd in range(6, 21):  # every remaining driver round
+        seeds = round_seeds(rnd)
+        assert len(set(seeds)) == len(seeds)
+        clash = set(seeds) & used
+        # the round's own committed report legitimately contains its seeds
+        own = os.path.join(repo, f"REDRAW_r{rnd:02d}.json")
+        if os.path.exists(own):
+            import json as _json
+
+            with open(own) as f:
+                clash -= set(_json.load(f).get("seeds", []))
+        assert not clash, (
+            f"round {rnd} close-out seeds {sorted(clash)} already used in a "
+            "committed REDRAW_*.json"
+        )
+
+
 def test_public_counts_match_registry():
     """README.md's registry counts are the repo's public claims; they
     drifted twice in round 4 (r4 verdict item 4). Tie the literal numbers

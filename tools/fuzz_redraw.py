@@ -33,6 +33,8 @@ is exactly the driver's gate, just on a different world.
 Usage:
     python tools/fuzz_redraw.py [--sf /root/testdata/sf0.001]
         [--seeds 11 22 33] [--workdir /tmp/fuzz_redraw] [--json out.json]
+        [--null-permille 10]   # NULL-carrying worlds (r6): ‰ of
+                               # events.value / documents.n_chars NULLed
 
 Exit 1 if any seed's differential reports a failure.
 
@@ -67,11 +69,22 @@ def _h(cols, seed: int, salt: int):
     return F.abs(F.xxhash64(*cols, F.lit(seed * 1000 + salt)))
 
 
-def build_redraw_dir(spark, sf_dir: str, out_dir: str, seed: int) -> None:
-    """Materialize one derived draw (idempotent per (sf, seed))."""
+def build_redraw_dir(
+    spark, sf_dir: str, out_dir: str, seed: int, null_permille: int = 0
+) -> None:
+    """Materialize one derived draw (idempotent per (sf, seed, nulls)).
+
+    ``null_permille`` > 0 additionally NULLs that fraction (‰) of the two
+    nullable measure columns the round-5 ADVICE named — events.value and
+    documents.n_chars — after the standard perturbation. The driver's
+    generator emits no NULLs today, but the rank-window order statistics
+    and every NULL-skipping aggregate must stay engine-identical the day
+    a corpus carries them (Spark sorts NULLs first ascending, DuckDB
+    last; COUNT(*) vs COUNT(col) diverge on NULL rows).
+    """
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out_dir, f"_built_s{seed}")
+    marker = os.path.join(out_dir, f"_built_s{seed}_n{null_permille}")
     if os.path.exists(marker):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -178,16 +191,32 @@ def build_redraw_dir(spark, sf_dir: str, out_dir: str, seed: int) -> None:
     ev = read("events")
     pk = [F.col("event_id")]
     shift_s = (_h(pk, seed, 12) % 3601 - 1800).cast("int")
-    write(
+    ev_out = (
         ev.filter(keep(pk, 13))
         .withColumn(
             "ts", F.timestamp_add("SECOND", shift_s, F.col("ts"))
         )
-        .withColumn("value", cents("value", pk, 14, 200)),
-        "events",
+        .withColumn("value", cents("value", pk, 14, 200))
     )
+    if null_permille:
+        ev_out = ev_out.withColumn(
+            "value",
+            F.when(
+                _h(pk, seed, 77) % 1000 < null_permille, F.lit(None)
+            ).otherwise(F.col("value")),
+        )
+    write(ev_out, "events")
 
-    write(read("documents").filter(keep([F.col("doc_id")], 15)), "documents")
+    docs = read("documents").filter(keep([F.col("doc_id")], 15))
+    if null_permille:
+        docs = docs.withColumn(
+            "n_chars",
+            F.when(
+                _h([F.col("doc_id")], seed, 78) % 1000 < null_permille,
+                F.lit(None),
+            ).otherwise(F.col("n_chars")),
+        )
+    write(docs, "documents")
 
     em = read("embeddings")
     pk = [F.col("vec_id")]
@@ -216,6 +245,12 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/fuzz_redraw")
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--names", nargs="*", default=[])
+    ap.add_argument(
+        "--null-permille",
+        type=int,
+        default=0,
+        help="NULL this ‰ of events.value / documents.n_chars in each world",
+    )
     args = ap.parse_args()
 
     from cobalt_duckdb_spark.session import get_spark
@@ -227,11 +262,14 @@ def main() -> int:
     results = {}
     ok = True
     for seed in args.seeds:
+        suffix = f"_n{args.null_permille}" if args.null_permille else ""
         draw = os.path.join(
             args.workdir,
-            f"{os.path.basename(args.sf.rstrip('/'))}_s{seed}",
+            f"{os.path.basename(args.sf.rstrip('/'))}_s{seed}{suffix}",
         )
-        build_redraw_dir(spark, args.sf, draw, seed)
+        build_redraw_dir(
+            spark, args.sf, draw, seed, null_permille=args.null_permille
+        )
         proc = subprocess.run(
             [
                 sys.executable,
@@ -258,6 +296,8 @@ def main() -> int:
             print(f"  {ln}")
         ok = ok and proc.returncode == 0
     out = {"sf": args.sf, "seeds": args.seeds, "results": results}
+    if args.null_permille:
+        out["null_permille"] = args.null_permille
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f, indent=2)
