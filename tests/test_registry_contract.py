@@ -97,22 +97,29 @@ def test_round_close_seed_hygiene():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "tools"))
     try:
-        from round_close import round_seeds, used_redraw_seeds
+        from round_close import (
+            round_null_seed,
+            round_seeds,
+            used_redraw_seeds,
+        )
     finally:
         sys.path.pop(0)
 
     used = used_redraw_seeds()
     for rnd in range(6, 21):  # every remaining driver round
-        seeds = round_seeds(rnd)
+        seeds = round_seeds(rnd) + [round_null_seed(rnd)]
         assert len(set(seeds)) == len(seeds)
         clash = set(seeds) & used
-        # the round's own committed report legitimately contains its seeds
-        own = os.path.join(repo, f"REDRAW_r{rnd:02d}.json")
-        if os.path.exists(own):
-            import json as _json
+        # the round's own committed reports legitimately contain its seeds
+        import json as _json
 
-            with open(own) as f:
-                clash -= set(_json.load(f).get("seeds", []))
+        for own in (
+            os.path.join(repo, f"REDRAW_r{rnd:02d}.json"),
+            os.path.join(repo, f"REDRAW_r{rnd:02d}n.json"),
+        ):
+            if os.path.exists(own):
+                with open(own) as f:
+                    clash -= set(_json.load(f).get("seeds", []))
         assert not clash, (
             f"round {rnd} close-out seeds {sorted(clash)} already used in a "
             "committed REDRAW_*.json"

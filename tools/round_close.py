@@ -28,9 +28,14 @@ spins a local[*] session and concurrent runs contaminate timings):
               bench-scale fuzz on fresh worlds found 3 of round 5's 4
               cross-engine bugs; sf0.001 seeds alone found none
               (r5 verdict item 5b).
-8. bench    — python bench.py, then copy bench_full_latest.json to
+8. nullworld— tools/fuzz_redraw.py --null-permille 10 at the
+              differential sf (seed 1000*round + 177): NULL-carrying
+              worlds — the r6 1%-NULL world caught 10 divergent queries
+              (NULL order keys, collect_list vs list(), min_by vs
+              arg_min) that 20+ NULL-free worlds could not.
+9. bench    — python bench.py, then copy bench_full_latest.json to
               bench_r{N}_full.json
-9. pytest   — python -m pytest tests/ -q
+10. pytest  — python -m pytest tests/ -q
 
 Usage:
     python tools/round_close.py --round 6 [--sf /root/testdata/sf0.01]
@@ -61,6 +66,12 @@ def round_seeds(rnd: int) -> list[int]:
     choice is mechanical (not builder diligence) and collision-free by
     construction against the r5 ad-hoc seeds (all < 1112)."""
     return [1000 * rnd + 7, 1000 * rnd + 77]
+
+
+def round_null_seed(rnd: int) -> int:
+    """Seed for the per-round NULL-carrying world (fuzz_redraw
+    --null-permille): same mechanical derivation, distinct offset."""
+    return 1000 * rnd + 177
 
 
 def used_redraw_seeds() -> set[int]:
@@ -127,6 +138,26 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
             cwd=REPO,
         )
 
+    def nullworld() -> int:
+        # NULL-carrying world at the differential sf: the r6 1%-NULL world
+        # caught 10 divergent queries (NULL order keys, collect_list vs
+        # list(), min_by vs arg_min) that 20+ NULL-free worlds could not.
+        nseed = round_null_seed(rnd)
+        if nseed in used_redraw_seeds():
+            print(
+                f"nullworld: seed {nseed} already appears in a committed "
+                "REDRAW_*.json — fresh worlds only."
+            )
+            return 1
+        return subprocess.call(
+            [
+                py, "tools/fuzz_redraw.py", "--sf", sf,
+                "--seeds", str(nseed), "--null-permille", "10",
+                "--json", f"REDRAW_r{rnd:02d}n.json",
+            ],
+            cwd=REPO,
+        )
+
     return {
         "window": check_fold_pending,
         "oracle": [py, "tools/check_oracle.py", sf],
@@ -139,6 +170,7 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
             py, "tools/probe_scaling.py", "--json", f"SCALING_r{rnd:02d}.json",
         ],
         "redraw": redraw,
+        "nullworld": nullworld,
         "bench": [py, "bench.py"],
         "pytest": [py, "-m", "pytest", "tests/", "-q"],
     }
