@@ -137,15 +137,20 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     sample point — the real decoder would seek those offsets. Pure JVM
     expression (sequence + explode), so the sampling plan itself is
     distributed and cheap; only the decode of sampled offsets costs."""
+    # an EMPTY blob has no frames: emit zero rows, not a [0] offset — the
+    # old greatest(len-1, 0) clamp made sequence(0, 0) yield one spurious
+    # sample point for zero-length media (degenerate-text fuzz, r6)
+    offsets = F.when(
+        F.length("blob") > 0,
+        F.sequence(
+            F.lit(0).cast("bigint"),
+            F.length("blob").cast("bigint") - 1,
+            F.lit(every_n_bytes).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return media.filter(F.col("kind") == "video").select(
         "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.length("blob").cast("bigint") - 1, F.lit(0)),
-                F.lit(every_n_bytes),
-            )
-        ).alias("byte_offset"),
+        F.explode(offsets).alias("byte_offset"),
     )
 
 

@@ -150,9 +150,15 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     t = T.tokens("text")
-    bigrams = F.transform(
+    # single-token docs must yield ZERO bigrams: Spark's sequence(0, -1)
+    # counts DOWN and the i+1 slice start would then be 0 — an ANSI-mode
+    # runtime error (same guard as functions.text.shingles)
+    gen = F.transform(
         F.sequence(F.lit(0), F.size(t) - 2),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+    )
+    bigrams = F.when(F.size(t) >= 2, gen).otherwise(
+        F.array().cast("array<string>")
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -616,9 +622,14 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     utot = uni.agg(F.sum("n").cast("double").alias("utot"))
-    bigrams = F.transform(
+    # guarded like functions.text.shingles: a 1-token doc must emit zero
+    # bigrams, not a descending sequence + slice(0) ANSI error
+    gen = F.transform(
         F.sequence(F.lit(0), F.size(t) - 2),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+    )
+    bigrams = F.when(F.size(t) >= 2, gen).otherwise(
+        F.array().cast("array<string>")
     )
     bcnt_all = (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -1345,11 +1356,17 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = []
     for r in range(1, _BPE_ROUNDS + 1):
         t = F.split(F.trim(F.col("seq")), " ")
-        pair_arr = F.transform(
+        # 1-symbol sequences (fully-merged or 1-char words) must emit zero
+        # pairs: sequence(1, 0) counts DOWN and element_at(t, 2) on a
+        # 1-element array is an ANSI-mode runtime error
+        pair_gen = F.transform(
             F.sequence(F.lit(1), F.size(t) - 1),
             lambda i: F.concat_ws(
                 " ", F.element_at(t, i), F.element_at(t, i + 1)
             ),
+        )
+        pair_arr = F.when(F.size(t) >= 2, pair_gen).otherwise(
+            F.array().cast("array<string>")
         )
         top = (
             wf.select(F.explode(pair_arr).alias("pair"), "freq")
@@ -1983,9 +2000,12 @@ def text_ngram_novelty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_theil_length_inequality",
     oracle="""
     WITH g AS (
+        /* zero-length docs carry zero Theil weight (x·ln x → 0), but
+           DuckDB ln(0) THROWS where Spark yields NULL — restrict to
+           positive lengths on both engines (degenerate-text fuzz, r6) */
         SELECT source, COUNT(*) * 1.0 AS ng, AVG(n_chars) AS mg,
                SUM(n_chars * ln(n_chars)) AS slx
-        FROM documents GROUP BY source
+        FROM documents WHERE n_chars > 0 GROUP BY source
     ),
     tot AS (SELECT SUM(ng) AS n, SUM(ng * mg) / SUM(ng) AS mu FROM g),
     w AS (
@@ -2020,7 +2040,10 @@ def text_theil_length_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE per-source moment aggregate (n, mean, sum x·ln x — all
     mergeable) carries the entire decomposition; totals broadcast; the
     corpus is scanned once and per-document terms never materialize."""
-    docs = load_table(spark, sf_dir, "documents")
+    # positive lengths only — see the oracle comment (DuckDB ln(0) throws)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
     g = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("ng"),
         F.avg("n_chars").alias("mg"),
@@ -2613,7 +2636,12 @@ def _lognormal_oracle() -> str:
         for q, z in zip(range(1, 10), _LN_ZQ)
     )
     return f"""
-    WITH lx_t AS (SELECT ln(n_chars * 1.0) AS lx FROM documents),
+    WITH lx_t AS (
+        /* zero/NULL lengths have no logarithm: DuckDB ln(0) THROWS where
+           Spark log(0) yields NULL — a lognormal fit is over positive
+           lengths on both engines (degenerate-text fuzz, r6) */
+        SELECT ln(n_chars * 1.0) AS lx FROM documents WHERE n_chars > 0
+    ),
     fit AS (
         SELECT AVG(lx) AS mu, stddev_samp(lx) AS sigma,
                COUNT(*) AS n
@@ -2645,7 +2673,10 @@ def text_doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Plan: one log-moment aggregate plus one exact-decile aggregate over
     the same projection; the Q-Q comparison is arithmetic on 9 numbers."""
-    docs = load_table(spark, sf_dir, "documents")
+    # positive lengths only — see the oracle comment (DuckDB ln(0) throws)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
     lx = docs.select(F.log(F.col("n_chars") * 1.0).alias("lx"))
     fit = lx.agg(
         F.avg("lx").alias("mu"),

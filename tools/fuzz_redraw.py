@@ -70,7 +70,12 @@ def _h(cols, seed: int, salt: int):
 
 
 def build_redraw_dir(
-    spark, sf_dir: str, out_dir: str, seed: int, null_permille: int = 0
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    seed: int,
+    null_permille: int = 0,
+    degen_permille: int = 0,
 ) -> None:
     """Materialize one derived draw (idempotent per (sf, seed, nulls)).
 
@@ -84,7 +89,9 @@ def build_redraw_dir(
     """
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out_dir, f"_built_s{seed}_n{null_permille}")
+    marker = os.path.join(
+        out_dir, f"_built_s{seed}_n{null_permille}_d{degen_permille}"
+    )
     if os.path.exists(marker):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -216,6 +223,25 @@ def build_redraw_dir(
                 F.lit(None),
             ).otherwise(F.col("n_chars")),
         )
+    if degen_permille:
+        # degenerate text a real corpus always carries: empty docs,
+        # single-token docs, whitespace-padded docs. Shingle/bigram/chunk
+        # expressions must emit ZERO grams for these on both engines —
+        # Spark's sequence(lo, hi<lo) counts DOWN and slice(_, 0, _) /
+        # element_at past the end are ANSI-mode runtime errors.
+        sel = _h([F.col("doc_id")], seed, 79) % 1000 < degen_permille
+        form = _h([F.col("doc_id")], seed, 80) % 3
+        new_text = (
+            F.when(form == 0, F.lit(""))
+            .when(form == 1, F.lit("x"))
+            .otherwise(F.lit("  a  "))
+        )
+        docs = docs.withColumn(
+            "n_chars",
+            F.when(sel, F.length(new_text)).otherwise(F.col("n_chars")),
+        ).withColumn(
+            "text", F.when(sel, new_text).otherwise(F.col("text"))
+        )
     write(docs, "documents")
 
     em = read("embeddings")
@@ -251,6 +277,13 @@ def main() -> int:
         default=0,
         help="NULL this ‰ of events.value / documents.n_chars in each world",
     )
+    ap.add_argument(
+        "--degen-permille",
+        type=int,
+        default=0,
+        help="replace this ‰ of documents.text with degenerate forms"
+        " (empty / single-token / whitespace-padded)",
+    )
     args = ap.parse_args()
 
     from cobalt_duckdb_spark.session import get_spark
@@ -263,12 +296,19 @@ def main() -> int:
     ok = True
     for seed in args.seeds:
         suffix = f"_n{args.null_permille}" if args.null_permille else ""
+        if args.degen_permille:
+            suffix += f"_d{args.degen_permille}"
         draw = os.path.join(
             args.workdir,
             f"{os.path.basename(args.sf.rstrip('/'))}_s{seed}{suffix}",
         )
         build_redraw_dir(
-            spark, args.sf, draw, seed, null_permille=args.null_permille
+            spark,
+            args.sf,
+            draw,
+            seed,
+            null_permille=args.null_permille,
+            degen_permille=args.degen_permille,
         )
         proc = subprocess.run(
             [
@@ -298,6 +338,8 @@ def main() -> int:
     out = {"sf": args.sf, "seeds": args.seeds, "results": results}
     if args.null_permille:
         out["null_permille"] = args.null_permille
+    if args.degen_permille:
+        out["degen_permille"] = args.degen_permille
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f, indent=2)

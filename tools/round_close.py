@@ -28,11 +28,13 @@ spins a local[*] session and concurrent runs contaminate timings):
               bench-scale fuzz on fresh worlds found 3 of round 5's 4
               cross-engine bugs; sf0.001 seeds alone found none
               (r5 verdict item 5b).
-8. nullworld— tools/fuzz_redraw.py --null-permille 10 at the
-              differential sf (seed 1000*round + 177): NULL-carrying
-              worlds — the r6 1%-NULL world caught 10 divergent queries
-              (NULL order keys, collect_list vs list(), min_by vs
-              arg_min) that 20+ NULL-free worlds could not.
+8. nullworld— tools/fuzz_redraw.py --null-permille 10
+              --degen-permille 10 at the differential sf (seed
+              1000*round + 177): NULL + degenerate-text worlds — the r6
+              1%-NULL world caught 10 divergent queries (NULL order
+              keys, collect_list vs list(), min_by vs arg_min) and the
+              degenerate world 3 more (DuckDB ln(0) throws, empty-blob
+              frame plan) that 20+ clean worlds could not.
 9. bench    — python bench.py, then copy bench_full_latest.json to
               bench_r{N}_full.json
 10. pytest  — python -m pytest tests/ -q
@@ -139,9 +141,12 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
         )
 
     def nullworld() -> int:
-        # NULL-carrying world at the differential sf: the r6 1%-NULL world
-        # caught 10 divergent queries (NULL order keys, collect_list vs
-        # list(), min_by vs arg_min) that 20+ NULL-free worlds could not.
+        # Robustness world at the differential sf: 1% NULLs
+        # (events.value / documents.n_chars) + 1% degenerate text (empty /
+        # single-token / padded). The r6 NULL world caught 10 divergent
+        # queries (NULL order keys, collect_list vs list(), min_by vs
+        # arg_min) and the degenerate world 3 more (ln(0) DuckDB throws,
+        # empty-blob sequence) that 20+ clean worlds could not.
         nseed = round_null_seed(rnd)
         if nseed in used_redraw_seeds():
             print(
@@ -153,6 +158,7 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
             [
                 py, "tools/fuzz_redraw.py", "--sf", sf,
                 "--seeds", str(nseed), "--null-permille", "10",
+                "--degen-permille", "10",
                 "--json", f"REDRAW_r{rnd:02d}n.json",
             ],
             cwd=REPO,
