@@ -1956,10 +1956,12 @@ def events_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bar_start,
-           ROUND(arg_min(value, ts), 2) AS open,
+           ROUND(first(value ORDER BY ts, event_id)
+                 FILTER (WHERE value IS NOT NULL), 2) AS open,
            ROUND(MAX(value), 2) AS high,
            ROUND(MIN(value), 2) AS low,
-           ROUND(arg_max(value, ts), 2) AS close,
+           ROUND(last(value ORDER BY ts, event_id)
+                 FILTER (WHERE value IS NOT NULL), 2) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 2) AS volume
     FROM events
@@ -1991,14 +1993,22 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "6 hours").start.alias("bar_start"),
         )
         .agg(
-            # mask the ordering key on NULL values: Spark's min_by/max_by
-            # return the value AT the arg-extreme even when it is NULL,
-            # while DuckDB's arg_min/arg_max skip NULL values — masking
-            # makes both engines pick the extreme among OBSERVED values
-            # (NULL-world fuzz, r6)
+            # ordering key is the UNIQUE (ts, event_id) struct, masked on
+            # NULL values: (a) Spark's min_by/max_by return the value AT
+            # the arg-extreme even when it is NULL while DuckDB skips NULL
+            # values — masking makes both pick the extreme among OBSERVED
+            # values (NULL-world fuzz, r6); (b) on a bare ts key, tied
+            # timestamps — the norm in any stream logged at coarse
+            # granularity — let each engine pick a DIFFERENT arbitrary row
+            # (ties-world fuzz, r6); event_id makes the winner a scalar
+            # function of the data. Oracle twin: ordered-aggregate
+            # first/last(value ORDER BY ts, event_id).
             F.round(
                 F.min_by(
-                    "value", F.when(F.col("value").isNotNull(), F.col("ts"))
+                    "value",
+                    F.when(
+                        F.col("value").isNotNull(), F.struct("ts", "event_id")
+                    ),
                 ),
                 2,
             ).alias("open"),
@@ -2006,7 +2016,10 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("low"),
             F.round(
                 F.max_by(
-                    "value", F.when(F.col("value").isNotNull(), F.col("ts"))
+                    "value",
+                    F.when(
+                        F.col("value").isNotNull(), F.struct("ts", "event_id")
+                    ),
                 ),
                 2,
             ).alias("close"),

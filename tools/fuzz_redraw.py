@@ -76,6 +76,9 @@ def build_redraw_dir(
     seed: int,
     null_permille: int = 0,
     degen_permille: int = 0,
+    ties_permille: int = 0,
+    unicode_permille: int = 0,
+    extreme_permille: int = 0,
 ) -> None:
     """Materialize one derived draw (idempotent per (sf, seed, nulls)).
 
@@ -90,7 +93,9 @@ def build_redraw_dir(
     from pyspark.sql import functions as F
 
     marker = os.path.join(
-        out_dir, f"_built_s{seed}_n{null_permille}_d{degen_permille}"
+        out_dir,
+        f"_built_s{seed}_n{null_permille}_d{degen_permille}"
+        f"_t{ties_permille}_u{unicode_permille}_x{extreme_permille}",
     )
     if os.path.exists(marker):
         return
@@ -205,6 +210,47 @@ def build_redraw_dir(
         )
         .withColumn("value", cents("value", pk, 14, 200))
     )
+    if ties_permille:
+        # tied order keys — the shape a 100-TB event stream carries
+        # everywhere (bursts logged at second/minute granularity, values on
+        # coarse price points). Rank/row_number windows, as-of joins and
+        # min_by/max_by must resolve ties IDENTICALLY on both engines, which
+        # only happens when every ordering carries a deterministic tie-break.
+        sel_t = _h(pk, seed, 81) % 1000 < ties_permille
+        # Day-level snap, not minute: the sf0.001 stream averages one event
+        # per ~48 min, so minute-snapping produces ZERO collisions (measured,
+        # seed 4111) — midnight bursts are what actually forces tied
+        # (user_id, ts) and tied (event_type, ts) keys. Values snap to the
+        # nearest 10 units for rank-window ties. date_trunc returns
+        # TIMESTAMP (LTZ); cast back to the source type (NTZ in the driver's
+        # parquet) so the derived file keeps the exact physical schema —
+        # session tz is UTC, so the round-trip is identity.
+        ev_out = ev_out.withColumn(
+            "ts",
+            F.when(
+                sel_t,
+                F.date_trunc("day", F.col("ts")).cast(ev.schema["ts"].dataType),
+            ).otherwise(F.col("ts")),
+        ).withColumn(
+            "value",
+            F.when(
+                sel_t & F.col("value").isNotNull(),
+                F.round(F.col("value") / 10, 0) * 10,
+            ).otherwise(F.col("value")),
+        )
+    if extreme_permille:
+        # extreme magnitudes (×1e5, still on the cents lattice and still
+        # positive): stresses variance/corr/regression cancellation, where
+        # the engines' different streaming-moment formulas disagree in the
+        # last ulps and a rounded publish can straddle a boundary.
+        sel_x = _h(pk, seed, 84) % 1000 < extreme_permille
+        ev_out = ev_out.withColumn(
+            "value",
+            F.when(
+                sel_x & F.col("value").isNotNull(),
+                F.round(F.col("value") * 100000, 2),
+            ).otherwise(F.col("value")),
+        )
     if null_permille:
         ev_out = ev_out.withColumn(
             "value",
@@ -215,6 +261,40 @@ def build_redraw_dir(
     write(ev_out, "events")
 
     docs = read("documents").filter(keep([F.col("doc_id")], 15))
+    if unicode_permille:
+        # multilingual text — the reference is literally a Japanese
+        # embedding-search app, so CJK/emoji/combining-mark/RTL documents
+        # are its production domain, yet the generator emits ASCII only.
+        # Exercises length() (codepoints vs code units), lower()/upper()
+        # (ß, Σ), regex character classes, substring and shingle windows
+        # across the Spark/DuckDB boundary. n_chars is recomputed from the
+        # new text by Spark — if the engines' length() semantics diverge,
+        # every query that recomputes length(text) goes red.
+        sel_u = _h([F.col("doc_id")], seed, 82) % 1000 < unicode_permille
+        form_u = _h([F.col("doc_id")], seed, 83) % 4
+        canned = (
+            F.when(
+                form_u == 0,
+                F.lit("データ 処理 高速 分散 クエリ 実行 結果 集計 分散 処理"),
+            )
+            .when(form_u == 1, F.lit("fast 🚀 query 💡 engine 🔥 scan 🧮 merge 😀 join"))
+            .when(
+                form_u == 2,
+                F.lit("café naïve résumé ångström straße Straße Ωmega σigma données tête"),
+            )
+            .otherwise(
+                F.lit("مرحبا بالعالم بيانات سريع استعلام данные быстрый запрос данные")
+            )
+        )
+        new_text_u = F.concat(canned, F.lit(" "), F.substring(F.col("text"), 1, 60))
+        docs = docs.withColumn(
+            "text", F.when(sel_u, new_text_u).otherwise(F.col("text"))
+        ).withColumn(
+            "n_chars",
+            F.when(sel_u, F.length(F.col("text")).cast("long")).otherwise(
+                F.col("n_chars")
+            ),
+        )
     if null_permille:
         docs = docs.withColumn(
             "n_chars",
@@ -284,6 +364,27 @@ def main() -> int:
         help="replace this ‰ of documents.text with degenerate forms"
         " (empty / single-token / whitespace-padded)",
     )
+    ap.add_argument(
+        "--ties-permille",
+        type=int,
+        default=0,
+        help="snap this ‰ of events to tied order keys (ts to the minute,"
+        " value to whole units) — rank/as-of/min_by tie-break semantics",
+    )
+    ap.add_argument(
+        "--unicode-permille",
+        type=int,
+        default=0,
+        help="prepend CJK/emoji/combining/RTL text to this ‰ of documents"
+        " (n_chars recomputed) — unicode length/case/regex semantics",
+    )
+    ap.add_argument(
+        "--extreme-permille",
+        type=int,
+        default=0,
+        help="scale this ‰ of events.value by 1e5 (cents lattice kept) —"
+        " moment/variance cancellation at mixed magnitudes",
+    )
     args = ap.parse_args()
 
     from cobalt_duckdb_spark.session import get_spark
@@ -298,6 +399,12 @@ def main() -> int:
         suffix = f"_n{args.null_permille}" if args.null_permille else ""
         if args.degen_permille:
             suffix += f"_d{args.degen_permille}"
+        if args.ties_permille:
+            suffix += f"_t{args.ties_permille}"
+        if args.unicode_permille:
+            suffix += f"_u{args.unicode_permille}"
+        if args.extreme_permille:
+            suffix += f"_x{args.extreme_permille}"
         draw = os.path.join(
             args.workdir,
             f"{os.path.basename(args.sf.rstrip('/'))}_s{seed}{suffix}",
@@ -309,6 +416,9 @@ def main() -> int:
             seed,
             null_permille=args.null_permille,
             degen_permille=args.degen_permille,
+            ties_permille=args.ties_permille,
+            unicode_permille=args.unicode_permille,
+            extreme_permille=args.extreme_permille,
         )
         proc = subprocess.run(
             [
@@ -336,10 +446,15 @@ def main() -> int:
             print(f"  {ln}")
         ok = ok and proc.returncode == 0
     out = {"sf": args.sf, "seeds": args.seeds, "results": results}
-    if args.null_permille:
-        out["null_permille"] = args.null_permille
-    if args.degen_permille:
-        out["degen_permille"] = args.degen_permille
+    for k in (
+        "null_permille",
+        "degen_permille",
+        "ties_permille",
+        "unicode_permille",
+        "extreme_permille",
+    ):
+        if getattr(args, k):
+            out[k] = getattr(args, k)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f, indent=2)
