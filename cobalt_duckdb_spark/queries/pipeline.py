@@ -37,6 +37,7 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_ratio_sql,
     exact_round_sum,
     exact_round_sum_sql,
+    spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.operators import dedup as D
@@ -1754,7 +1755,7 @@ def sample_raking_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_mix_entropy_shift",
-    oracle="""
+    oracle=f"""
     WITH scr AS (
         SELECT source,
                CASE WHEN n_chars BETWEEN 120 AND 450
@@ -1783,8 +1784,10 @@ def sample_raking_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.n_after AS BIGINT) AS n_after,
            ROUND(s.sb, 4) AS share_before, ROUND(s.sa, 4) AS share_after,
            ROUND(s.n_after / s.n_before, 4) AS admission_rate,
-           ROUND((SELECT h_before FROM ent), 4) AS mix_entropy_before,
-           ROUND((SELECT h_after FROM ent), 4) AS mix_entropy_after
+           {spark_round_sql('(SELECT h_before FROM ent)', 4)}
+               AS mix_entropy_before,
+           {spark_round_sql('(SELECT h_after FROM ent)', 4)}
+               AS mix_entropy_after
     FROM shares s ORDER BY s.source
     """,
 )
@@ -1830,7 +1833,11 @@ def pipeline_mix_entropy_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before",
         "n_after",
         (F.col("n_before") / F.col("tb")).alias("sb"),
-        (F.col("n_after") / F.col("ta")).alias("sa"),
+        # ta CAN be zero — a screen that admits nothing (unicode-world fuzz
+        # at 100% dose starved the token gate). DuckDB division by zero
+        # yields NULL; Spark's ANSI mode RAISES — guard to the shared NULL
+        # contract (no admitted corpus → after-shares undefined).
+        F.when(F.col("ta") > 0, F.col("n_after") / F.col("ta")).alias("sa"),
     )
     ent = shares.agg(
         (-F.sum(F.col("sb") * F.log("sb"))).alias("h_before"),

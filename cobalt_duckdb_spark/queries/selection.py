@@ -1471,9 +1471,18 @@ def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged_docs",
             "true_dups",
             "false_positives",
-            F.round(F.col("false_positives") / F.col("_non_dups"), 6).alias(
-                "observed_fp_rate"
-            ),
+            # _non_dups CAN be zero — a batch that is 100% duplicates of the
+            # corpus (the all-degenerate fuzz world collapses every text to
+            # one of 3 forms). DuckDB division by zero yields NULL; Spark's
+            # ANSI mode RAISES — guard to the shared NULL contract (no
+            # non-dup population → FP rate undefined).
+            F.round(
+                F.when(
+                    F.col("_non_dups") > 0,
+                    F.col("false_positives") / F.col("_non_dups"),
+                ),
+                6,
+            ).alias("observed_fp_rate"),
             predicted.alias("predicted_fp_rate"),
         )
     )

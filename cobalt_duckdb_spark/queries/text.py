@@ -2594,10 +2594,21 @@ def text_char_entropy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     count with a source-total window, entropy rollup on the
     |sources x alphabet| frame."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = docs.select(
-        "source",
-        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
-    ).filter(F.col("ch") != "")
+    # codepoint-safe character explode: regex split("(?!^)") operates on
+    # UTF-16 CODE UNITS and shatters astral-plane characters (an emoji
+    # becomes two broken surrogate halves — unicode-world fuzz, r6), while
+    # substring() counts codepoints exactly like DuckDB's substr. Empty
+    # texts are excluded up front (sequence(1, 0) counts DOWN — the
+    # degenerate-text class).
+    chars = (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
+            "text",
+        )
+        .select("source", F.substring(F.col("text"), F.col("p"), F.lit(1)).alias("ch"))
+    )
     from pyspark.sql import Window
 
     dist = (

@@ -28,13 +28,17 @@ spins a local[*] session and concurrent runs contaminate timings):
               bench-scale fuzz on fresh worlds found 3 of round 5's 4
               cross-engine bugs; sf0.001 seeds alone found none
               (r5 verdict item 5b).
-8. nullworld— tools/fuzz_redraw.py --null-permille 10
-              --degen-permille 10 at the differential sf (seed
-              1000*round + 177): NULL + degenerate-text worlds — the r6
-              1%-NULL world caught 10 divergent queries (NULL order
-              keys, collect_list vs list(), min_by vs arg_min) and the
-              degenerate world 3 more (DuckDB ln(0) throws, empty-blob
-              frame plan) that 20+ clean worlds could not.
+8. nullworld— tools/fuzz_redraw.py at the differential sf (seed
+              1000*round + 177) with ALL five robustness axes on one
+              world: --null-permille 10 --degen-permille 10
+              --ties-permille 100 --unicode-permille 100
+              --extreme-permille 10. Every axis caught real r6
+              divergences that 20+ clean worlds could not: NULL order
+              keys / collect_list vs list() / min_by vs arg_min (10
+              queries), DuckDB ln(0) throws + empty-blob frame plan
+              (3), tied min_by winners (ohlc), UTF-16 surrogate
+              splitting (char entropy), starved share-of-total
+              divisions (ANSI raise vs DuckDB NULL).
 9. bench    — python bench.py, then copy bench_full_latest.json to
               bench_r{N}_full.json
 10. pytest  — python -m pytest tests/ -q
@@ -141,12 +145,16 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
         )
 
     def nullworld() -> int:
-        # Robustness world at the differential sf: 1% NULLs
-        # (events.value / documents.n_chars) + 1% degenerate text (empty /
-        # single-token / padded). The r6 NULL world caught 10 divergent
-        # queries (NULL order keys, collect_list vs list(), min_by vs
-        # arg_min) and the degenerate world 3 more (ln(0) DuckDB throws,
-        # empty-blob sequence) that 20+ clean worlds could not.
+        # Robustness world at the differential sf, all five axes at once:
+        # 1% NULLs (events.value / documents.n_chars), 1% degenerate text
+        # (empty / single-token / padded), 10% tied order keys (midnight
+        # snap + coarse values), 10% multilingual text (CJK / emoji /
+        # combining / RTL), 1% extreme magnitudes (×1e5). Each axis caught
+        # real divergences in r6 that 20+ clean worlds could not: NULL
+        # order keys / collect_list vs list() / min_by vs arg_min (10
+        # queries), DuckDB ln(0) throws + empty-blob sequence (3), tied
+        # min_by winners (ohlc), UTF-16 surrogate splitting (char entropy),
+        # starved share-of-total divisions (ANSI raise vs NULL).
         nseed = round_null_seed(rnd)
         if nseed in used_redraw_seeds():
             print(
@@ -158,7 +166,8 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
             [
                 py, "tools/fuzz_redraw.py", "--sf", sf,
                 "--seeds", str(nseed), "--null-permille", "10",
-                "--degen-permille", "10",
+                "--degen-permille", "10", "--ties-permille", "100",
+                "--unicode-permille", "100", "--extreme-permille", "10",
                 "--json", f"REDRAW_r{rnd:02d}n.json",
             ],
             cwd=REPO,
