@@ -239,12 +239,28 @@ def pagerank_oracle_cte(
     ]
     if reset_cte is not None:
         parts.append(reset_cte)
+        # Mirror the operator's documented degenerate-reset contract
+        # exactly: duplicate node rows pre-sum, the normalizer is the reset
+        # mass restricted to IN-GRAPH nodes, and a non-positive in-graph
+        # mass degrades to the uniform restart (sparse-world fuzz: the
+        # 'error' seed can be absent from a filtered corpus — without the
+        # fallback the oracle returns all-zero ranks while the operator
+        # returns classic PageRank).
+        parts.append(
+            "rsum AS (SELECT node, SUM(w) AS w FROM reset GROUP BY node)"
+        )
+        parts.append(
+            """rmass AS (
+              SELECT SUM(rs.w) AS m
+              FROM rsum rs JOIN nodes n ON n.node = rs.node)"""
+        )
         parts.append(
             """rnorm AS (
               SELECT n.node,
-                     COALESCE(rs.w, 0.0)
-                     / (SELECT SUM(w) FROM reset) AS rw
-              FROM nodes n LEFT JOIN reset rs ON rs.node = n.node)"""
+                     CASE WHEN COALESCE((SELECT m FROM rmass), 0.0) > 0
+                          THEN COALESCE(rs.w, 0.0) / (SELECT m FROM rmass)
+                          ELSE 1.0 / (SELECT n FROM nn) END AS rw
+              FROM nodes n LEFT JOIN rsum rs ON rs.node = n.node)"""
         )
         parts.append("r0 AS (SELECT node, rw AS rank FROM rnorm)")
         teleport = f"(1.0 - {d}) * n.rw"

@@ -984,7 +984,7 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_entropy_event_types",
-    oracle="""
+    oracle=f"""
     WITH counts AS (
         SELECT user_id % 10 AS cohort, event_type,
                CAST(COUNT(*) AS DOUBLE) AS n
@@ -996,9 +996,11 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.cohort,
            t.n_types,
-           ROUND(-SUM((c.n / t.t) * ln(c.n / t.t)), 6) AS entropy_nats,
-           ROUND(-SUM((c.n / t.t) * ln(c.n / t.t)) / ln(t.n_types), 6)
-               AS normalized
+           {spark_round_sql('-SUM((c.n / t.t) * ln(c.n / t.t))', 6)}
+               AS entropy_nats,
+           {spark_round_sql(
+               '-SUM((c.n / t.t) * ln(c.n / t.t)) / ln(t.n_types)', 6
+           )} AS normalized
     FROM counts c JOIN tot t ON c.cohort = t.cohort
     GROUP BY c.cohort, t.n_types
     ORDER BY c.cohort
@@ -1025,8 +1027,17 @@ def stats_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "n_types")
         .agg(
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            # a 1-type cohort (sparse-world fuzz) has ln(n_types) = 0:
+            # DuckDB division by zero yields NULL, Spark ANSI raises —
+            # guard to the shared NULL contract (max-entropy normalization
+            # undefined on a single-symbol alphabet)
             F.round(
-                -F.sum(p * F.log(p)) / F.log(F.first("n_types").cast("double")), 6
+                F.when(
+                    F.col("n_types") > 1,
+                    -F.sum(p * F.log(p))
+                    / F.log(F.col("n_types").cast("double")),
+                ),
+                6,
             ).alias("normalized"),
         )
         .select("cohort", "n_types", "entropy_nats", "normalized")
@@ -1921,12 +1932,18 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    # either sample CAN be empty (sparse-world fuzz: 5-event corpus with no
+    # 'click' rows): its ECDF denominator is 0 — DuckDB yields NULL, Spark
+    # ANSI raises. Guard every division to the shared NULL contract; the
+    # statistic is then NULL (KS is undefined against an empty sample)
+    # while the observed counts still publish.
+    ta, tb = F.sum("in_a").over(tot), F.sum("in_b").over(tot)
     stepped = pooled.select(
         "value",
-        (F.sum("in_a").over(w) / F.sum("in_a").over(tot)).alias("f_a"),
-        (F.sum("in_b").over(w) / F.sum("in_b").over(tot)).alias("f_b"),
-        F.sum("in_a").over(tot).alias("na"),
-        F.sum("in_b").over(tot).alias("nb"),
+        F.when(ta > 0, F.sum("in_a").over(w) / ta).alias("f_a"),
+        F.when(tb > 0, F.sum("in_b").over(w) / tb).alias("f_b"),
+        ta.alias("na"),
+        tb.alias("nb"),
     )
     at_points = stepped.groupBy("value").agg(
         F.max("f_a").alias("f_a"),
@@ -1936,11 +1953,14 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.max(F.abs(F.col("f_a") - F.col("f_b")))
     crit = 1.358 * F.sqrt(
-        (F.first("na") + F.first("nb")) / (F.first("na") * F.first("nb"))
+        F.when(
+            F.first("na") * F.first("nb") > 0,
+            (F.first("na") + F.first("nb")) / (F.first("na") * F.first("nb")),
+        )
     )
     return at_points.agg(
-        F.first("na").cast("bigint").alias("n_a"),
-        F.first("nb").cast("bigint").alias("n_b"),
+        F.coalesce(F.first("na"), F.lit(0.0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.first("nb"), F.lit(0.0)).cast("bigint").alias("n_b"),
         F.round(d, 6).alias("ks_d"),
         F.round(d / crit, 4).alias("d_over_crit05"),
     )
@@ -2067,20 +2087,20 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1.0 - F.col("in_a")).alias("n_b"),
     )
     u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    # either sample CAN be empty (sparse-world fuzz): n_a·n_b = 0 makes the
+    # AUC and z denominators 0 — DuckDB yields NULL, Spark ANSI raises.
+    # Guard to the shared NULL contract (the test is undefined one-sided).
+    nab = F.col("n_a") * F.col("n_b")
     return agg.select(
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(u_a, 2).alias("u_a"),
-        F.round(u_a / (F.col("n_a") * F.col("n_b")), 6).alias(
-            "auc_estimate"
-        ),
+        F.round(F.when(nab > 0, u_a / nab), 6).alias("auc_estimate"),
         F.round(
-            (u_a - F.col("n_a") * F.col("n_b") / 2.0)
-            / F.sqrt(
-                F.col("n_a")
-                * F.col("n_b")
-                * (F.col("n_a") + F.col("n_b") + 1)
-                / 12.0
+            F.when(
+                nab > 0,
+                (u_a - nab / 2.0)
+                / F.sqrt(nab * (F.col("n_a") + F.col("n_b") + 1) / 12.0),
             ),
             4,
         ).alias("z_score"),
@@ -2535,9 +2555,11 @@ def _boot_case_sql() -> str:
     )
     SELECT b.event_type, b.n,
            ROUND(b.mean_value, 4) AS mean_value,
-           ROUND(quantile_cont(w.boot_mean, 0.025), 4) AS boot_lo,
-           ROUND(quantile_cont(w.boot_mean, 0.975), 4) AS boot_hi,
-           ROUND(stddev_samp(w.boot_mean), 4) AS boot_se
+           {spark_round_sql('quantile_cont(w.boot_mean, 0.025)', 4)}
+               AS boot_lo,
+           {spark_round_sql('quantile_cont(w.boot_mean, 0.975)', 4)}
+               AS boot_hi,
+           {spark_round_sql('stddev_samp(w.boot_mean)', 4)} AS boot_se
     FROM weighted w JOIN base b USING (event_type)
     GROUP BY b.event_type, b.n, b.mean_value
     ORDER BY b.event_type
@@ -2590,7 +2612,17 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = (
         draws.withColumn("w", w)
         .groupBy("event_type", "b")
-        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("boot_mean"))
+        .agg(
+            # SUM(w) CAN be 0: a small type's replicate can draw Poisson
+            # weight 0 for every row (sparse-world fuzz — certain at n=1,
+            # P≈e⁻¹ per replicate). DuckDB division by zero yields NULL and
+            # quantile_cont/stddev skip NULLs; Spark ANSI raises — guard to
+            # the shared NULL contract (an empty resample has no mean).
+            F.when(
+                F.sum("w") > 0,
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"),
+            ).alias("boot_mean")
+        )
     )
     base = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2644,15 +2676,22 @@ _SQRT2 = 1.4142135623730951
         SELECT s.event_type, s.n, s.m, s.v,
                (tot.tn - s.n) AS rn,
                (tot.tsum - s.m * s.n) / (tot.tn - s.n) AS rm,
-               (tot.tss - ((s.n - 1) * s.v + s.n * s.m * s.m)
-                - (tot.tn - s.n)
-                  * POW((tot.tsum - s.m * s.n) / (tot.tn - s.n), 2))
-                   / (tot.tn - s.n - 1) AS rv
+               /* rest variance via the totals identity: undefined for a
+                  1-row rest group (rn-1 = 0), and cancellation can land
+                  epsilon-negative where the truth is 0 — DuckDB SQRT
+                  RAISES on negatives while Spark yields NaN (sparse-world
+                  fuzz). Guard + clamp on BOTH engines. */
+               CASE WHEN tot.tn - s.n > 1 THEN GREATEST(
+                   (tot.tss - ((s.n - 1) * s.v + s.n * s.m * s.m)
+                    - (tot.tn - s.n)
+                      * POW((tot.tsum - s.m * s.n) / (tot.tn - s.n), 2))
+                       / (tot.tn - s.n - 1), 0) END AS rv
         FROM stats s, tot
     ),
     zz AS (
         SELECT event_type, n, m, rm,
-               (m - rm) / SQRT(v / n + rv / rn) AS zval
+               CASE WHEN v / n + rv / rn > 0
+                    THEN (m - rm) / SQRT(v / n + rv / rn) END AS zval
         FROM rest
     ),
     tvals AS (
@@ -2670,7 +2709,11 @@ _SQRT2 = 1.4142135623730951
     ),
     bh AS (
         SELECT event_type, n, m, rm, zval, pval,
-               row_number() OVER (ORDER BY pval, event_type) AS prank,
+               /* NULLS LAST: a degenerate test (NULL zval/pval — 1-row
+                  group or zero pooled SE) must rank AFTER real p-values on
+                  BOTH engines (Spark defaults NULLS FIRST ascending) */
+               row_number() OVER (ORDER BY pval NULLS LAST, event_type)
+                   AS prank,
                COUNT(*) OVER () AS mtests
         FROM p
     ),
@@ -2729,24 +2772,34 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         (F.col("tn") - F.col("n")).alias("rn"),
         rm.alias("rm"),
-        (
-            (
-                F.col("tss")
-                - ((F.col("n") - 1) * F.col("v") + F.col("n") * F.col("m") * F.col("m"))
-                - (F.col("tn") - F.col("n")) * F.pow(rm, F.lit(2))
-            )
-            / (F.col("tn") - F.col("n") - 1)
+        # rest variance via the totals identity: undefined for a 1-row rest
+        # group (rn-1 = 0 → Spark ANSI raises), and cancellation can land
+        # epsilon-negative where the truth is 0 (DuckDB SQRT raises on
+        # negatives; Spark yields NaN) — guard + clamp on BOTH engines
+        # (sparse-world fuzz, r6)
+        F.when(
+            F.col("tn") - F.col("n") > 1,
+            F.greatest(
+                (
+                    F.col("tss")
+                    - (
+                        (F.col("n") - 1) * F.col("v")
+                        + F.col("n") * F.col("m") * F.col("m")
+                    )
+                    - (F.col("tn") - F.col("n")) * F.pow(rm, F.lit(2))
+                )
+                / (F.col("tn") - F.col("n") - 1),
+                F.lit(0.0),
+            ),
         ).alias("rv"),
     )
+    se2 = F.col("v") / F.col("n") + F.col("rv") / F.col("rn")
     zz = rest.select(
         "event_type",
         "n",
         "m",
         "rm",
-        (
-            (F.col("m") - F.col("rm"))
-            / F.sqrt(F.col("v") / F.col("n") + F.col("rv") / F.col("rn"))
-        ).alias("zval"),
+        F.when(se2 > 0, (F.col("m") - F.col("rm")) / F.sqrt(se2)).alias("zval"),
     )
     x = F.abs(F.col("zval")) / F.lit(_SQRT2)
     t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
@@ -2762,7 +2815,11 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bh = p.select(
         "*",
-        F.row_number().over(Window.orderBy("pval", "event_type")).alias("prank"),
+        # NULLS LAST to match the oracle (degenerate tests rank after real
+        # p-values; Spark defaults NULLS FIRST ascending)
+        F.row_number()
+        .over(Window.orderBy(F.asc_nulls_last("pval"), "event_type"))
+        .alias("prank"),
         F.count(F.lit(1)).over(
             Window.partitionBy()
         ).alias("mtests"),
@@ -3476,15 +3533,27 @@ def stats_anova_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         F.col("k").cast("bigint").alias("k_groups"),
         F.col("nt").cast("bigint").alias("n"),
+        # degenerate designs (sparse-world fuzz): one group (k=1), no
+        # within-group df (nt=k), or zero within-group variance all make F
+        # undefined — DuckDB's division by zero yields NULL, Spark ANSI
+        # raises. Guard to the shared NULL contract; same for eta² when
+        # total SS is zero.
         F.round(
-            F.col("ssb")
-            / (F.col("k") - 1)
-            / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            F.when(
+                (F.col("k") > 1) & (F.col("nt") > F.col("k")) & (F.col("ssw") != 0),
+                F.col("ssb")
+                / (F.col("k") - 1)
+                / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            ),
             4,
         ).alias("f_stat"),
-        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
-            "eta_squared"
-        ),
+        F.round(
+            F.when(
+                F.col("ssb") + F.col("ssw") != 0,
+                F.col("ssb") / (F.col("ssb") + F.col("ssw")),
+            ),
+            6,
+        ).alias("eta_squared"),
     )
 
 

@@ -24,6 +24,7 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_ratio_sql,
     exact_round_sum,
     exact_round_sum_sql,
+    spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
@@ -1149,7 +1150,14 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         pi_raw.crossJoin(F.broadcast(z))
         .select(
             "event_type",
-            F.round(F.col("pi") / F.col("z"), 6).alias("stationary_p"),
+            # z CAN be exactly 0: on a leaky (absorbing) chain the squared
+            # mass decays geometrically and 9-dp rounding floors it to 0
+            # (0.5^32 ≈ 2e-10 — sparse-world fuzz, 10-event corpus). DuckDB
+            # division by zero yields NULL; Spark ANSI raises — guard to
+            # the shared NULL contract (no surviving mass → π undefined).
+            F.round(
+                F.when(F.col("z") > 0, F.col("pi") / F.col("z")), 6
+            ).alias("stationary_p"),
         )
         .orderBy("event_type")
     )
@@ -2009,7 +2017,13 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pi_raw = p.groupBy(F.col("j").alias("i")).agg(F.avg("p").alias("pi_r"))
     z = pi_raw.agg(F.sum("pi_r").alias("z"))
     pi = pi_raw.crossJoin(F.broadcast(z)).select(
-        "i", F.round(F.col("pi_r") / F.col("z"), 9).alias("pi")
+        "i",
+        # same z=0 guard as events_markov_stationary (leaky chain decays
+        # to all-zero mass at 9 dp — sparse-world fuzz): DuckDB NULLs,
+        # Spark ANSI raises
+        F.round(F.when(F.col("z") > 0, F.col("pi_r") / F.col("z")), 9).alias(
+            "pi"
+        ),
     )
     hrow = p0.groupBy("i").agg(
         F.round(-F.sum(F.col("p") * F.log("p")), 9).alias("h")
@@ -2216,7 +2230,7 @@ def events_dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "events_bot_detection_screen",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
         SELECT user_id, COUNT(*) * 1.0 AS n_events,
                COUNT(*) * 86400.0
@@ -2253,7 +2267,10 @@ def events_dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            ROUND(events_per_day, 2) AS events_per_day,
            ROUND(cv, 4) AS interarrival_cv,
-           ROUND(type_entropy, 4) AS type_entropy, bot_score
+           /* a single-type user's entropy is -SUM(1·ln 1) = -0.0: Spark's
+              ROUND normalizes the sign, DuckDB's keeps it (sparse-world
+              fuzz) — publish via spark_round_sql */
+           {spark_round_sql('type_entropy', 4)} AS type_entropy, bot_score
     FROM feat
     ORDER BY bot_score DESC, events_per_day DESC, user_id LIMIT 10
     """,

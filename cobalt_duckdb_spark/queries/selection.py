@@ -2005,7 +2005,14 @@ def pipeline_loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("tc").alias("toks"),
     )
     glob = per_src.agg(F.sum("n").alias("gn"), F.sum("sq").alias("gsq"))
-    loso = (F.col("gsq") - F.col("sq")) / (F.col("gn") - F.col("n"))
+    # a source that IS the whole corpus (sparse-world fuzz: 2 docs, 1
+    # source) leaves gn-n = 0: DuckDB division by zero yields NULL, Spark
+    # ANSI raises — guard to the shared NULL contract (removing everything
+    # leaves no mean to compare against)
+    loso = F.when(
+        F.col("gn") - F.col("n") > 0,
+        (F.col("gsq") - F.col("sq")) / (F.col("gn") - F.col("n")),
+    )
     return (
         per_src.crossJoin(F.broadcast(glob))
         .select(

@@ -2068,8 +2068,16 @@ def text_theil_length_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t_within") + F.col("t_between"), 6).alias(
             "theil_total"
         ),
+        # T_total CAN be exactly 0 (all surviving docs the same length —
+        # sparse-world fuzz): DuckDB division by zero yields NULL, Spark
+        # ANSI raises — guard to the shared NULL contract (no inequality,
+        # no between-share)
         F.round(
-            F.col("t_between") / (F.col("t_within") + F.col("t_between")), 4
+            F.when(
+                F.col("t_within") + F.col("t_between") != 0,
+                F.col("t_between") / (F.col("t_within") + F.col("t_between")),
+            ),
+            4,
         ).alias("between_share"),
     )
 

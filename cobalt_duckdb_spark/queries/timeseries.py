@@ -1728,6 +1728,12 @@ def events_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xs")
     )
     a, bb = _HOLT_A, _HOLT_B
+    # Holt needs two points to seed (l₂=x₂, b₂=x₂−x₁): a 1-day series has
+    # no defined state. The oracle's recursive CTE drops such types
+    # structurally (it seeds at i=2); filter explicitly here so both
+    # engines agree on the row set (sparse-world fuzz: 10-event corpus
+    # left 2 of 5 types with a single day).
+    series = series.filter(F.size("xs") >= 2)
     folded = series.select(
         "event_type",
         F.size("xs").cast("bigint").alias("n_days"),
@@ -2113,8 +2119,16 @@ def events_gumbel_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 4).alias("gumbel_beta"),
         F.round(ret_level(30), 4).alias("ret_level_30d"),
         F.round(ret_level(365), 4).alias("ret_level_365d"),
+        # beta CAN be exactly 0 (every daily maximum equal — sparse-world
+        # fuzz: 5 events land one per day): DuckDB division by zero yields
+        # NULL, Spark ANSI raises — guard to the shared NULL contract (a
+        # zero-spread fit has no exceedance tail)
         F.round(
-            F.lit(1.0) - F.exp(-F.exp(-(F.col("obs_max") - mu) / beta)), 6
+            F.when(
+                beta != 0,
+                F.lit(1.0) - F.exp(-F.exp(-(F.col("obs_max") - mu) / beta)),
+            ),
+            6,
         ).alias("p_exceed_observed_max"),
     )
 
@@ -2953,14 +2967,20 @@ def events_volume_anomaly_weekday_adjusted(
         (F.col("n") - dow_mean).alias("resid"),
     )
     stats = adj.agg(F.stddev_samp("resid").alias("s"))
+    # s CAN be exactly 0 (every day is its weekday's only day → all
+    # residuals 0 — sparse-world fuzz): DuckDB's resid/0 is NULL and fails
+    # the |z| filter, Spark ANSI raises — compute z NULL-guarded so both
+    # engines emit zero anomalies on a zero-spread series
+    z = F.when(F.col("s") > 0, F.col("resid") / F.col("s"))
     return (
         adj.crossJoin(F.broadcast(stats))
-        .filter(F.abs(F.col("resid") / F.col("s")) > 1.5)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 1.5)
         .select(
             F.col("d").alias("day"),
             F.col("n").cast("bigint").alias("n_events"),
             F.round("dow_mean", 2).alias("weekday_baseline"),
-            F.round(F.col("resid") / F.col("s"), 4).alias("adjusted_z"),
+            F.round("z", 4).alias("adjusted_z"),
         )
         .orderBy("day")
     )

@@ -107,7 +107,9 @@ def test_round_close_seed_hygiene():
 
     used = used_redraw_seeds()
     for rnd in range(6, 21):  # every remaining driver round
-        seeds = round_seeds(rnd) + [round_null_seed(rnd)]
+        # null_seed+1 is the round's sparse world (round_close nullworld
+        # stage runs both)
+        seeds = round_seeds(rnd) + [round_null_seed(rnd), round_null_seed(rnd) + 1]
         assert len(set(seeds)) == len(seeds)
         clash = set(seeds) & used
         # the round's own committed reports legitimately contain its seeds
@@ -116,6 +118,7 @@ def test_round_close_seed_hygiene():
         for own in (
             os.path.join(repo, f"REDRAW_r{rnd:02d}.json"),
             os.path.join(repo, f"REDRAW_r{rnd:02d}n.json"),
+            os.path.join(repo, f"REDRAW_r{rnd:02d}s.json"),
         ):
             if os.path.exists(own):
                 with open(own) as f:

@@ -33,8 +33,17 @@ is exactly the driver's gate, just on a different world.
 Usage:
     python tools/fuzz_redraw.py [--sf /root/testdata/sf0.001]
         [--seeds 11 22 33] [--workdir /tmp/fuzz_redraw] [--json out.json]
-        [--null-permille 10]   # NULL-carrying worlds (r6): ‰ of
-                               # events.value / documents.n_chars NULLed
+        [--null-permille 10]    # ‰ of events.value / documents.n_chars NULLed
+        [--degen-permille 10]   # ‰ of documents.text empty/1-token/padded
+        [--ties-permille 100]   # ‰ of events snapped to tied order keys
+        [--unicode-permille 100]# ‰ of documents with CJK/emoji/RTL prefixes
+        [--extreme-permille 10] # ‰ of events.value scaled ×1e5
+        [--sparse-permille 50]  # keep only ‰ of events/documents (1-row
+                                # groups, missing types, starved slices)
+
+All six robustness axes compose on one world; round_close.py runs the
+combined world per round. Maximal doses (1000‰) are legal and are the
+harshest worlds constructible per axis.
 
 Exit 1 if any seed's differential reports a failure.
 
@@ -79,6 +88,7 @@ def build_redraw_dir(
     ties_permille: int = 0,
     unicode_permille: int = 0,
     extreme_permille: int = 0,
+    sparse_permille: int = 0,
 ) -> None:
     """Materialize one derived draw (idempotent per (sf, seed, nulls)).
 
@@ -95,7 +105,8 @@ def build_redraw_dir(
     marker = os.path.join(
         out_dir,
         f"_built_s{seed}_n{null_permille}_d{degen_permille}"
-        f"_t{ties_permille}_u{unicode_permille}_x{extreme_permille}",
+        f"_t{ties_permille}_u{unicode_permille}_x{extreme_permille}"
+        f"_p{sparse_permille}",
     )
     if os.path.exists(marker):
         return
@@ -202,9 +213,19 @@ def build_redraw_dir(
 
     ev = read("events")
     pk = [F.col("event_id")]
+    # sparse worlds: keep only N‰ of events/documents instead of the
+    # standard 90% — manufactures 1-row groups, missing event types, empty
+    # filtered slices: the shape every per-key statistic meets at 100 TB
+    # the day a filter isolates a rare cohort. Targets n-1 denominators,
+    # chi² cells, correlations needing n≥2, percentile windows on one row.
+    ev_keep = (
+        (_h(pk, seed, 85) % 1000 < sparse_permille)
+        if sparse_permille
+        else keep(pk, 13)
+    )
     shift_s = (_h(pk, seed, 12) % 3601 - 1800).cast("int")
     ev_out = (
-        ev.filter(keep(pk, 13))
+        ev.filter(ev_keep)
         .withColumn(
             "ts", F.timestamp_add("SECOND", shift_s, F.col("ts"))
         )
@@ -260,7 +281,11 @@ def build_redraw_dir(
         )
     write(ev_out, "events")
 
-    docs = read("documents").filter(keep([F.col("doc_id")], 15))
+    docs = read("documents").filter(
+        (_h([F.col("doc_id")], seed, 86) % 1000 < sparse_permille)
+        if sparse_permille
+        else keep([F.col("doc_id")], 15)
+    )
     if unicode_permille:
         # multilingual text — the reference is literally a Japanese
         # embedding-search app, so CJK/emoji/combining-mark/RTL documents
@@ -385,6 +410,13 @@ def main() -> int:
         help="scale this ‰ of events.value by 1e5 (cents lattice kept) —"
         " moment/variance cancellation at mixed magnitudes",
     )
+    ap.add_argument(
+        "--sparse-permille",
+        type=int,
+        default=0,
+        help="keep only this ‰ of events/documents (instead of 90%%) —"
+        " 1-row groups, missing types, empty filtered slices",
+    )
     args = ap.parse_args()
 
     from cobalt_duckdb_spark.session import get_spark
@@ -405,6 +437,8 @@ def main() -> int:
             suffix += f"_u{args.unicode_permille}"
         if args.extreme_permille:
             suffix += f"_x{args.extreme_permille}"
+        if args.sparse_permille:
+            suffix += f"_p{args.sparse_permille}"
         draw = os.path.join(
             args.workdir,
             f"{os.path.basename(args.sf.rstrip('/'))}_s{seed}{suffix}",
@@ -419,6 +453,7 @@ def main() -> int:
             ties_permille=args.ties_permille,
             unicode_permille=args.unicode_permille,
             extreme_permille=args.extreme_permille,
+            sparse_permille=args.sparse_permille,
         )
         proc = subprocess.run(
             [
@@ -452,6 +487,7 @@ def main() -> int:
         "ties_permille",
         "unicode_permille",
         "extreme_permille",
+        "sparse_permille",
     ):
         if getattr(args, k):
             out[k] = getattr(args, k)

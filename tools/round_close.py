@@ -156,19 +156,34 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
         # min_by winners (ohlc), UTF-16 surrogate splitting (char entropy),
         # starved share-of-total divisions (ANSI raise vs NULL).
         nseed = round_null_seed(rnd)
-        if nseed in used_redraw_seeds():
+        if nseed in used_redraw_seeds() or (nseed + 1) in used_redraw_seeds():
             print(
-                f"nullworld: seed {nseed} already appears in a committed "
-                "REDRAW_*.json — fresh worlds only."
+                f"nullworld: seed {nseed}/{nseed + 1} already appears in a "
+                "committed REDRAW_*.json — fresh worlds only."
             )
             return 1
-        return subprocess.call(
+        rc = subprocess.call(
             [
                 py, "tools/fuzz_redraw.py", "--sf", sf,
                 "--seeds", str(nseed), "--null-permille", "10",
                 "--degen-permille", "10", "--ties-permille", "100",
                 "--unicode-permille", "100", "--extreme-permille", "10",
                 "--json", f"REDRAW_r{rnd:02d}n.json",
+            ],
+            cwd=REPO,
+        )
+        if rc != 0:
+            return rc
+        # The sparse axis runs as its OWN world (seed+1): combining it with
+        # the dose axes would starve them (10% unicode of a 1% corpus is ~0
+        # docs), and sparseness is the one axis whose findings (9 reds in
+        # r6, 5 of them ANSI runtime errors) came from group-size collapse
+        # alone.
+        return subprocess.call(
+            [
+                py, "tools/fuzz_redraw.py", "--sf", sf,
+                "--seeds", str(nseed + 1), "--sparse-permille", "10",
+                "--json", f"REDRAW_r{rnd:02d}s.json",
             ],
             cwd=REPO,
         )
