@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import spark_round_sql
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.operators.graph import (
     label_propagation_oracle_cte,
@@ -679,7 +680,7 @@ def graph_personalized_pagerank_error(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "graph_degree_assortativity",
-    oracle="""
+    oracle=f"""
     WITH ua AS (
         SELECT DISTINCT user_id, event_type,
                time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h
@@ -691,7 +692,7 @@ def graph_personalized_pagerank_error(spark: SparkSession, sf_dir: str) -> DataF
                             AND a.user_id < b.user_id
     ),
     deg AS (
-        SELECT u AS node, COUNT(*) * 1.0 AS d FROM (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM (
             SELECT u FROM edges UNION ALL SELECT v FROM edges
         ) t(u) GROUP BY u
     ),
@@ -700,11 +701,32 @@ def graph_personalized_pagerank_error(spark: SparkSession, sf_dir: str) -> DataF
         FROM edges e JOIN deg da ON e.u = da.node
                      JOIN deg db ON e.v = db.node
     ),
-    sym AS (SELECT dx, dy FROM edge_deg UNION ALL SELECT dy, dx FROM edge_deg)
+    sym AS (SELECT dx, dy FROM edge_deg UNION ALL SELECT dy, dx FROM edge_deg),
+    /* exact integer comoments (degrees are integers): Pearson r derives
+       from (n, sx, sy, sxy, sxx, syy) through ONE identical IEEE chain on
+       both engines — and the zero-variance graph (a single edge, a
+       regular graph) is an explicit NULL instead of Spark corr's ANSI
+       DIVIDE_BY_ZERO (sf0.1 sparse-world fuzz, r6). HUGEINT sums: the
+       per-term product deg² fits int64 to degree 3e9; sums never wrap. */
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(dx AS HUGEINT)) AS sx,
+               SUM(CAST(dy AS HUGEINT)) AS sy,
+               SUM(CAST(dx * dy AS HUGEINT)) AS sxy,
+               SUM(CAST(dx * dx AS HUGEINT)) AS sxx,
+               SUM(CAST(dy * dy AS HUGEINT)) AS syy
+        FROM sym
+    )
     SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
            CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
-           ROUND(corr(dx, dy), 4) AS degree_assortativity
-    FROM sym
+           {spark_round_sql(
+               '''CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                  END''', 4
+           )} AS degree_assortativity
+    FROM m
     """,
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,7 +772,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .agg(F.count(F.lit(1)).alias("d"))
     )
     da = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     db = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
@@ -758,10 +780,33 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edge_deg.unionAll(
         edge_deg.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
     )
+    # exact integer comoments: Pearson r from (n, sx, sy, sxy, sxx, syy)
+    # through ONE identical IEEE chain on both engines (degrees are
+    # integers; per-term deg² fits int64 to degree 3e9, sums widen to
+    # DECIMAL(38,0)) — and the zero-variance graph (a single edge, a
+    # regular graph) publishes NULL instead of F.corr's ANSI
+    # DIVIDE_BY_ZERO raise (sf0.1 sparse-world fuzz, r6)
+    dec = "decimal(38,0)"
+    m = sym.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        cov.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     return (
-        sym.agg(F.round(F.corr("dx", "dy"), 4).alias("degree_assortativity"))
+        m.select(F.round(r, 4).alias("degree_assortativity"))
         .crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(n_nodes))
         .select(
