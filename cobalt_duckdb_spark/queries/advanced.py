@@ -1807,18 +1807,22 @@ def stats_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.var_samp("value").alias("var"),
         )
     )
-    a = arms.filter(F.col("arm") == "A").select(
-        F.col("n").alias("n_a"),
-        F.col("mean").alias("mean_a"),
-        F.col("var").alias("var_a"),
-    )
-    b = arms.filter(F.col("arm") == "B").select(
-        F.col("n").alias("n_b"),
-        F.col("mean").alias("mean_b"),
-        F.col("var").alias("var_b"),
+    # widen via a 1-row aggregate, NOT filter+crossJoin: an arm can be
+    # EMPTY (sparse-world fuzz — every surviving purchase hashed to one
+    # arm), and a crossJoin against the empty side collapses the result to
+    # 0 rows while the oracle's scalar subqueries yield 1 row of NULL
+    # stats. max(when) reproduces the scalar-subquery semantics exactly.
+    wide = arms.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm_v, F.col(c))).alias(
+                f"{c}_{arm_v.lower()}"
+            )
+            for arm_v in ("A", "B")
+            for c in ("n", "mean", "var")
+        ]
     )
     se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
-    return a.crossJoin(F.broadcast(b)).select(
+    return wide.select(
         "n_a",
         "n_b",
         F.round("mean_a", 4).alias("mean_a"),
@@ -3198,13 +3202,16 @@ def stats_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.var_samp("value").alias("v"),
         )
     )
-    a = arms.filter(F.col("arm") == "A").select(
-        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    # 1-row aggregate, not filter+crossJoin: an empty arm must yield one
+    # row of NULL stats like the oracle's scalar subqueries, not zero rows
+    # (sparse-world fuzz; same fix as stats_ab_test_welch)
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("m"))).alias("m_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("v"))).alias("v_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("v"))).alias("v_b"),
     )
-    b = arms.filter(F.col("arm") == "B").select(
-        F.col("n").alias("n_b"), F.col("v").alias("v_b")
-    )
-    wide = a.crossJoin(b)
     sd_pooled = F.sqrt(
         ((F.col("n_a") - 1) * F.col("v_a") + (F.col("n_b") - 1) * F.col("v_b"))
         / (F.col("n_a") + F.col("n_b") - 2)
@@ -3709,8 +3716,14 @@ def stats_gmm_em_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(v, 0.75)").alias("mu2"),
         F.stddev_samp("v").alias("s0"),
     )
-    f1 = F.exp(-0.5 * F.pow((F.col("v") - F.col("mu1")) / F.col("s0"), 2))
-    f2 = F.exp(-0.5 * F.pow((F.col("v") - F.col("mu2")) / F.col("s0"), 2))
+    # s0 CAN be 0 (all purchase values equal) or NULL (≤1 observed value —
+    # sparse+null-world fuzz): DuckDB's x/0 yields NULL and the f1+f2 > 0
+    # filter drops every row; Spark ANSI raises — guard to the same
+    # NULL-then-drop behavior
+    z1 = F.when(F.col("s0") > 0, (F.col("v") - F.col("mu1")) / F.col("s0"))
+    z2 = F.when(F.col("s0") > 0, (F.col("v") - F.col("mu2")) / F.col("s0"))
+    f1 = F.exp(-0.5 * F.pow(z1, 2))
+    f2 = F.exp(-0.5 * F.pow(z2, 2))
     resp = (
         x.crossJoin(F.broadcast(init))
         .select("v", f1.alias("f1"), f2.alias("f2"))
@@ -3743,6 +3756,11 @@ def stats_gmm_em_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.first("n2")
         ).alias("s2"),
     )
+    # an empty responsibility frame (all-NULL or zero-spread input) must
+    # yield ZERO rows like the oracle's GROUP BY over the empty join —
+    # Spark's global agg emits one all-NULL row instead; the n > 0 filter
+    # (NULL fails it) restores the shared row contract
+    sig = sig.filter(F.col("n") > 0)
     c1 = sig.select(
         F.lit(1).alias("component"),
         F.round(F.col("n1") / F.col("n"), 4).alias("weight"),

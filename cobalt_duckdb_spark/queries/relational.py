@@ -607,10 +607,14 @@ def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_event_totals_long",
     oracle="""
     WITH wide AS (
+        /* COALESCE each cell: a user whose only rows of a type carry NULL
+           values sums to NULL, and DuckDB's UNPIVOT silently DROPS NULL
+           cells where the Spark side coalesces them to 0 (27 vs 26 rows —
+           null-world fuzz, r6) */
         SELECT user_id,
-               ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
-               ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view
+               COALESCE(ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2), 0) AS click,
+               COALESCE(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2), 0) AS purchase,
+               COALESCE(ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2), 0) AS view
         FROM events WHERE user_id < 10 GROUP BY user_id
     )
     SELECT user_id, kind, amount

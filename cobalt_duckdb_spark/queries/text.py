@@ -2193,9 +2193,15 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") <= F.col("half_doc"))
         .agg(F.max("cum_vocab").cast("double").alias("v_half"))
     )
-    beta = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # the OLS determinant n·sxx − sx² is 0 with fewer than two sample
+    # points (a starved corpus leaves ≤1 doc on the %25 sampling grid —
+    # sparse-world fuzz): DuckDB division by zero yields NULL, Spark ANSI
+    # raises — guard to the shared NULL contract (no fit from one point)
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        det != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det,
+    )
     return fit.crossJoin(F.broadcast(v_half)).select(
         F.col("n").cast("bigint").alias("n_points"),
         F.when(F.abs(beta) < 5e-5, F.lit(0.0))

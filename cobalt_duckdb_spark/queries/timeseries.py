@@ -25,12 +25,15 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 @register(
     "pivot_event_type_totals",
     oracle="""
+    /* COALESCE each cell: a user whose ONLY rows of a type carry NULL
+       values sums to NULL on the oracle side, while the Spark twin
+       coalesces pivot NULLs to 0 (null-world fuzz, r6) */
     SELECT user_id,
-           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
-           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 2) AS error,
-           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
-           ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 2) AS signup,
-           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view
+           COALESCE(ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2), 0) AS click,
+           COALESCE(ROUND(SUM(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 2), 0) AS error,
+           COALESCE(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2), 0) AS purchase,
+           COALESCE(ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 2), 0) AS signup,
+           COALESCE(ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2), 0) AS view
     FROM events WHERE user_id < 30
     GROUP BY user_id ORDER BY user_id
     """,
@@ -689,10 +692,22 @@ def events_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         seg.groupBy("user_id")
         .agg(
-            F.round(F.sum("weighted") / F.sum("dur"), 6).alias("time_weighted_avg"),
+            # guard + filter mirror the oracle's HAVING SUM(dur) > 0: a
+            # user whose every observed value is NULL keeps their row (the
+            # integral is NULL, the duration is real), while an all-tied
+            # zero-duration user drops on both engines instead of raising
+            # ANSI divide-by-zero (null+ties-world fuzz, r6)
+            F.round(
+                F.when(
+                    F.sum("dur") > 0, F.sum("weighted") / F.sum("dur")
+                ),
+                6,
+            ).alias("time_weighted_avg"),
             F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur").alias("_sum_dur"),
         )
-        .filter(F.col("time_weighted_avg").isNotNull())
+        .filter(F.col("_sum_dur") > 0)
+        .drop("_sum_dur")
         .orderBy("user_id")
     )
 
@@ -1387,7 +1402,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cross_correlation",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
         SELECT time_bucket(INTERVAL '1 hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
                time_bucket(INTERVAL '1 hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
@@ -1418,11 +1433,36 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM series s
         CROSS JOIN (SELECT unnest(range(0, 4)) AS lag_h) l
     )
+    ,
+    m AS (
+        /* exact integer comoments over complete pairs: Pearson r from one
+           identical IEEE chain on both engines, NULL (not an ANSI raise)
+           on a zero-variance series — a starved corpus makes the click
+           series constant-zero (sparse+null-world fuzz, r6). Counts are
+           integers: the HUGEINT sums are exact. */
+        SELECT lag_h,
+               CAST(COUNT(purchases_shifted) AS HUGEINT) AS n,
+               SUM(CASE WHEN purchases_shifted IS NOT NULL
+                        THEN CAST(clicks AS HUGEINT) END) AS sx,
+               SUM(CAST(purchases_shifted AS HUGEINT)) AS sy,
+               SUM(CAST(clicks * purchases_shifted AS HUGEINT)) AS sxy,
+               SUM(CASE WHEN purchases_shifted IS NOT NULL
+                        THEN CAST(clicks * clicks AS HUGEINT) END) AS sxx,
+               SUM(CAST(purchases_shifted * purchases_shifted AS HUGEINT))
+                   AS syy
+        FROM lagged
+        GROUP BY lag_h
+    )
     SELECT CAST(lag_h AS BIGINT) AS lag_hours,
-           CAST(COUNT(purchases_shifted) AS BIGINT) AS n_pairs,
-           ROUND(corr(clicks, purchases_shifted), 6) AS xcorr
-    FROM lagged
-    GROUP BY lag_h
+           CAST(n AS BIGINT) AS n_pairs,
+           {spark_round_sql(
+               '''CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                  END''', 6
+           )} AS xcorr
+    FROM m
     ORDER BY lag_hours
     """,
 )
@@ -1477,11 +1517,35 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("purchases_shifted"),
     )
+    # exact integer comoments over complete pairs (counts are integers):
+    # Pearson r from one identical IEEE chain on both engines, NULL on a
+    # zero-variance series instead of F.corr's ANSI DIVIDE_BY_ZERO raise —
+    # a starved corpus makes the click series constant-zero
+    # (sparse+null-world fuzz, r6; same pattern as degree assortativity)
+    ps, ck = F.col("purchases_shifted"), F.col("clicks")
+    dec = "decimal(38,0)"
+    pair = ps.isNotNull()
+    m = shifted.groupBy(F.col("lag_h").cast("bigint").alias("lag_hours")).agg(
+        F.count(ps).cast(dec).alias("n"),
+        F.sum(F.when(pair, ck).cast(dec)).alias("sx"),
+        F.sum(ps.cast(dec)).alias("sy"),
+        F.sum((ck * ps).cast(dec)).alias("sxy"),
+        F.sum(F.when(pair, ck * ck).cast(dec)).alias("sxx"),
+        F.sum((ps * ps).cast(dec)).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        cov.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
     return (
-        shifted.groupBy(F.col("lag_h").cast("bigint").alias("lag_hours"))
-        .agg(
-            F.count("purchases_shifted").cast("bigint").alias("n_pairs"),
-            F.round(F.corr("clicks", "purchases_shifted"), 6).alias("xcorr"),
+        m.select(
+            "lag_hours",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(r, 6).alias("xcorr"),
         )
         .orderBy("lag_hours")
     )
@@ -1652,10 +1716,15 @@ _HOLT_B = 0.3  # trend smoothing
     "events_holt_linear_trend",
     oracle=f"""
     WITH RECURSIVE daily AS (
+        /* drop all-NULL days: a day with no observed values is a MISSING
+           observation, not a NULL one — otherwise the Spark fold reseeds
+           after the NULL corrupts its state while this recursion stays
+           NULL forever (null-world fuzz, r6) */
         SELECT event_type,
                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                AVG(value) AS x
         FROM events GROUP BY 1, 2
+        HAVING AVG(value) IS NOT NULL
     ),
     series AS (
         SELECT event_type, x,
@@ -1714,9 +1783,15 @@ def events_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type, bounded by the calendar span, not event volume) — the same
     argument as the ACF/CUSUM queries."""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.avg("value").alias("x"))
+    # drop all-NULL days: a day with no observed values is a MISSING
+    # observation — kept, its NULL corrupts the fold state and the
+    # when(l IS NULL) seed branch silently RESEEDS mid-series, diverging
+    # from the oracle's never-reseeding recursion (null-world fuzz, r6)
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
     series = daily.groupBy("event_type").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "x"))),
@@ -2730,8 +2805,14 @@ def events_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("value").alias("rev"))
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    # the running peak CAN be exactly 0 (a zero-revenue opening day —
+    # ties+sparse-world fuzz snaps low values onto the 0 lattice point):
+    # DuckDB division by zero yields NULL (the day has no drawdown
+    # baseline) and its aggregates skip it; Spark ANSI raises — guard to
+    # the shared NULL contract
+    peak = F.max("rev").over(w)
     dd = daily.select(
-        (1 - F.col("rev") / F.max("rev").over(w)).alias("drawdown")
+        F.when(peak > 0, 1 - F.col("rev") / peak).alias("drawdown")
     )
     return dd.agg(
         F.round(F.max("drawdown"), 6).alias("max_drawdown"),

@@ -273,16 +273,22 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum("value").alias("revenue"))
     by_type = Window.partitionBy("event_type")
     by_day = Window.partitionBy("day")
+    # a partition's total CAN be exactly 0 (every value in it snapped to
+    # the 0 lattice point — ties+sparse-world fuzz): DuckDB division by
+    # zero yields NULL, Spark ANSI raises — guard to the shared NULL
+    # contract (no total, no share)
+    tot_type = F.sum("revenue").over(by_type)
+    tot_day = F.sum("revenue").over(by_day)
     return daily.select(
         "event_type",
         F.col("day").cast("string").alias("day"),
         F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") / F.sum("revenue").over(by_type), 6).alias(
-            "share_of_type"
-        ),
-        F.round(F.col("revenue") / F.sum("revenue").over(by_day), 6).alias(
-            "share_of_day"
-        ),
+        F.round(
+            F.when(tot_type != 0, F.col("revenue") / tot_type), 6
+        ).alias("share_of_type"),
+        F.round(
+            F.when(tot_day != 0, F.col("revenue") / tot_day), 6
+        ).alias("share_of_day"),
     ).orderBy("event_type", "day")
 
 
