@@ -327,6 +327,60 @@ _DRIVER_VERIFIED = frozenset(
         "text_tokenizer_fertility_by_lang",
         "text_winnowing_fingerprints",
         "text_zipf_law_fit",
+        # --- r06 greens (CORRECTNESS_r06.json; 50/50 green, 0 errors, all
+        # fresh names — the float-trap window the r5 verdict ordered:
+        # profile datacard + events/timeseries tail + text + sample + the
+        # two percentile aggs).
+        "profile_corpus_datacard",
+        "events_winsorized_stats",
+        "events_rolling_beta_24h",
+        "events_gumbel_peak_analysis",
+        "events_mann_kendall_trend",
+        "events_seasonal_naive_backtest",
+        "events_volume_anomaly_weekday_adjusted",
+        "events_markov_entropy_rate",
+        "events_interarrival_burstiness",
+        "events_cross_correlation",
+        "events_linear_attribution",
+        "events_gap_interpolation",
+        "events_error_share_pchart",
+        "events_slo_burn_rate_alerts",
+        "events_revenue_drawdown",
+        "events_growth_accounting",
+        "events_dau_wau_mau_stickiness",
+        "events_bot_detection_screen",
+        "events_interval_coverage",
+        "events_incremental_rollup_merge",
+        "events_bitemporal_restatement",
+        "events_sessionization",
+        "events_fsm_conformance",
+        "events_window_funnel_depth",
+        "events_ohlc_bars",
+        "events_dow_hour_heatmap",
+        "text_doc_length_lognormal_fit",
+        "text_sif_information_density",
+        "text_umass_keyword_coherence",
+        "text_theil_length_inequality",
+        "text_term_burstiness",
+        "text_char_entropy_bound",
+        "text_corpus_drift_kl",
+        "text_yule_k_richness",
+        "text_watermark_greenlist_detect",
+        "text_ngram_novelty_split",
+        "text_bm25_prf_expansion",
+        "text_rake_keywords",
+        "text_bpe_merge_rounds",
+        "text_mojibake_screen",
+        "text_normalization_audit",
+        "sample_raking_calibration",
+        "sample_horvitz_thompson_total",
+        "sample_neyman_allocation",
+        "sample_pps_systematic",
+        "sample_method_bakeoff",
+        "sample_balanced_class_downsample",
+        "sample_epoch_shuffle",
+        "agg_weighted_percentile",
+        "agg_trimmed_mean_comparison",
     }
 )
 
@@ -336,7 +390,7 @@ _DRIVER_VERIFIED = frozenset(
 # (e.g. CORRECTNESS_r06.json at the next round boundary), the rotation test
 # reports it as a pending fold (warning + instruction) instead of going red
 # with no code change (ADVICE r4, tests/test_registry_contract.py:78).
-_DRIVER_ROUNDS_FOLDED = 5
+_DRIVER_ROUNDS_FOLDED = 6
 
 
 # Previously driver-RED names: fixed this round, so they jump the fresh
@@ -345,72 +399,76 @@ _DRIVER_ROUNDS_FOLDED = 5
 # pipeline_corpus_curation retried green and is folded above).
 _DRIVER_RETRY: tuple[str, ...] = ()
 
-# Round-6 window picks (50 fresh slots from the 87 never-driver-checked
-# backlog, per the r5 verdict): lead with the queries the late-r5
-# percentile/rounding rewrites touched that have no external certification
-# (profile_corpus_datacard, events_winsorized_stats — exactly the
-# cross-engine-trap shape: non-dyadic quantiles, lattice means, rank
-# boundaries), then the full events/timeseries tail (25), text (15),
-# sample (7), and the two percentile/trimmed-mean aggs. The 37 remaining
-# (dq/orders/simsearch/features/misc — mostly integer/count-shaped) rotate
-# in at r7, driving the backlog to 0.
+# Round-7 window picks (per the r6 verdict, items 1-2): first the 37
+# remaining never-driver-checked names (orders/dq/simsearch/features/misc —
+# tools/next_window.py computed them), driving the external-certification
+# backlog to ZERO (325/325). The 13 spare slots re-certify
+# modified-since-certification queries: tools/stale_certs.py mechanically
+# diffs each _DRIVER_VERIFIED name's function source + oracle SQL against
+# the tree at its certifying round (= parent of the driver's "round N:"
+# artifact commit) and found 66 stale certs; we front the 8 the judge
+# verified by hand, plus events_revenue_drawdown (edited this round per
+# ADVICE r6), the flagship, and three oldest high-traffic r1 certs. The
+# remaining stale set rotates in from r8 (the whole 50-slot window is free
+# for re-certs once the never-checked backlog is zero).
 _DRIVER_PRIORITY = (
-    # --- rewritten by the late-r5 percentile/rounding fixes (9b282ec),
-    # never driver-checked: certify first.
-    "profile_corpus_datacard",
-    "events_winsorized_stats",
-    # --- events/timeseries tail (float-heaviest first).
-    "events_rolling_beta_24h",
-    "events_gumbel_peak_analysis",
-    "events_mann_kendall_trend",
-    "events_seasonal_naive_backtest",
-    "events_volume_anomaly_weekday_adjusted",
-    "events_markov_entropy_rate",
-    "events_interarrival_burstiness",
-    "events_cross_correlation",
-    "events_linear_attribution",
-    "events_gap_interpolation",
-    "events_error_share_pchart",
-    "events_slo_burn_rate_alerts",
+    # --- the last 37 never-driver-checked names: certification backlog -> 0.
+    "dq_benford_first_digit",
+    "dq_integrity_audit",
+    "dq_column_profile",
+    "dq_freshness_audit",
+    "dq_id_sequence_gaps",
+    "dq_functional_dependency_profile",
+    "orders_abc_pareto",
+    "orders_item_cf_similarity",
+    "orders_fulfillment_leadtime_sla",
+    "orders_tier_migration_matrix",
+    "orders_open_aging_buckets",
+    "orders_repurchase_interval",
+    "simsearch_filtered_topk",
+    "simsearch_index_staleness",
+    "simsearch_binary_hamming_topk",
+    "simsearch_range_radius",
+    "features_quantile_normalize",
+    "features_target_encoding",
+    "features_woe_iv",
+    "multimodal_frame_sample_plan",
+    "multimodal_scene_cut_stub",
+    "pipeline_label_agreement_kappa",
+    "pipeline_mix_entropy_shift",
+    "graph_link_prediction_jaccard",
+    "graph_degree_assortativity",
+    "window_ratio_to_report",
+    "window_distinct_trailing",
+    "dedup_url_canonical",
+    "stats_entropy_event_types",
+    "sql_api_lateral_topk_per_group",
+    "mix_waterfill_budget",
+    "scalar_array_serialization",
+    "agg_grouping_sets_custom",
+    "join_scd2_point_in_time",
+    "cluster_purity_nmi_vs_labels",
+    "lineitem_revenue_waterfall",
+    "train_triplet_margin_audit",
+    # --- 13 stale re-certifications (modified since certifying round).
+    # The 8 judge-verified-by-hand members first:
+    "stats_ab_test_welch",
+    "stats_power_analysis_mde",
+    "events_holt_linear_trend",
+    "events_time_weighted_avg_value",
+    "stats_gmm_em_one_step",
+    "text_heaps_law_fit",
+    "dq_value_drift_psi",
+    "dedup_bloom_prefilter_audit",
+    # Edited this round (ADVICE r6 drawdown peak!=0 parity fix):
     "events_revenue_drawdown",
-    "events_growth_accounting",
-    "events_dau_wau_mau_stickiness",
-    "events_bot_detection_screen",
-    "events_interval_coverage",
-    "events_incremental_rollup_merge",
-    "events_bitemporal_restatement",
-    "events_sessionization",
-    "events_fsm_conformance",
-    "events_window_funnel_depth",
-    "events_ohlc_bars",
-    "events_dow_hour_heatmap",
-    # --- text tail.
-    "text_doc_length_lognormal_fit",
-    "text_sif_information_density",
-    "text_umass_keyword_coherence",
-    "text_theil_length_inequality",
-    "text_term_burstiness",
-    "text_char_entropy_bound",
-    "text_corpus_drift_kl",
-    "text_yule_k_richness",
-    "text_watermark_greenlist_detect",
-    "text_ngram_novelty_split",
-    "text_bm25_prf_expansion",
-    "text_rake_keywords",
-    "text_bpe_merge_rounds",
-    "text_mojibake_screen",
-    "text_normalization_audit",
-    # --- sample tail.
-    "sample_raking_calibration",
-    "sample_horvitz_thompson_total",
-    "sample_neyman_allocation",
-    "sample_pps_systematic",
-    "sample_method_bakeoff",
-    "sample_balanced_class_downsample",
-    "sample_epoch_shuffle",
-    # --- percentile/trimmed-mean aggs (rank-boundary shape).
-    "agg_weighted_percentile",
-    "agg_trimmed_mean_comparison",
+    # Flagship: rewritten r5 (degenerate missing-anchor contract) after its
+    # r4 certification; entry() smoke-checks rows only, not the hash.
+    "flagship_knn_cosine_topk",
+    # Oldest src+oracle-stale r1 certs (exact-decimal rewrites in r5):
+    "q1_pricing_summary",
+    "agg_corr_quantity_price",
+    "window_range_frame_value",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally

@@ -1765,14 +1765,21 @@ def udtf_table_argument_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mean_a, 4) AS mean_a,
            ROUND(mean_b, 4) AS mean_b,
            ROUND(mean_a - mean_b, 4) AS diff,
-           ROUND((mean_a - mean_b)
-                 / SQRT(var_a / n_a + var_b / n_b), 4) AS welch_t,
-           ROUND(POW(var_a / n_a + var_b / n_b, 2)
-                 / (POW(var_a / n_a, 2) / (n_a - 1)
-                    + POW(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df,
-           ROUND((mean_a - mean_b)
-                 / SQRT(((n_a - 1) * var_a + (n_b - 1) * var_b)
-                        / (n_a + n_b - 2)), 4) AS cohens_d
+           /* se2 = 0 (both arms zero-variance, e.g. ties-world lattice
+              snap) -> NULL on both engines: DuckDB's x/0.0 is NULL anyway,
+              the CASE documents it; Spark would ANSI-raise DIVIDE_BY_ZERO
+              without the twin F.when guard (ADVICE r6) */
+           CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+               ROUND((mean_a - mean_b)
+                     / SQRT(var_a / n_a + var_b / n_b), 4) END AS welch_t,
+           CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+               ROUND(POW(var_a / n_a + var_b / n_b, 2)
+                     / (POW(var_a / n_a, 2) / (n_a - 1)
+                        + POW(var_b / n_b, 2) / (n_b - 1)), 2) END AS welch_df,
+           CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+               ROUND((mean_a - mean_b)
+                     / SQRT(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                            / (n_a + n_b - 2)), 4) END AS cohens_d
     FROM wide
     """,
 )
@@ -1822,34 +1829,49 @@ def stats_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    # Degenerate contract (ADVICE r6): BOTH arms zero-variance (ties-world
+    # lattice snap makes every purchase value equal) gives se2 = 0, where
+    # Spark ANSI raises DIVIDE_BY_ZERO but DuckDB's float x/0.0 is NULL.
+    # Guard all three ratios on se2 > 0 — se2 = 0 iff both variances are 0
+    # iff the Satterthwaite and pooled denominators are 0 too (n >= 2; an
+    # n = 1 arm makes var_samp and hence se2 NULL, which also lands in the
+    # NULL branch on both engines).
     return wide.select(
         "n_a",
         "n_b",
         F.round("mean_a", 4).alias("mean_a"),
         F.round("mean_b", 4).alias("mean_b"),
         F.round(F.col("mean_a") - F.col("mean_b"), 4).alias("diff"),
-        F.round(
-            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 4
+        F.when(
+            se2 > 0,
+            F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 4),
         ).alias("welch_t"),
-        F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
-                + F.pow(F.col("var_b") / F.col("n_b"), 2)
-                / (F.col("n_b") - 1)
+        F.when(
+            se2 > 0,
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("var_a") / F.col("n_a"), 2)
+                    / (F.col("n_a") - 1)
+                    + F.pow(F.col("var_b") / F.col("n_b"), 2)
+                    / (F.col("n_b") - 1)
+                ),
+                2,
             ),
-            2,
         ).alias("welch_df"),
-        F.round(
-            (F.col("mean_a") - F.col("mean_b"))
-            / F.sqrt(
-                (
-                    (F.col("n_a") - 1) * F.col("var_a")
-                    + (F.col("n_b") - 1) * F.col("var_b")
-                )
-                / (F.col("n_a") + F.col("n_b") - 2)
+        F.when(
+            se2 > 0,
+            F.round(
+                (F.col("mean_a") - F.col("mean_b"))
+                / F.sqrt(
+                    (
+                        (F.col("n_a") - 1) * F.col("var_a")
+                        + (F.col("n_b") - 1) * F.col("var_b")
+                    )
+                    / (F.col("n_a") + F.col("n_b") - 2)
+                ),
+                4,
             ),
-            4,
         ).alias("cohens_d"),
     )
 

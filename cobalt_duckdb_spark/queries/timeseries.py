@@ -2809,10 +2809,14 @@ def events_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ties+sparse-world fuzz snaps low values onto the 0 lattice point):
     # DuckDB division by zero yields NULL (the day has no drawdown
     # baseline) and its aggregates skip it; Spark ANSI raises — guard to
-    # the shared NULL contract
+    # the shared NULL contract. The guard is peak != 0, NOT peak > 0:
+    # DuckDB computes 1 - rev/peak for ANY nonzero peak, so a NEGATIVE
+    # running peak (every value negative in a fuzz world) must produce a
+    # value on both engines, exactly as window_ratio_to_report and
+    # text_theil_length_inequality do (ADVICE r6)
     peak = F.max("rev").over(w)
     dd = daily.select(
-        F.when(peak > 0, 1 - F.col("rev") / peak).alias("drawdown")
+        F.when(peak != 0, 1 - F.col("rev") / peak).alias("drawdown")
     )
     return dd.agg(
         F.round(F.max("drawdown"), 6).alias("max_drawdown"),

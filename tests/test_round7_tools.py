@@ -1,0 +1,158 @@
+"""Round-7 tooling contracts: stale-cert detector, class battery, 3-point
+scaling sweep, degraded-host bench warning.
+
+These are cheap structural pins (no Spark session): the heavy paths run in
+round_close; what pytest guards is that the manifests/constants the heavy
+paths trust cannot drift silently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+# ---------------------------------------------------------------------------
+# class battery manifest
+# ---------------------------------------------------------------------------
+
+def _manifest():
+    with open(os.path.join(REPO, "tools", "class_battery_manifest.json")) as f:
+        return json.load(f)["worlds"]
+
+
+def test_manifest_worlds_unique_and_well_formed():
+    seen = set()
+    valid_axes = {
+        "null_permille", "degen_permille", "ties_permille",
+        "unicode_permille", "extreme_permille", "sparse_permille",
+    }
+    for w in _manifest():
+        assert os.path.isdir(w["sf"]), f"missing sf dir {w['sf']}"
+        assert w["seeds"], "world without seeds"
+        assert w.get("classes"), "every battery world must name the classes it guards"
+        for k, v in w.get("axes", {}).items():
+            assert k in valid_axes, f"unknown axis {k}"
+            assert 1 <= v <= 1000, f"dose out of permille range: {k}={v}"
+        for s in w["seeds"]:
+            key = (w["sf"], s, tuple(sorted(w.get("axes", {}).items())))
+            assert key not in seen, f"duplicate battery world {key}"
+            seen.add(key)
+
+
+def test_manifest_pins_every_documented_catcher_seed():
+    """The SCALE.md class inventories name these seeds as the catching
+    worlds; the battery must keep them pinned (not auto-merged — rounds <=6
+    are excluded from auto-merge by design)."""
+    pinned = {s for w in _manifest() for s in w["seeds"]}
+    for seed in (3101, 4111, 4333, 4555, 4998, 5201, 5301, 2317, 5102, 606):
+        assert seed in pinned, f"catcher seed {seed} missing from battery manifest"
+
+
+def test_battery_heavy_rotation_and_automerge_bounds():
+    from class_battery import load_manifest
+
+    worlds = load_manifest(current_round=7)
+    heavy = [w for w in worlds if w.get("heavy")]
+    light = [w for w in worlds if not w.get("heavy")]
+    assert len(heavy) >= 5
+    # pre-r7 REDRAW artifacts must NOT be auto-merged (cost guard): every
+    # non-manifest world would carry the auto-merged marker
+    merged = [w for w in worlds if str(w.get("classes", "")).startswith("auto-merged")]
+    assert merged == [], f"rounds <7 leaked into auto-merge: {merged}"
+    # every light world must be sf0.001/sf0.01 (cost contract)
+    for w in light:
+        assert not w["sf"].rstrip("/").endswith("sf0.1")
+
+
+# ---------------------------------------------------------------------------
+# stale-cert detector
+# ---------------------------------------------------------------------------
+
+def test_certified_commit_mapping_matches_git():
+    from stale_certs import certified_commits
+
+    commits = certified_commits()
+    # rounds 1..6 all have driver artifact commits in this repo's history
+    assert set(commits) >= {1, 2, 3, 4, 5, 6}
+    # the r6 certified tree is the parent of the r6 artifact commit
+    subj = subprocess.run(
+        ["git", "-C", REPO, "log", "-1", "--format=%s", commits[6]],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert "round 6" not in subj, (
+        "certified commit must be the BUILDER's final tree, not the "
+        "driver's artifact commit itself"
+    )
+
+
+def test_latest_green_round_reads_all_artifacts():
+    from stale_certs import latest_green_round
+
+    greens = latest_green_round()
+    # spot pins: r6 window names certify at 6, r1 flagship at >=1
+    assert greens.get("events_ohlc_bars") == 6
+    assert greens.get("flagship_knn_cosine_topk", 0) >= 1
+
+
+def test_driver_priority_fronts_never_checked_then_stale():
+    """The r7 window contract: 37 never-driver-checked names first, then
+    13 stale re-certs — no already-green, non-stale name burns a slot."""
+    sys.path.insert(0, REPO)
+    from cobalt_duckdb_spark.queries import _DRIVER_PRIORITY, _DRIVER_VERIFIED
+
+    assert len(_DRIVER_PRIORITY) == 50
+    never = [n for n in _DRIVER_PRIORITY if n not in _DRIVER_VERIFIED]
+    stale_slots = [n for n in _DRIVER_PRIORITY if n in _DRIVER_VERIFIED]
+    assert len(never) == 37 and len(stale_slots) == 13
+    # the 8 judge-named stale members must be in the window
+    for n in (
+        "stats_ab_test_welch", "stats_power_analysis_mde",
+        "events_holt_linear_trend", "events_time_weighted_avg_value",
+        "stats_gmm_em_one_step", "text_heaps_law_fit",
+        "dq_value_drift_psi", "dedup_bloom_prefilter_audit",
+    ):
+        assert n in stale_slots, f"judge-named stale cert {n} not re-windowed"
+
+
+# ---------------------------------------------------------------------------
+# 3-point scaling sweep + composed stage plumbing
+# ---------------------------------------------------------------------------
+
+def test_round_close_has_new_stages():
+    import round_close
+
+    cmds = round_close.stage_cmds(7, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for stage in ("scaling", "composed", "classbattery"):
+        assert stage in cmds, f"round_close missing stage {stage}"
+    # composed seeds are distinct from redraw and nullworld seed families
+    assert round_close.round_composed_seed(7) == 7277
+    assert round_close.round_seeds(7) == [7007, 7077]
+    assert round_close.round_null_seed(7) == 7177
+
+
+def test_probe_scaling_accepts_third_point():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "probe_scaling.py"), "--help"],
+        capture_output=True, text=True,
+    )
+    assert "--hi2" in out.stdout
+
+
+@pytest.mark.parametrize("seed_field", ["calib_sec"])
+def test_bench_committed_records_carry_anchor(seed_field):
+    """The degraded-host detector reads the newest committed full record's
+    calib anchor; every committed record must carry one."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REPO, "bench_r*_full.json")))
+    assert files, "no committed full bench records"
+    with open(files[-1]) as f:
+        assert seed_field in json.load(f)

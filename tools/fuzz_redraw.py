@@ -43,7 +43,10 @@ Usage:
 
 All six robustness axes compose on one world; round_close.py runs the
 combined world per round. Maximal doses (1000‰) are legal and are the
-harshest worlds constructible per axis.
+harshest worlds constructible per axis — EXCEPT the sparse axis, whose
+scale is inverted: --sparse-permille is the KEEP fraction, so 1000‰
+keeps every row (the least sparse world) and the harshest sparse dose
+is the smallest nonzero value (ADVICE r6).
 
 Exit 1 if any seed's differential reports a failure.
 

@@ -114,10 +114,21 @@ def main() -> int:
 
     never = [n for n in names if n not in folded_hist]
     green = {n for n, (_, o) in folded_hist.items() if o in ("green", "rows_only")}
+    # Modified-since-certification detection (r6 verdict item 2): a green
+    # name whose function source or oracle SQL changed AFTER its certifying
+    # round's tree is STALE — re-windowing it is a legitimate re-cert, not a
+    # wasted slot. Guarded: the git-worktree machinery needs a full clone.
+    try:
+        from stale_certs import compute_stale
+
+        stale_map = compute_stale()
+    except Exception as exc:  # pragma: no cover - degraded env
+        stale_map = {}
+        warnings.append(f"stale-cert detection unavailable ({exc!r})")
     wasted = [
         n
         for n in window
-        if n in green or n in ROWS_ONLY_TERMINAL
+        if (n in green or n in ROWS_ONLY_TERMINAL) and n not in stale_map
     ]
     if wasted and never and len(set(window) & set(never)) < min(
         WINDOW - len(latest_red), len(never)
@@ -133,7 +144,9 @@ def main() -> int:
                 "slot": i,
                 "name": n,
                 "status": (
-                    {
+                    "stale-recert"
+                    if n in stale_map and n in hist and hist[n][1] == "green"
+                    else {
                         "red": "retry",
                         "error": "retry",
                         "green": "RE-CHECK (wasted slot?)",
@@ -154,6 +167,8 @@ def main() -> int:
             "remaining_after_this_window": max(
                 0, len(never) - sum(1 for n in window if n not in folded_hist)
             ),
+            "stale_certs": len(stale_map),
+            "stale_in_window": sum(1 for n in window if n in stale_map),
             "pending_unfolded_rounds": pending_rounds,
         },
         "problems": problems,

@@ -70,6 +70,14 @@ def main() -> int:
     ap.add_argument("--lo", default="/root/testdata/sf0.01")
     ap.add_argument("--hi", default="/root/testdata/sf0.1")
     ap.add_argument("--data-ratio", type=float, default=10.0)
+    ap.add_argument(
+        "--hi2",
+        default=None,
+        help="optional THIRD point (e.g. an sf1.0 world from "
+        "make_world_scale.py) — adds a second leg hi->hi2 so the sweep "
+        "measures 0.01 -> 0.1 -> 1.0 (100x the gate scale, r6 verdict 3)",
+    )
+    ap.add_argument("--data-ratio2", type=float, default=10.0)
     ap.add_argument("--names", nargs="+", default=["*"])
     ap.add_argument("--flag-ratio", type=float, default=3.0)
     ap.add_argument("--min-sec", type=float, default=1.0)
@@ -103,15 +111,22 @@ def main() -> int:
         try:
             lo_s, lo_rows = time_query(fn, spark, args.lo)
             hi_s, hi_rows = time_query(fn, spark, args.hi)
+            hi2_s = hi2_rows = None
+            if args.hi2:
+                hi2_s, hi2_rows = time_query(fn, spark, args.hi2)
         except Exception as e:  # noqa: BLE001
             report[name] = {"error": str(e)[:200]}
             flagged.append(name)
             print(f"ERROR {name}: {e}")
             continue
-        ratio = round(hi_s / lo_s, 2) if lo_s > 0 else None
-        rows_ratio = (hi_rows / lo_rows) if lo_rows else None
-        denom = max(args.data_ratio, rows_ratio) if rows_ratio else args.data_ratio
-        slope = round(ratio / denom, 3) if ratio is not None else None
+
+        def leg(a_s, b_s, a_rows, b_rows, data_ratio):
+            ratio = round(b_s / a_s, 2) if a_s > 0 else None
+            rows_ratio = (b_rows / a_rows) if a_rows else None
+            denom = max(data_ratio, rows_ratio) if rows_ratio else data_ratio
+            return ratio, (round(ratio / denom, 3) if ratio is not None else None)
+
+        ratio, slope = leg(lo_s, hi_s, lo_rows, hi_rows, args.data_ratio)
         report[name] = {
             "lo_sec": lo_s,
             "hi_sec": hi_s,
@@ -120,23 +135,45 @@ def main() -> int:
             "rows_lo": lo_rows,
             "rows_hi": hi_rows,
         }
+        ratio2 = slope2 = None
+        if args.hi2:
+            ratio2, slope2 = leg(hi_s, hi2_s, hi_rows, hi2_rows, args.data_ratio2)
+            report[name].update(
+                {
+                    "hi2_sec": hi2_s,
+                    "time_ratio2": ratio2,
+                    "slope2": slope2,
+                    "rows_hi2": hi2_rows,
+                }
+            )
         mark = ""
+        bad = soft_bad = False
         if slope is not None and hi_s >= args.min_sec:
-            if slope > args.flag_ratio:
-                flagged.append(name)
-                mark = "  <-- SUPER-LINEAR"
-            elif slope > 1.5:
-                soft.append(name)
-                mark = "  (soft super-linear)"
+            bad |= slope > args.flag_ratio
+            soft_bad |= 1.5 < slope <= args.flag_ratio
+        if slope2 is not None and hi2_s >= args.min_sec:
+            bad |= slope2 > args.flag_ratio
+            soft_bad |= 1.5 < slope2 <= args.flag_ratio
+        if bad:
+            flagged.append(name)
+            mark = "  <-- SUPER-LINEAR"
+        elif soft_bad:
+            soft.append(name)
+            mark = "  (soft super-linear)"
+        leg2 = (
+            f" -> {hi2_s:>7.2f}s x{ratio2} slope2 {slope2}" if args.hi2 else ""
+        )
         print(
             f"{name:<44} {lo_s:>7.2f}s -> {hi_s:>7.2f}s  x{ratio}"
-            f"  slope {slope}  rows {lo_rows}->{hi_rows}{mark}"
+            f"  slope {slope}{leg2}  rows {lo_rows}->{hi_rows}{mark}"
         )
 
     out = {
         "lo": args.lo,
         "hi": args.hi,
+        "hi2": args.hi2,
         "data_ratio": args.data_ratio,
+        "data_ratio2": args.data_ratio2 if args.hi2 else None,
         "flag_ratio": args.flag_ratio,
         "min_sec": args.min_sec,
         "flagged": flagged,

@@ -21,7 +21,11 @@ spins a local[*] session and concurrent runs contaminate timings):
 3. stability— tools/check_stability.py --json STABILITY_r{N}.json
 4. dup      — tools/probe_dup.py --json PROBE_r{N}.json
 5. skew     — tools/probe_skew.py --json SKEW_r{N}.json
-6. scaling  — tools/probe_scaling.py --json SCALING_r{N}.json
+6. scaling  — three-point volume sweep (r6 verdict item 3): builds (or
+              reuses) the sf1.0-shaped world via make_world_scale.py, then
+              tools/probe_scaling.py --hi2 /tmp/world_sf1 --json
+              SCALING_r{N}.json — slopes measured on BOTH legs,
+              0.01 -> 0.1 and 0.1 -> 1.0 (100x the gate scale)
 7. redraw   — tools/fuzz_redraw.py at BENCH scale (--sf-hi) with two
               round-derived seeds (1000*round + 7 / + 77) that are
               checked against every committed REDRAW_*.json for reuse —
@@ -39,9 +43,22 @@ spins a local[*] session and concurrent runs contaminate timings):
               (3), tied min_by winners (ohlc), UTF-16 surrogate
               splitting (char entropy), starved share-of-total
               divisions (ANSI raise vs DuckDB NULL).
-9. bench    — python bench.py, then copy bench_full_latest.json to
+9. composed — two composed worlds at BENCH scale (--sf-hi, seeds
+              1000*round + 277/278, reuse-checked): ties 1000‰ x sparse
+              30‰ and null 300‰ x sparse 30‰ — the two axis interactions
+              that found 11 divergences in r6, now at 10x the trials
+              (r6 verdict item 4).
+10. classbattery — tools/class_battery.py --rotate N: re-runs the PINNED
+              divergence-class catcher worlds (manifest:
+              tools/class_battery_manifest.json — the exact (sf, seed,
+              axis-dose) worlds that caught the ~45 classes fixed in
+              r5-r6) plus any committed REDRAW world from rounds 7..N-1,
+              so an edit cannot silently resurrect a closed class. Light
+              (sf0.001/0.01) worlds all run; heavy (sf0.1) catchers
+              rotate one per close at true scale (r6 verdict item 5).
+11. bench   — python bench.py, then copy bench_full_latest.json to
               bench_r{N}_full.json
-10. pytest  — python -m pytest tests/ -q
+12. pytest  — python -m pytest tests/ -q
 
 Usage:
     python tools/round_close.py --round 6 [--sf /root/testdata/sf0.01]
@@ -78,6 +95,13 @@ def round_null_seed(rnd: int) -> int:
     """Seed for the per-round NULL-carrying world (fuzz_redraw
     --null-permille): same mechanical derivation, distinct offset."""
     return 1000 * rnd + 177
+
+
+def round_composed_seed(rnd: int) -> int:
+    """Seed base for the per-round composed worlds at BENCH scale (r6
+    verdict item 4): uses +277/+278, distinct from redraw (+7/+77) and
+    nullworld (+177/+178)."""
+    return 1000 * rnd + 277
 
 
 def used_redraw_seeds() -> set[int]:
@@ -188,6 +212,66 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
             cwd=REPO,
         )
 
+    def scaling3() -> int:
+        # Three-point volume sweep 0.01 -> 0.1 -> 1.0 (r6 verdict item 3):
+        # build (or reuse — marker-cached) the sf1.0-shaped world, then run
+        # the probe with the second leg. ~6M-row lineitem, ~2 min build.
+        world = "/tmp/world_sf1"
+        rc = subprocess.call(
+            [py, "tools/make_world_scale.py", "--out", world], cwd=REPO
+        )
+        if rc != 0:
+            print("scaling: sf1 world build failed — running 2-point sweep")
+            return subprocess.call(
+                [py, "tools/probe_scaling.py", "--json",
+                 f"SCALING_r{rnd:02d}.json"],
+                cwd=REPO,
+            )
+        return subprocess.call(
+            [
+                py, "tools/probe_scaling.py", "--hi2", world,
+                "--json", f"SCALING_r{rnd:02d}.json",
+            ],
+            cwd=REPO,
+        )
+
+    def composed() -> int:
+        # Composed worlds (ties x sparse, null x sparse) at BENCH scale
+        # (r6 verdict item 4): round 6's own lesson (SCALE.md, round-6
+        # bench-scale note) is that boundary classes are per-trial and
+        # sf0.1 runs 10x the trials — yet the two composed shapes that
+        # found 11 divergences ran at sf0.001 only. Doses mirror the
+        # catching worlds: ties 1000 (every event day-snapped, values on
+        # the 10-lattice) x sparse 30 (3% kept), and null 300 x sparse 30
+        # (all-NULL groups).
+        cseed = round_composed_seed(rnd)
+        if {cseed, cseed + 1} & used_redraw_seeds():
+            print(
+                f"composed: seed {cseed}/{cseed + 1} already appears in a "
+                "committed REDRAW_*.json — fresh worlds only."
+            )
+            return 1
+        rc = subprocess.call(
+            [
+                py, "tools/fuzz_redraw.py", "--sf", sf_hi,
+                "--seeds", str(cseed), "--ties-permille", "1000",
+                "--sparse-permille", "30",
+                "--json", f"REDRAW_r{rnd:02d}c1.json",
+            ],
+            cwd=REPO,
+        )
+        if rc != 0:
+            return rc
+        return subprocess.call(
+            [
+                py, "tools/fuzz_redraw.py", "--sf", sf_hi,
+                "--seeds", str(cseed + 1), "--null-permille", "300",
+                "--sparse-permille", "30",
+                "--json", f"REDRAW_r{rnd:02d}c2.json",
+            ],
+            cwd=REPO,
+        )
+
     return {
         "window": check_fold_pending,
         "oracle": [py, "tools/check_oracle.py", sf],
@@ -196,11 +280,14 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
         ],
         "dup": [py, "tools/probe_dup.py", "--json", f"PROBE_r{rnd:02d}.json"],
         "skew": [py, "tools/probe_skew.py", "--json", f"SKEW_r{rnd:02d}.json"],
-        "scaling": [
-            py, "tools/probe_scaling.py", "--json", f"SCALING_r{rnd:02d}.json",
-        ],
+        "scaling": scaling3,
         "redraw": redraw,
         "nullworld": nullworld,
+        "composed": composed,
+        "classbattery": [
+            py, "tools/class_battery.py", "--rotate", str(rnd),
+            "--json", f"CLASSBATTERY_r{rnd:02d}.json",
+        ],
         "bench": [py, "bench.py"],
         "pytest": [py, "-m", "pytest", "tests/", "-q"],
     }
