@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from cobalt_duckdb_spark.functions import text as T
 from cobalt_duckdb_spark.functions.exact import (
+    _trunc_div,
     exact_round_avg,
     exact_round_avg_int,
     exact_round_avg_int_sql,
@@ -193,42 +194,79 @@ def text_levenshtein_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     titles/SKUs): same-brand part-name pairs within Levenshtein 3,
     aggregated per brand (pair-level output explodes on this small-vocab
     corpus — half a million rows at sf0.1 — so the query returns the
-    bounded per-block audit a pipeline actually monitors). Brand is the
-    blocking key — edit distance is O(n·m) per pair, so at scale it only
-    ever runs inside blocks behind the O(1) length prefilter."""
-    from cobalt_duckdb_spark.operators.dedup import fan_out
+    bounded per-block audit a pipeline actually monitors).
 
+    Scale shape (rewritten round 7 — the sf1.0 sweep caught the original
+    row-level self-join at slope 6.95 on the 0.1→1.0 leg): brand blocks
+    grow LINEARLY with data while brand cardinality stays fixed, so a
+    row-level blocked self-join is quadratic in data size. The Levenshtein
+    work is instead computed once per DISTINCT (brand, name) pair — the
+    distinct frame is vocabulary-sized, not data-sized — and the pair
+    counts are recovered arithmetically: a name pair (x ≠ y) contributes
+    cnt_x·cnt_y key-ordered row pairs, a repeated name contributes
+    C(cnt,2) exact-duplicate pairs with d = 0. Aggregates are weighted
+    sums, bit-identical to the oracle's row-level form (Σd over rows =
+    Σd·w over distinct pairs). At 100 TB this is one (brand, name)
+    count shuffle + an O(vocab²)-per-brand broadcast join; dedupe-first
+    is exactly how production fuzzy-dedup composes with blocking, and a
+    genuinely unbounded title vocabulary would swap the distinct
+    cross-join for PassJoin segment signatures without touching the
+    weighting."""
     p = load_table(spark, sf_dir, "part")
-    a = fan_out(p).select(
-        F.col("p_partkey").alias("a_key"),
-        F.col("p_name").alias("a_name"),
-        "p_brand",
+    dn = p.groupBy("p_brand", "p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    b = p.select(
-        F.col("p_partkey").alias("b_key"),
-        F.col("p_name").alias("b_name"),
-        "p_brand",
+    a = dn.select(
+        "p_brand", F.col("p_name").alias("a_name"), F.col("cnt").alias("a_cnt")
     )
-    pairs = (
+    b = dn.select(
+        "p_brand", F.col("p_name").alias("b_name"), F.col("cnt").alias("b_cnt")
+    )
+    cross = (
         a.join(F.broadcast(b), "p_brand")
-        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(F.col("a_name") < F.col("b_name"))
         # |len(a)−len(b)| > 3 ⇒ edit_dist > 3: O(1) prune before the O(n·m)
         # dynamic program (implied by the threshold — results unchanged)
         .filter(F.abs(F.length("a_name") - F.length("b_name")) <= 3)
         .withColumn("d", F.levenshtein("a_name", "b_name").cast("bigint"))
         .filter(F.col("d") <= 3)
+        .select(
+            "p_brand", "d", (F.col("a_cnt") * F.col("b_cnt")).alias("w")
+        )
+    )
+    same = (
+        dn.filter(F.col("cnt") >= 2)
+        .select(
+            "p_brand",
+            F.lit(0).cast("bigint").alias("d"),
+            F.expr("CAST(cnt * (cnt - 1) DIV 2 AS BIGINT)").alias("w"),
+        )
+    )
+    pairs = cross.unionByName(same)
+    # weighted twin of exact_round_avg_int (unit_scale=0): the oracle's
+    # SUM(d)/COUNT(d) over row pairs equals Σd·w / Σw over distinct pairs
+    # exactly (integers on both sides), so the half-away-from-zero rounding
+    # is performed on the identical rational number.
+    sd = F.sum(F.col("d") * F.col("w"))
+    n = F.sum("w")
+    num = sd.cast("decimal(38,0)") * F.lit(10**4)
+    den = F.greatest(n, F.lit(1)).cast("decimal(38,0)")
+    m = _trunc_div(2 * F.abs(num) + den, 2 * den)
+    avg = F.when(
+        n > 0,
+        F.when(num < 0, -m).otherwise(m).cast("double") / F.lit(1e4),
     )
     return (
         pairs.groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+            F.sum("w").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("d") == 0, F.col("w")).otherwise(0))
             .cast("bigint")
             .alias("n_exact"),
-            F.sum(F.when(F.col("d").between(1, 3), 1).otherwise(0))
+            F.sum(F.when(F.col("d").between(1, 3), F.col("w")).otherwise(0))
             .cast("bigint")
             .alias("n_near"),
-            exact_round_avg_int(F.col("d"), 4, 0).alias("avg_dist"),
+            avg.alias("avg_dist"),
         )
         .orderBy("p_brand")
     )
