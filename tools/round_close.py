@@ -279,7 +279,14 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
             py, "tools/check_stability.py", "--json", f"STABILITY_r{rnd:02d}.json",
         ],
         "dup": [py, "tools/probe_dup.py", "--json", f"PROBE_r{rnd:02d}.json"],
-        "skew": [py, "tools/probe_skew.py", "--json", f"SKEW_r{rnd:02d}.json"],
+        # hot_frac 0.8 since r7: the 40% world was clean for two rounds and
+        # the 80% world (SKEW_r07, 126 probed / 0 flagged) stresses the
+        # salted-window and bucketed-join replication bounds near their
+        # documented limits — the harsher world is now the standing gate.
+        "skew": [
+            py, "tools/probe_skew.py", "--hot-frac", "0.8",
+            "--json", f"SKEW_r{rnd:02d}.json",
+        ],
         "scaling": scaling3,
         "redraw": redraw,
         "nullworld": nullworld,
