@@ -465,10 +465,13 @@ _DRIVER_PRIORITY = (
     # Flagship: rewritten r5 (degenerate missing-anchor contract) after its
     # r4 certification; entry() smoke-checks rows only, not the hash.
     "flagship_knn_cosine_topk",
+    # Edited this round: the first composed-world run at bench scale
+    # (seed 7278, null x sparse) caught its NULLS-FIRST argmin divergence;
+    # the fix (asc_nulls_last) must be externally re-certified.
+    "stats_propensity_match_att",
     # Oldest src+oracle-stale r1 certs (exact-decimal rewrites in r5):
     "q1_pricing_summary",
     "agg_corr_quantity_price",
-    "window_range_frame_value",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally

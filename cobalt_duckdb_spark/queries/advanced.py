@@ -2368,9 +2368,17 @@ def stats_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    # NULLS-LAST rank discipline (r7, composed null x sparse world 7278):
+    # a control with NULL covariates (all its event values NULLed) has a
+    # NULL distance to every treated user. Spark's plain asc puts NULLs
+    # FIRST, silently "matching" every treated user to an unmeasurable
+    # control (and publishing a NULL mean distance); DuckDB's ASC puts
+    # NULLs LAST so real distances win. asc_nulls_last reproduces the
+    # oracle exactly: real min distance first, and an all-NULL treated
+    # row falls back to the min control id on both engines.
     rn = F.row_number().over(
         Window.partitionBy("t_id").orderBy(
-            F.col("dist").asc(), F.col("c_id").asc()
+            F.col("dist").asc_nulls_last(), F.col("c_id").asc()
         )
     )
     matched = (
