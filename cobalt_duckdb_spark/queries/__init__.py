@@ -381,6 +381,59 @@ _DRIVER_VERIFIED = frozenset(
         "sample_epoch_shuffle",
         "agg_weighted_percentile",
         "agg_trimmed_mean_comparison",
+        # --- r07 greens (CORRECTNESS_r07.json; 50/50 green, 0 errors — the
+        # final 37 never-driver-checked names plus 13 stale re-certs,
+        # driving the never-certified backlog to zero).
+        "dq_benford_first_digit",
+        "dq_integrity_audit",
+        "dq_column_profile",
+        "dq_freshness_audit",
+        "dq_id_sequence_gaps",
+        "dq_functional_dependency_profile",
+        "orders_abc_pareto",
+        "orders_item_cf_similarity",
+        "orders_fulfillment_leadtime_sla",
+        "orders_tier_migration_matrix",
+        "orders_open_aging_buckets",
+        "orders_repurchase_interval",
+        "simsearch_filtered_topk",
+        "simsearch_index_staleness",
+        "simsearch_binary_hamming_topk",
+        "simsearch_range_radius",
+        "features_quantile_normalize",
+        "features_target_encoding",
+        "features_woe_iv",
+        "multimodal_frame_sample_plan",
+        "multimodal_scene_cut_stub",
+        "pipeline_label_agreement_kappa",
+        "pipeline_mix_entropy_shift",
+        "graph_link_prediction_jaccard",
+        "graph_degree_assortativity",
+        "window_ratio_to_report",
+        "window_distinct_trailing",
+        "dedup_url_canonical",
+        "stats_entropy_event_types",
+        "sql_api_lateral_topk_per_group",
+        "mix_waterfill_budget",
+        "scalar_array_serialization",
+        "agg_grouping_sets_custom",
+        "join_scd2_point_in_time",
+        "cluster_purity_nmi_vs_labels",
+        "lineitem_revenue_waterfall",
+        "train_triplet_margin_audit",
+        "stats_ab_test_welch",
+        "stats_power_analysis_mde",
+        "events_holt_linear_trend",
+        "events_time_weighted_avg_value",
+        "stats_gmm_em_one_step",
+        "text_heaps_law_fit",
+        "dq_value_drift_psi",
+        "dedup_bloom_prefilter_audit",
+        "events_revenue_drawdown",
+        "flagship_knn_cosine_topk",
+        "stats_propensity_match_att",
+        "q1_pricing_summary",
+        "agg_corr_quantity_price",
     }
 )
 
@@ -390,7 +443,7 @@ _DRIVER_VERIFIED = frozenset(
 # (e.g. CORRECTNESS_r06.json at the next round boundary), the rotation test
 # reports it as a pending fold (warning + instruction) instead of going red
 # with no code change (ADVICE r4, tests/test_registry_contract.py:78).
-_DRIVER_ROUNDS_FOLDED = 6
+_DRIVER_ROUNDS_FOLDED = 7
 
 
 # Previously driver-RED names: fixed this round, so they jump the fresh
@@ -399,79 +452,71 @@ _DRIVER_ROUNDS_FOLDED = 6
 # pipeline_corpus_curation retried green and is folded above).
 _DRIVER_RETRY: tuple[str, ...] = ()
 
-# Round-7 window picks (per the r6 verdict, items 1-2): first the 37
-# remaining never-driver-checked names (orders/dq/simsearch/features/misc —
-# tools/next_window.py computed them), driving the external-certification
-# backlog to ZERO (325/325). The 13 spare slots re-certify
-# modified-since-certification queries: tools/stale_certs.py mechanically
-# diffs each _DRIVER_VERIFIED name's function source + oracle SQL against
-# the tree at its certifying round (= parent of the driver's "round N:"
-# artifact commit) and found 66 stale certs; we front the 8 the judge
-# verified by hand, plus events_revenue_drawdown (edited this round per
-# ADVICE r6), the flagship, and three oldest high-traffic r1 certs. The
-# remaining stale set rotates in from r8 (the whole 50-slot window is free
-# for re-certs once the never-checked backlog is zero).
+# Round-8 window picks (per the r7 verdict, item 1): the never-certified
+# backlog is ZERO, so the full 50-slot window burns down the
+# modified-since-certification set — tools/stale_certs.py found 54 names
+# whose function source or oracle SQL changed after their certifying round's
+# tree (mostly r5's exact-decimal sweep invalidating r1–r4 certs). Ordered
+# certifying-round ascending then name (oldest certification first — the
+# rotation policy COVERAGE.md promises); the 4 youngest r5-certified stale
+# names (pipeline_loso_source_influence, stats_anova_dow_effect,
+# stats_bayes_ab_conversion, stats_key_skew_profiler) rotate in at r9.
 _DRIVER_PRIORITY = (
-    # --- the last 37 never-driver-checked names: certification backlog -> 0.
-    "dq_benford_first_digit",
-    "dq_integrity_audit",
-    "dq_column_profile",
-    "dq_freshness_audit",
-    "dq_id_sequence_gaps",
-    "dq_functional_dependency_profile",
-    "orders_abc_pareto",
-    "orders_item_cf_similarity",
-    "orders_fulfillment_leadtime_sla",
-    "orders_tier_migration_matrix",
-    "orders_open_aging_buckets",
-    "orders_repurchase_interval",
-    "simsearch_filtered_topk",
-    "simsearch_index_staleness",
-    "simsearch_binary_hamming_topk",
-    "simsearch_range_radius",
-    "features_quantile_normalize",
-    "features_target_encoding",
-    "features_woe_iv",
-    "multimodal_frame_sample_plan",
-    "multimodal_scene_cut_stub",
-    "pipeline_label_agreement_kappa",
-    "pipeline_mix_entropy_shift",
-    "graph_link_prediction_jaccard",
-    "graph_degree_assortativity",
-    "window_ratio_to_report",
-    "window_distinct_trailing",
-    "dedup_url_canonical",
-    "stats_entropy_event_types",
-    "sql_api_lateral_topk_per_group",
-    "mix_waterfill_budget",
-    "scalar_array_serialization",
-    "agg_grouping_sets_custom",
-    "join_scd2_point_in_time",
-    "cluster_purity_nmi_vs_labels",
-    "lineitem_revenue_waterfall",
-    "train_triplet_margin_audit",
-    # --- 13 stale re-certifications (modified since certifying round).
-    # The 8 judge-verified-by-hand members first:
-    "stats_ab_test_welch",
-    "stats_power_analysis_mde",
-    "events_holt_linear_trend",
-    "events_time_weighted_avg_value",
-    "stats_gmm_em_one_step",
-    "text_heaps_law_fit",
-    "dq_value_drift_psi",
-    "dedup_bloom_prefilter_audit",
-    # Edited this round (ADVICE r6 drawdown peak!=0 parity fix):
-    "events_revenue_drawdown",
-    # Flagship: rewritten r5 (degenerate missing-anchor contract) after its
-    # r4 certification; entry() smoke-checks rows only, not the hash.
-    "flagship_knn_cosine_topk",
-    # Edited this round: the first composed-world run at bench scale
-    # (seed 7278, null x sparse) caught its NULLS-FIRST argmin divergence;
-    # the fix (asc_nulls_last) must be externally re-certified.
-    "stats_propensity_match_att",
-    # Oldest src+oracle-stale r1 certs (exact-decimal rewrites in r5):
-    "q1_pricing_summary",
-    "agg_corr_quantity_price",
+    # --- stale r1 certifications:
+    "agg_stats_orders",
+    "dedup_connected_groups",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "text_levenshtein_near_titles",
+    "text_top_bigrams",
+    "unpivot_event_totals_long",
+    "window_range_frame_value",
+    "window_trailing_hour_count",
+    # --- stale r2 certifications:
+    "agg_higher_moments",
+    "dedup_eval_contamination",
+    "embedding_dim_variance_topk",
+    "sql_api_q6_forecast_revenue",
+    "subq_scalar_vs_global_avg",
+    "text_bigram_lm_score",
+    "text_pmi_collocations",
+    # --- stale r3 certifications:
+    "events_ewma_user_value",
+    "events_latency_percentile_rollup",
+    "events_mad_robust_outliers",
+    "pivot_event_type_totals",
+    "q10_returned_revenue_by_customer",
+    "q11_important_part_values",
+    "q15_top_revenue_supplier",
+    "q19_or_of_ands_predicates",
+    "q7_cross_nation_trade",
+    "q9_product_profit_by_nation_year",
+    # --- stale r4 certifications:
+    "embedding_knn_hubness_audit",
+    "embedding_pca_power_iteration",
+    "events_cohort_ltv_curve",
+    "events_markov_stationary",
+    "sql_api_parameterized_query",
+    "sql_api_pipe_syntax",
+    "sql_api_try_error_safe_parsing",
+    "stats_benjamini_hochberg_fdr",
+    "stats_diff_in_diff",
+    "stats_hill_tail_index",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "stats_poisson_bootstrap_ci",
+    "stats_spearman_rank_corr",
+    "udaf_arrow_source_stats",
+    # --- stale r5 certifications (first 9 by name; remaining 4 at r9):
+    "cluster_silhouette_audit",
+    "curriculum_quality_phases",
+    "embedding_centroid_drift",
+    "embedding_isotropy_audit",
+    "embedding_label_alignment_matrix",
+    "events_piecewise_trend_knots",
+    "events_rolling_median",
+    "graph_personalized_pagerank_error",
+    "mix_doremi_proxy_reweight",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally
