@@ -21,6 +21,7 @@ import argparse
 import fnmatch
 import json
 import os
+import re
 import sys
 import time
 
@@ -138,13 +139,19 @@ def main() -> None:
     try:
         import glob as _glob
 
+        # Sort numerically by round: the names are not zero-padded, so a
+        # lexicographic sort would pin the anchor to bench_r9_full.json
+        # forever once bench_r10_full.json exists (ADVICE r7, low).
         prior_files = sorted(
             _glob.glob(
                 os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "bench_r*_full.json",
                 )
-            )
+            ),
+            key=lambda p: int(
+                re.search(r"bench_r(\d+)_", os.path.basename(p)).group(1)
+            ),
         )
         if prior_files:
             with open(prior_files[-1]) as f:

@@ -72,6 +72,21 @@ def test_battery_heavy_rotation_and_automerge_bounds():
         assert not w["sf"].rstrip("/").endswith("sf0.1")
 
 
+def test_battery_round_parse_anchored_and_composed_automerge():
+    """ADVICE r7 (medium): suffixed artifacts (REDRAW_r07c1.json) must parse
+    as round 7, not 71 — otherwise composed catcher worlds never auto-merge.
+    At current_round=8 both r7 composed worlds must be in the battery
+    (7278 via the manifest hand-pin, 7277 via auto-merge)."""
+    from class_battery import load_manifest
+
+    worlds = load_manifest(current_round=8)
+    seeds = {s for w in worlds for s in w["seeds"]}
+    assert 7278 in seeds, "propensity-argmin catcher world (7278) missing"
+    assert 7277 in seeds, "REDRAW_r07c1 composed world not auto-merged"
+    # the hand-pin and the auto-merge must not double-register 7278
+    assert sum(1 for w in worlds for s in w["seeds"] if s == 7278) == 1
+
+
 # ---------------------------------------------------------------------------
 # stale-cert detector
 # ---------------------------------------------------------------------------
@@ -102,24 +117,21 @@ def test_latest_green_round_reads_all_artifacts():
     assert greens.get("flagship_knn_cosine_topk", 0) >= 1
 
 
-def test_driver_priority_fronts_never_checked_then_stale():
-    """The r7 window contract: 37 never-driver-checked names first, then
-    13 stale re-certs — no already-green, non-stale name burns a slot."""
+def test_driver_priority_all_recerts_after_backlog_zero():
+    """The r8 window contract: the never-certified backlog hit zero in r7,
+    so every slot is a re-certification of an already-verified name (the
+    stale-cert burn-down the r7 verdict ordered) — 50 unique names, all in
+    _DRIVER_VERIFIED."""
     sys.path.insert(0, REPO)
     from cobalt_duckdb_spark.queries import _DRIVER_PRIORITY, _DRIVER_VERIFIED
 
     assert len(_DRIVER_PRIORITY) == 50
-    never = [n for n in _DRIVER_PRIORITY if n not in _DRIVER_VERIFIED]
-    stale_slots = [n for n in _DRIVER_PRIORITY if n in _DRIVER_VERIFIED]
-    assert len(never) == 37 and len(stale_slots) == 13
-    # the 8 judge-named stale members must be in the window
-    for n in (
-        "stats_ab_test_welch", "stats_power_analysis_mde",
-        "events_holt_linear_trend", "events_time_weighted_avg_value",
-        "stats_gmm_em_one_step", "text_heaps_law_fit",
-        "dq_value_drift_psi", "dedup_bloom_prefilter_audit",
-    ):
-        assert n in stale_slots, f"judge-named stale cert {n} not re-windowed"
+    assert len(set(_DRIVER_PRIORITY)) == 50
+    not_verified = [n for n in _DRIVER_PRIORITY if n not in _DRIVER_VERIFIED]
+    assert not_verified == [], (
+        f"window slot holds a never-verified name {not_verified} — with "
+        "backlog zero every slot must be a re-cert"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +150,24 @@ def test_round_close_has_new_stages():
     assert round_close.round_null_seed(7) == 7177
 
 
+def test_round_close_reclose_is_idempotent_on_own_seeds():
+    """ADVICE r7 (low): re-running round_close for round N after its own
+    REDRAW_r{N}* artifacts are committed must not trip the seed-freshness
+    gate on its OWN seeds — only other rounds' seeds count as reused."""
+    import round_close
+
+    # r7's artifacts (REDRAW_r07.json etc.) are committed; excluding round 7
+    # must drop exactly its seeds while keeping every other round's.
+    all_used = round_close.used_redraw_seeds()
+    sans_r7 = round_close.used_redraw_seeds(exclude_round=7)
+    dropped = all_used - sans_r7
+    assert {7007, 7077, 7177, 7277, 7278} <= dropped
+    assert all(7000 <= s < 8000 for s in dropped), dropped
+    # and the composed-stage guard for round 7 specifically would not fire
+    cseed = round_close.round_composed_seed(7)
+    assert not ({cseed, cseed + 1} & sans_r7)
+
+
 def test_probe_scaling_accepts_third_point():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "probe_scaling.py"), "--help"],
@@ -149,10 +179,31 @@ def test_probe_scaling_accepts_third_point():
 @pytest.mark.parametrize("seed_field", ["calib_sec"])
 def test_bench_committed_records_carry_anchor(seed_field):
     """The degraded-host detector reads the newest committed full record's
-    calib anchor; every committed record must carry one."""
+    calib anchor; every committed record must carry one. Numeric round sort,
+    matching bench.py (lexicographic would stick at r9 once r10 exists)."""
     import glob
+    import re
 
-    files = sorted(glob.glob(os.path.join(REPO, "bench_r*_full.json")))
+    files = sorted(
+        glob.glob(os.path.join(REPO, "bench_r*_full.json")),
+        key=lambda p: int(re.search(r"bench_r(\d+)_", os.path.basename(p)).group(1)),
+    )
     assert files, "no committed full bench records"
     with open(files[-1]) as f:
         assert seed_field in json.load(f)
+
+
+def test_bench_anchor_sort_is_numeric():
+    """bench.py's degraded-host detector must pick bench_r10 over bench_r9
+    (ADVICE r7): assert the numeric key orders a synthetic name list
+    correctly AND that bench.py actually uses a numeric extraction."""
+    names = ["bench_r10_full.json", "bench_r9_full.json", "bench_r2_full.json"]
+    import re
+
+    ordered = sorted(
+        names, key=lambda p: int(re.search(r"bench_r(\d+)_", p).group(1))
+    )
+    assert ordered[-1] == "bench_r10_full.json"
+    with open(os.path.join(REPO, "bench.py")) as f:
+        src = f.read()
+    assert r"bench_r(\d+)_" in src, "bench.py anchor sort is not numeric"

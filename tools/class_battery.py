@@ -33,6 +33,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -66,10 +67,13 @@ def load_manifest(current_round: int = 0) -> list[dict]:
         for s in w["seeds"]
     }
     for path in sorted(glob.glob(os.path.join(REPO, "REDRAW_r*.json"))):
-        digits = "".join(
-            c for c in os.path.basename(path).split("r", 1)[1] if c.isdigit()
-        )
-        rnd = int(digits) if digits else 0
+        # Round parse must be anchored to the prefix: suffixed artifacts
+        # (REDRAW_r07c1.json, REDRAW_r07n.json) carry trailing alphanumerics
+        # that a strip-all-digits parse would merge into the round number
+        # (r07c1 -> 71), silently excluding composed catcher worlds from the
+        # battery forever (ADVICE r7, medium).
+        m = re.match(r"REDRAW_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         if rnd < 7 or (current_round and rnd >= current_round):
             continue
         try:

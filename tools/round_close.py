@@ -104,9 +104,22 @@ def round_composed_seed(rnd: int) -> int:
     return 1000 * rnd + 277
 
 
-def used_redraw_seeds() -> set[int]:
+def used_redraw_seeds(exclude_round: int | None = None) -> set[int]:
+    """Seeds appearing in committed REDRAW_*.json artifacts.
+
+    ``exclude_round`` skips REDRAW_r{N:02d}*.json — the artifacts the
+    current close itself writes. Without it, re-running round_close for the
+    same round after its artifacts are committed (idempotent re-close, e.g.
+    to re-verify the shipped tree) trips the freshness gate on its OWN
+    seeds and turns the close red with no code change (ADVICE r7, low).
+    The gate still rejects reuse of any OTHER round's seeds."""
     used: set[int] = set()
     for path in glob.glob(os.path.join(REPO, "REDRAW_*.json")):
+        base = os.path.basename(path)
+        if exclude_round is not None and base.startswith(
+            f"REDRAW_r{exclude_round:02d}"
+        ):
+            continue
         try:
             with open(path) as f:
                 used.update(json.load(f).get("seeds", []))
@@ -149,7 +162,7 @@ def check_fold_pending() -> int:
 def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
     py = sys.executable
     seeds = round_seeds(rnd)
-    reused = sorted(set(seeds) & used_redraw_seeds())
+    reused = sorted(set(seeds) & used_redraw_seeds(exclude_round=rnd))
 
     def redraw() -> int:
         if reused:
@@ -180,7 +193,8 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
         # min_by winners (ohlc), UTF-16 surrogate splitting (char entropy),
         # starved share-of-total divisions (ANSI raise vs NULL).
         nseed = round_null_seed(rnd)
-        if nseed in used_redraw_seeds() or (nseed + 1) in used_redraw_seeds():
+        used = used_redraw_seeds(exclude_round=rnd)
+        if nseed in used or (nseed + 1) in used:
             print(
                 f"nullworld: seed {nseed}/{nseed + 1} already appears in a "
                 "committed REDRAW_*.json — fresh worlds only."
@@ -245,7 +259,7 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
         # the 10-lattice) x sparse 30 (3% kept), and null 300 x sparse 30
         # (all-NULL groups).
         cseed = round_composed_seed(rnd)
-        if {cseed, cseed + 1} & used_redraw_seeds():
+        if {cseed, cseed + 1} & used_redraw_seeds(exclude_round=rnd):
             print(
                 f"composed: seed {cseed}/{cseed + 1} already appears in a "
                 "committed REDRAW_*.json — fresh worlds only."
