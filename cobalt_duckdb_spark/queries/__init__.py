@@ -461,6 +461,11 @@ _DRIVER_RETRY: tuple[str, ...] = ()
 # rotation policy COVERAGE.md promises); the 4 youngest r5-certified stale
 # names (pipeline_loso_source_influence, stats_anova_dow_effect,
 # stats_bayes_ab_conversion, stats_key_skew_profiler) rotate in at r9.
+# The r8 helper-closure extension (tools/closure_hash.py) additionally
+# finds 139 helpers-only-stale names; src/oracle-stale outranks them
+# (the query's own semantic surface changed — round 7's live bug was that
+# class), so they queue behind these 54 for r9+ windows. This window
+# matches `python tools/next_window.py --suggest` exactly.
 _DRIVER_PRIORITY = (
     # --- stale r1 certifications:
     "agg_stats_orders",

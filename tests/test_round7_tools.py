@@ -207,3 +207,78 @@ def test_bench_anchor_sort_is_numeric():
     with open(os.path.join(REPO, "bench.py")) as f:
         src = f.read()
     assert r"bench_r(\d+)_" in src, "bench.py anchor sort is not numeric"
+
+
+# ---------------------------------------------------------------------------
+# helper-closure staleness (r7 verdict item 2)
+# ---------------------------------------------------------------------------
+
+def test_closure_hash_tracks_shared_helper_drift(tmp_path):
+    """A helper-only edit must flip the closure digest of its callers while
+    the query body stays identical — the exact gap the r7 propensity bug
+    exposed. Uses real importable modules so inspect.getsource works."""
+    import importlib.util
+    import textwrap
+
+    from closure_hash import closure_members, closure_sha
+
+    def load(body: str, tag: str):
+        p = tmp_path / f"fakehelpers_{tag}.py"
+        p.write_text(textwrap.dedent(body))
+        spec = importlib.util.spec_from_file_location(f"fakehelpers_{tag}", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        # force pkg membership so the walker hashes these symbols
+        mod._shared.__module__ = "cobalt_duckdb_spark.operators.fake"
+        mod.query.__module__ = "cobalt_duckdb_spark.queries.fake"
+        return mod
+
+    body_v1 = """
+        def _shared(x):
+            return x + 1
+
+        def query(spark, sf):
+            return _shared(2)
+    """
+    body_v2 = """
+        def _shared(x):
+            return x + 2
+
+        def query(spark, sf):
+            return _shared(2)
+    """
+    m1, m2 = load(body_v1, "v1"), load(body_v2, "v2")
+    members = closure_members(m1.query)
+    assert any("_shared" in k for k in members), members
+    assert closure_sha(m1.query) != closure_sha(m2.query), (
+        "helper edit did not change the closure digest"
+    )
+
+
+def test_closure_hash_covers_module_alias_and_transitive_refs():
+    """Real-registry pins: a query that reaches helpers through a module
+    alias (operators.dedup as D) must include those symbols, and io.py's
+    loader must appear in (nearly) every closure."""
+    sys.path.insert(0, REPO)
+    from closure_hash import closure_members
+    from cobalt_duckdb_spark.queries import queries
+
+    q = queries()
+    km = closure_members(q["events_survival_km"])
+    assert "cobalt_duckdb_spark.io.load_table" in km
+    assert "cobalt_duckdb_spark.io._events_ts_unit" in km, (
+        "transitive helper (load_table -> _events_ts_unit) missing"
+    )
+    dd = closure_members(q["dedup_minhash_lsh_pairs"])
+    assert any(".operators.dedup." in k for k in dd), (
+        f"module-alias helpers not expanded: {sorted(dd)[:8]}"
+    )
+
+
+def test_stale_certs_head_dump_carries_helpers_sha():
+    from stale_certs import _dump_head
+
+    head = _dump_head()
+    assert head, "empty head dump"
+    missing = [n for n, rec in head.items() if not rec.get("helpers_sha")]
+    assert not missing, f"queries without a helpers digest: {missing[:10]}"

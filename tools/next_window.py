@@ -18,7 +18,17 @@ rotation honest mechanically instead of by builder diligence:
 Exit 1 if the policy is violated — run by pytest (test_registry_contract)
 so a registry edit that wastes driver slots is a failed test.
 
-Usage: python tools/next_window.py [--json]
+Rotation policy once the never-checked backlog is zero (r7 verdict item 5,
+promised at COVERAGE.md's freeze decision): window slots go to, in order,
+(1) retries of latest-red names, (2) stale certifications whose own
+src/oracle surface changed (riskiest class — round 7's live bug was one),
+oldest certifying round first, (3) helpers-only-stale names oldest-first,
+(4) spare slots re-certify the OLDEST still-fresh greens so no
+certification ages unboundedly. ``--suggest`` prints a paste-ready
+``_DRIVER_PRIORITY`` tuple computed under that policy; the summary reports
+``oldest_cert_round`` so aging is visible per-round.
+
+Usage: python tools/next_window.py [--json] [--suggest]
 """
 
 from __future__ import annotations
@@ -137,6 +147,69 @@ def main() -> int:
             f"window re-checks already-green {wasted[:5]}... while "
             f"{len(never)} names were never driver-checked"
         )
+    # Aging warning (r7 verdict item 5): a spare slot spent on a green,
+    # non-stale name should go to the OLDEST certification. Warning, not
+    # failure — membership is the hard policy, ordering is guidance.
+    if wasted:
+        fresh_green_rounds = sorted(
+            r for n, (r, o) in folded_hist.items()
+            if o in ("green", "rows_only")
+            and n in names and n not in stale_map
+            and n not in ROWS_ONLY_TERMINAL
+        )
+        if fresh_green_rounds:
+            oldest_outside = min(
+                (r for n, (r, o) in folded_hist.items()
+                 if o in ("green", "rows_only") and n in names
+                 and n not in stale_map and n not in ROWS_ONLY_TERMINAL
+                 and n not in window),
+                default=None,
+            )
+            in_window_rounds = [
+                folded_hist[n][0] for n in wasted if n in folded_hist
+            ]
+            if (
+                oldest_outside is not None
+                and in_window_rounds
+                and max(in_window_rounds) > oldest_outside
+            ):
+                warnings.append(
+                    "spare re-cert slots are not oldest-first: window holds "
+                    f"a r{max(in_window_rounds)} green while a r"
+                    f"{oldest_outside} green waits outside"
+                )
+
+    # Oldest-first re-cert policy (r7 verdict item 5): with the
+    # never-checked backlog at zero, spare slots re-certify the OLDEST
+    # greens so no certification ages unboundedly. Suggested window:
+    # retries, then src/oracle-stale oldest-first (the riskiest class),
+    # then helpers-only-stale oldest-first, then oldest greens.
+    green_round: dict[str, int] = {
+        n: r for n, (r, o) in folded_hist.items()
+        if o in ("green", "rows_only") and n in names
+    }
+    retry_slots = sorted(latest_red)
+    stale_src = sorted(
+        (n for n, rec in stale_map.items()
+         if n in names and rec["why"] != "helpers"),
+        key=lambda n: (stale_map[n]["round"], n),
+    )
+    stale_helpers = sorted(
+        (n for n, rec in stale_map.items()
+         if n in names and rec["why"] == "helpers"),
+        key=lambda n: (stale_map[n]["round"], n),
+    )
+    taken = {*retry_slots, *stale_src, *stale_helpers}
+    oldest_greens = sorted(
+        (n for n in green_round
+         if n not in taken and n not in ROWS_ONLY_TERMINAL),
+        key=lambda n: (green_round[n], n),
+    )
+    suggested = [
+        *retry_slots, *[n for n in names if n not in folded_hist],
+        *stale_src, *stale_helpers, *oldest_greens,
+    ][:WINDOW]
+    oldest_cert_round = min(green_round.values()) if green_round else None
 
     report = {
         "window": [
@@ -168,12 +241,29 @@ def main() -> int:
                 0, len(never) - sum(1 for n in window if n not in folded_hist)
             ),
             "stale_certs": len(stale_map),
+            "stale_src_oracle": len(stale_src),
+            "stale_helpers_only": len(stale_helpers),
             "stale_in_window": sum(1 for n in window if n in stale_map),
+            "oldest_cert_round": oldest_cert_round,
             "pending_unfolded_rounds": pending_rounds,
         },
+        "suggested_window": suggested,
         "problems": problems,
         "warnings": warnings,
     }
+    if "--suggest" in sys.argv:
+        print("_DRIVER_PRIORITY = (")
+        for n in suggested:
+            tag = (
+                "retry" if n in latest_red
+                else stale_map[n]["why"] + f" (r{stale_map[n]['round']})"
+                if n in stale_map
+                else "fresh" if n not in folded_hist
+                else f"oldest green (r{green_round.get(n)})"
+            )
+            print(f'    "{n}",  # {tag}')
+        print(")")
+        return 0
     if "--json" in sys.argv:
         print(json.dumps(report, indent=2))
     else:

@@ -15,10 +15,13 @@ staleness mechanical instead of a judge spot-check:
   CORRECTNESS artifacts, materializes that round's certified commit in a
   temp ``git worktree``, and dumps ``inspect.getsource(fn)`` + the oracle
   SQL string from a subprocess importing THAT tree.
-- A name is STALE when its function source or oracle SQL at HEAD differs
-  from the certified dump. (Helper-function drift below the query function
-  body is out of scope — the oracle string and body catch the semantic
-  surface the driver hashes.)
+- A name is STALE when its function source, its oracle SQL, or the digest
+  of its transitive package-helper closure (``tools/closure_hash.py`` —
+  every ``operators/``/``functions/`` symbol the query body can reach,
+  hashed with the CURRENT logic on BOTH trees) differs at HEAD from the
+  certified dump. Helper-closure drift was added per the r7 verdict
+  (item 2): round 7's one live bug was a stale-cert query, and a shared
+  helper edit previously left its callers marked fresh.
 
 Dumps are cached per commit hash (immutable trees) under
 ``.stale_cache/`` (gitignored).
@@ -40,9 +43,14 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE_DIR = os.path.join(REPO, ".stale_cache")
 
+# argv: [1]=tree to import the package from, [2]=output json, [3]=the
+# CURRENT repo's tools dir — old trees are hashed with the CURRENT
+# closure_hash logic so helper-closure digests compare apples-to-apples.
 _DUMP_SNIPPET = r"""
 import inspect, json, sys
 sys.path.insert(0, sys.argv[1])
+sys.path.insert(0, sys.argv[3])
+from closure_hash import closure_sha
 from cobalt_duckdb_spark.queries import queries, oracle_sql
 out = {}
 oracles = oracle_sql()
@@ -51,11 +59,16 @@ for name, fn in queries().items():
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = repr(fn)
+    try:
+        helpers = closure_sha(fn)
+    except Exception:
+        helpers = ""
     out[name] = {
         "src_sha": __import__("hashlib").sha256(src.encode()).hexdigest(),
         "oracle_sha": __import__("hashlib").sha256(
             (oracles.get(name) or "").encode()
         ).hexdigest(),
+        "helpers_sha": helpers,
     }
 json.dump(out, open(sys.argv[2], "w"))
 """
@@ -110,7 +123,9 @@ def latest_green_round() -> dict[str, int]:
 def _dump_at_commit(commit: str) -> dict[str, dict[str, str]]:
     """Source/oracle hashes of every registry entry at ``commit`` (cached)."""
     os.makedirs(CACHE_DIR, exist_ok=True)
-    cache = os.path.join(CACHE_DIR, f"{commit}.json")
+    # v2: dumps carry helpers_sha (transitive closure digests) — the v1
+    # cache files lack it and must not satisfy a v2 lookup.
+    cache = os.path.join(CACHE_DIR, f"{commit}.v2.json")
     if os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)
@@ -123,7 +138,10 @@ def _dump_at_commit(commit: str) -> dict[str, dict[str, str]]:
         try:
             out_json = os.path.join(wt, "dump.json")
             subprocess.run(
-                [sys.executable, "-c", _DUMP_SNIPPET, tree, out_json],
+                [
+                    sys.executable, "-c", _DUMP_SNIPPET, tree, out_json,
+                    os.path.join(REPO, "tools"),
+                ],
                 check=True, capture_output=True, text=True,
             )
             with open(out_json) as f:
@@ -144,6 +162,8 @@ def _dump_head() -> dict[str, dict[str, str]]:
     import inspect
 
     sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from closure_hash import closure_sha
     from cobalt_duckdb_spark.queries import oracle_sql, queries
 
     out = {}
@@ -153,11 +173,16 @@ def _dump_head() -> dict[str, dict[str, str]]:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             src = repr(fn)
+        try:
+            helpers = closure_sha(fn)
+        except Exception:
+            helpers = ""
         out[name] = {
             "src_sha": hashlib.sha256(src.encode()).hexdigest(),
             "oracle_sha": hashlib.sha256(
                 (oracles.get(name) or "").encode()
             ).hexdigest(),
+            "helpers_sha": helpers,
         }
     return out
 
@@ -192,6 +217,16 @@ def compute_stale(verified: set[str] | None = None) -> dict[str, dict]:
                 why.append("src")
             if then["oracle_sha"] != now["oracle_sha"]:
                 why.append("oracle")
+            # Helper-closure drift (r7 verdict item 2): a shared helper
+            # edit marks its callers stale even when the query body and
+            # oracle are untouched. Empty digests (dump failure) never
+            # compare — staleness must come from evidence, not errors.
+            if (
+                then.get("helpers_sha")
+                and now.get("helpers_sha")
+                and then["helpers_sha"] != now["helpers_sha"]
+            ):
+                why.append("helpers")
             if why:
                 stale[name] = {
                     "round": rnd,
