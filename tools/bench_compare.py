@@ -35,6 +35,39 @@ def main() -> int:
             f"calib: {oc:.3f}s -> {nc:.3f}s (host x{host:.2f}); "
             f"total raw x{raw:.2f}, host-normalized x{raw / host:.2f}"
         )
+    # Per-query ratio distribution (r7 verdict stretch 8): the honest
+    # cross-host comparison — totals track the anchor, the median of
+    # per-query ratios tracks the code. Printed for every comparison so no
+    # future total-vs-total reading skips it.
+    ratios = sorted(
+        nq[name] / oq[name]
+        for name in set(oq) & set(nq)
+        if oq[name] > 0 and nq[name] > 0
+    )
+    if ratios:
+        mid = len(ratios) // 2
+        median = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2
+        )
+        p90 = ratios[min(len(ratios) - 1, int(0.9 * len(ratios)))]
+        big = [
+            (nq[n] / oq[n], n)
+            for n in set(oq) & set(nq)
+            if oq[n] > 0 and nq[n] > 0 and max(oq[n], nq[n]) >= 1.0
+        ]
+        worst_big = max(big, default=None)
+        print(
+            f"per-query ratio: median x{median:.3f}, p90 x{p90:.3f}, "
+            f"max x{ratios[-1]:.2f}"
+            + (
+                f"; worst >=1s query x{worst_big[0]:.2f} ({worst_big[1]})"
+                if worst_big
+                else ""
+            )
+        )
+
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     if added:
