@@ -399,3 +399,83 @@ def label_propagation_oracle_cte(edges_cte: str, iters: int = 3) -> str:
             ) WHERE rn = 1
         )""")
     return ",\n".join(parts) + f"\nSELECT node, label FROM lp{iters}"
+
+
+def hour_scoped_assortativity(
+    user_hours: DataFrame,
+    user_col: str = "user_id",
+    hour_col: str = "h",
+) -> DataFrame:
+    """Degree assortativity of the co-activity MULTIGRAPH, in closed form —
+    the documented scale alternative to the exact simple-graph operator
+    (``queries/graph_analytics.py::graph_degree_assortativity``), the way
+    ``asof_join_bucketed`` sits next to ``asof_join`` (r7 verdict stretch 7).
+
+    Semantics difference, stated up front: the exact operator dedups
+    partners ACROSS hours (degree = |distinct co-active users|), which
+    forces materializing the Θ(Σ_h a_h²) edge list. Here the graph is the
+    hour-scoped multigraph — u–v appears once per shared hour, and
+    degree(u) = Σ_{hours h ∋ u} (a_h − 1) (per-hour partner slots, no
+    cross-hour dedup). On worlds where every user is active in at most one
+    hour the two graphs coincide exactly (pinned by
+    tests/test_graph_scale_ops.py); on dense worlds they are different,
+    deliberately — this form exists because it never enumerates an edge:
+
+    every Pearson moment over the symmetrized multigraph edge set has a
+    per-hour closed form in (a_h, S1_h=Σ deg, S2_h=Σ deg²):
+
+        n   = Σ a_h(a_h−1)            (ordered endpoint pairs)
+        sx  = Σ (a_h−1)·S1_h          (= sy by symmetry)
+        sxx = Σ (a_h−1)·S2_h          (= syy)
+        sxy = Σ (S1_h² − S2_h)
+
+    so the whole statistic is: one distinct, one hour count, one degree
+    aggregate, one hour-level aggregate — all linear in |user-hours|, no
+    pair join anywhere. At 100 TB this is the only admissible form when
+    hourly actives are large; the exact operator remains for graphs whose
+    cross-hour structure matters.
+
+    Sums are exact DECIMAL(38,0); the final ratio folds the comoments in
+    float64 (documented: n·sxx can pass 38 digits near |user-hours| ≥ 1e7,
+    and r is a unit-interval statistic where 1-ulp comoment noise is
+    irrelevant). Publishes NULL on zero-variance graphs (regular
+    multigraph, single hour), mirroring the exact operator's contract.
+
+    Input: ``user_hours`` with one row per DISTINCT (user, hour) of
+    activity; the function re-distincts defensively (idempotent).
+    """
+    u, h = F.col(user_col), F.col(hour_col)
+    ua = user_hours.select(u.alias("_u"), h.alias("_h")).distinct()
+    sizes = ua.groupBy("_h").agg(F.count(F.lit(1)).alias("a_h"))
+    # hours are a coarse key (|hours| ≪ |user-hours|) — broadcast the size
+    # table so attaching a_h is map-side.
+    uh = ua.join(F.broadcast(sizes), "_h")
+    deg = uh.groupBy("_u").agg(
+        F.sum(F.col("a_h") - F.lit(1)).alias("deg")
+    )
+    dec = "decimal(38,0)"
+    x = uh.join(deg, "_u")
+    per_h = x.groupBy("_h").agg(
+        F.first("a_h").alias("a_h"),
+        F.sum(F.col("deg").cast(dec)).alias("s1"),
+        F.sum((F.col("deg").cast(dec) * F.col("deg").cast(dec))).alias("s2"),
+    )
+    ah = F.col("a_h").cast(dec)
+    m = per_h.agg(
+        F.sum(ah * (ah - 1)).alias("n"),
+        F.sum((ah - 1) * F.col("s1")).alias("sx"),
+        F.sum((ah - 1) * F.col("s2")).alias("sxx"),
+        F.sum(F.col("s1") * F.col("s1") - F.col("s2")).alias("sxy"),
+        F.sum(ah * (ah - 1)).cast("bigint").alias("n_multi_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    cov = nd * F.col("sxy").cast("double") - sxd * sxd
+    r = F.when(vx > 0, cov / vx)
+    return m.select(
+        "n_multi_edges",
+        "n_hours",
+        F.round(r, 4).alias("degree_assortativity"),
+    )

@@ -18,6 +18,7 @@ at least as strict as the driver on numeric representation.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -96,8 +97,13 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
+        # Spark-written tables arrive as directories of part files (the
+        # sf1.0 derived world, any real lake layout); io.load_table handles
+        # both on the Spark side, so the oracle side must too.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     qs, oracles = queries(), oracle_sql()
