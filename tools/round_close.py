@@ -159,7 +159,9 @@ def check_fold_pending() -> int:
     return 0
 
 
-def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
+def stage_cmds(
+    rnd: int, sf: str, sf_hi: str, battery_all_heavy: bool = False
+) -> dict[str, object]:
     py = sys.executable
     seeds = round_seeds(rnd)
     reused = sorted(set(seeds) & used_redraw_seeds(exclude_round=rnd))
@@ -305,8 +307,17 @@ def stage_cmds(rnd: int, sf: str, sf_hi: str) -> dict[str, object]:
         "redraw": redraw,
         "nullworld": nullworld,
         "composed": composed,
+        # --battery-all-heavy (r7 verdict item 4): one full heavy sweep
+        # per request establishes every pinned class is closed at its
+        # catching scale SIMULTANEOUSLY; the per-close default remains the
+        # one-heavy-per-round rotation.
         "classbattery": [
-            py, "tools/class_battery.py", "--rotate", str(rnd),
+            py, "tools/class_battery.py",
+            *(
+                ["--all-heavy"]
+                if battery_all_heavy
+                else ["--rotate", str(rnd)]
+            ),
             "--json", f"CLASSBATTERY_r{rnd:02d}.json",
         ],
         "bench": [py, "bench.py"],
@@ -321,9 +332,14 @@ def main() -> int:
     ap.add_argument("--sf-hi", default="/root/testdata/sf0.1")
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--battery-all-heavy", action="store_true",
+        help="classbattery runs every heavy catcher world instead of the "
+        "one-per-close rotation (r7 verdict item 4)",
+    )
     args = ap.parse_args()
 
-    cmds = stage_cmds(args.round, args.sf, args.sf_hi)
+    cmds = stage_cmds(args.round, args.sf, args.sf_hi, args.battery_all_heavy)
     selected = [
         n
         for n in cmds
