@@ -467,6 +467,15 @@ _DRIVER_RETRY: tuple[str, ...] = ()
 # class), so they queue behind these 54 for r9+ windows. This window
 # matches `python tools/next_window.py --suggest` exactly.
 _DRIVER_PRIORITY = (
+    # --- edited THIS round (jump the queue — a fix must be externally
+    # re-certified before older stale work, the r7 propensity precedent):
+    # the first full sf1.0 differential caught both: textrank ranked on the
+    # raw double (last-ulp accumulation noise flipped equal-rounded
+    # neighbors; now ranks on the published 6-dp score), and
+    # cross_source_matrix's double AVG diverged in the 6th decimal (now
+    # the exact-decimal half-away-from-zero mean).
+    "text_textrank_keywords",
+    "dedup_cross_source_matrix",
     # --- stale r1 certifications:
     "agg_stats_orders",
     "dedup_connected_groups",
@@ -512,7 +521,8 @@ _DRIVER_PRIORITY = (
     "stats_poisson_bootstrap_ci",
     "stats_spearman_rank_corr",
     "udaf_arrow_source_stats",
-    # --- stale r5 certifications (first 9 by name; remaining 4 at r9):
+    # --- stale r5 certifications (first 7 by name; remaining 6 at r9 —
+    # two slots yielded to this round's sf1.0-caught fixes above):
     "cluster_silhouette_audit",
     "curriculum_quality_phases",
     "embedding_centroid_drift",
@@ -520,8 +530,6 @@ _DRIVER_PRIORITY = (
     "embedding_label_alignment_matrix",
     "events_piecewise_trend_knots",
     "events_rolling_median",
-    "graph_personalized_pagerank_error",
-    "mix_doremi_proxy_reweight",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally

@@ -8,9 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cobalt_duckdb_spark.functions.exact import exact_round_avg, exact_round_avg_sql
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.operators import dedup as D
 from cobalt_duckdb_spark.queries import register
+
+# Exact-decimal mean of 6-dp-lattice jaccards (shared by the oracle
+# f-string below): scale 6 == the pair rounding, dp 6 == the publish.
+AVG_JACCARD_SQL = exact_round_avg_sql("jaccard", dp=6, scale=6)
 
 
 @register(
@@ -696,7 +701,12 @@ def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src_a, src_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(AVG(jaccard), 6) AS avg_jaccard,
+           /* pair-level jaccard is already on the 1e-6 lattice; a double
+              AVG re-introduces accumulation-order divergence at volume
+              (0.967802 vs 0.967801 — caught by the first full sf1.0
+              differential, r8), so the mean uses the exact-decimal
+              half-away-from-zero chain. */
+           {AVG_JACCARD_SQL} AS avg_jaccard,
            ROUND(MAX(jaccard), 6) AS max_jaccard
     FROM tagged
     GROUP BY src_a, src_b
@@ -730,7 +740,10 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.groupBy("src_a", "src_b")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            # exact-decimal mean of the 1e-6-lattice pair jaccards — a
+            # double AVG diverges in the 6th decimal at sf1.0 volume
+            # (accumulation order; r8 full-scale differential catch)
+            exact_round_avg("jaccard", dp=6, scale=6).alias("avg_jaccard"),
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
         .orderBy("src_a", "src_b")

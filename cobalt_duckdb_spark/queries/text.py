@@ -1789,8 +1789,15 @@ def _textrank_oracle() -> str:
         SELECT src, dst, cnt / SUM(cnt) OVER (PARTITION BY src) AS p FROM sym
     )"""
     inner = pagerank_oracle_cte(edges_cte, iterations=10, damping=0.85)
+    # Rank on the ROUNDED score (the published precision), node as the
+    # tiebreak: ordering on the raw double let last-ulp accumulation
+    # differences between engines flip positions among words whose
+    # published 6-dp scores are IDENTICAL (caught by the first full sf1.0
+    # differential, r8 — 10x vocabulary packs the rank spectrum densely
+    # enough that equal-rounded neighbors are routine).
     return f"""
-    SELECT CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT) AS pos,
+    SELECT CAST(row_number() OVER (ORDER BY ROUND(rank, 6) DESC, node)
+               AS BIGINT) AS pos,
            node AS word, ROUND(rank, 6) AS textrank
     FROM ({inner})
     ORDER BY pos LIMIT 10
@@ -1861,8 +1868,11 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     ranks = pagerank(sym, iterations=10, damping=0.85, weight="cnt")
+    # order by the ROUNDED (published) score — raw-double ordering flips
+    # equal-rounded neighbors on last-ulp accumulation noise (sf1.0
+    # differential catch, r8; oracle twin ordered identically)
     pos_rank = F.row_number().over(
-        Window.orderBy(F.desc("rank"), "node")
+        Window.orderBy(F.desc(F.round("rank", 6)), "node")
     )
     return (
         ranks.select(
