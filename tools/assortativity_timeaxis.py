@@ -66,12 +66,16 @@ def build_tspread_events(spark, src: str, out: str, factor: int) -> None:
             k, (F.col(k) + F.col("_rep").cast("long") * stride).cast("long")
         )
     # each replica lives in its own disjoint window: hourly density is
-    # EXACTLY the source's, total volume is factor x.
+    # EXACTLY the source's, total volume is factor x. events.ts is
+    # TIMESTAMP_NTZ (unix_micros rejects it); with the session pinned to
+    # UTC the NTZ -> TIMESTAMP -> micros -> TIMESTAMP -> NTZ round-trip is
+    # the identity, so the shift is exact.
     wide = wide.withColumn(
         "ts",
         F.timestamp_micros(
-            F.unix_micros("ts") + F.col("_rep").cast("long") * span_us
-        ),
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.col("_rep").cast("long") * span_us
+        ).cast("timestamp_ntz"),
     )
     dst = os.path.join(out, "events.parquet")
     if os.path.isdir(dst):
