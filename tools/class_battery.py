@@ -132,6 +132,13 @@ def main() -> int:
     ap.add_argument("--skip-light", action="store_true")
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--dry-run", action="store_true", help="print the world plan, run nothing")
+    ap.add_argument(
+        "--only-seed", type=int, default=None,
+        help="run only the world(s) containing this seed — the surgical "
+        "retry path when one world's subprocess died for host reasons "
+        "(e.g. a SIGSTOP/CONT pause breaking Spark heartbeats, r8) and "
+        "the differential itself needs re-establishing",
+    )
     args = ap.parse_args()
 
     worlds = load_manifest(current_round=args.rotate)
@@ -143,6 +150,9 @@ def main() -> int:
             plan += heavy
         else:
             plan.append(heavy[args.rotate % len(heavy)])
+
+    if args.only_seed is not None:
+        plan = [w for w in worlds if args.only_seed in w["seeds"]]
 
     if args.dry_run:
         for w in plan:
