@@ -2583,12 +2583,19 @@ def _boot_case_sql() -> str:
         GROUP BY event_type, b
     ),
     base AS (
+        /* exact cents-lattice mean: ROUND(AVG(double), 4) is engine-
+           dependent when the rational sum/n lands exactly on a 1e-4
+           half-way point (38.573750 = 925.77/24 - sparse-world catch,
+           r8); the point estimate publishes through the exact-decimal
+           half-away-from-zero chain instead. boot_mean quantiles stay
+           spark_round_sql doubles: weighted resample means are not
+           lattice rationals. */
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-               AVG(value) AS mean_value
+               {exact_round_avg_sql('value', 4)} AS mean_value
         FROM events GROUP BY event_type
     )
     SELECT b.event_type, b.n,
-           ROUND(b.mean_value, 4) AS mean_value,
+           b.mean_value,
            {spark_round_sql('quantile_cont(w.boot_mean, 0.025)', 4)}
                AS boot_lo,
            {spark_round_sql('quantile_cont(w.boot_mean, 0.975)', 4)}
@@ -2660,7 +2667,8 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.avg("value").alias("mean_value"),
+        # exact cents-lattice mean (see oracle note: 1e-4 half-way point)
+        exact_round_avg("value", 4).alias("mean_value"),
     )
     return (
         weighted.join(F.broadcast(base), "event_type")
@@ -2673,7 +2681,7 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
-            F.round("mean_value", 4).alias("mean_value"),
+            F.col("mean_value"),
             "boot_lo",
             "boot_hi",
             "boot_se",
@@ -2698,16 +2706,31 @@ _SQRT2 = 1.4142135623730951
     oracle=f"""
     WITH stats AS (
         SELECT event_type, COUNT(*) * 1.0 AS n, AVG(value) AS m,
-               var_samp(value) AS v
+               var_samp(value) AS v,
+               /* exact cents-lattice sums: the PUBLISHED means are
+                  rationals that can sit exactly on a 1e-4 half-way point
+                  (38.573750 = 925.77/24, sparse-world catch r8) where
+                  double rounding is engine-dependent */
+               SUM(CAST(value AS DECIMAL(18,6))) AS s6,
+               COUNT(value) AS cnt
         FROM events GROUP BY event_type
     ),
     tot AS (
         SELECT SUM(n) AS tn, SUM(m * n) AS tsum,
-               SUM((n - 1) * v + n * m * m) AS tss
+               SUM((n - 1) * v + n * m * m) AS tss,
+               SUM(s6) AS t6, SUM(cnt) AS tcnt
         FROM stats
     ),
     rest AS (
         SELECT s.event_type, s.n, s.m, s.v,
+               {exact_round_ratio_sql(
+                   "CAST(s.s6 AS DECIMAL(31,6)) * 1000000",
+                   "s.cnt * 1000000", 4
+               )} AS grp_mean_x,
+               {exact_round_ratio_sql(
+                   "CAST(tot.t6 - s.s6 AS DECIMAL(31,6)) * 1000000",
+                   "(tot.tcnt - s.cnt) * 1000000", 4
+               )} AS rest_mean_x,
                (tot.tn - s.n) AS rn,
                (tot.tsum - s.m * s.n) / (tot.tn - s.n) AS rm,
                /* rest variance via the totals identity: undefined for a
@@ -2723,7 +2746,7 @@ _SQRT2 = 1.4142135623730951
         FROM stats s, tot
     ),
     zz AS (
-        SELECT event_type, n, m, rm,
+        SELECT event_type, n, m, rm, grp_mean_x, rest_mean_x,
                CASE WHEN v / n + rv / rn > 0
                     THEN (m - rm) / SQRT(v / n + rv / rn) END AS zval
         FROM rest
@@ -2734,7 +2757,7 @@ _SQRT2 = 1.4142135623730951
         FROM zz
     ),
     p AS (
-        SELECT event_type, n, m, rm, zval,
+        SELECT event_type, n, m, rm, grp_mean_x, rest_mean_x, zval,
                2 * (1 - (0.5 * (1 + (1 -
                    (((({_AS_ERF[4]} * t + {_AS_ERF[3]}) * t + {_AS_ERF[2]}) * t
                       + {_AS_ERF[1]}) * t + {_AS_ERF[0]}) * t
@@ -2742,7 +2765,7 @@ _SQRT2 = 1.4142135623730951
         FROM tvals
     ),
     bh AS (
-        SELECT event_type, n, m, rm, zval, pval,
+        SELECT event_type, n, m, rm, grp_mean_x, rest_mean_x, zval, pval,
                /* NULLS LAST: a degenerate test (NULL zval/pval — 1-row
                   group or zero pooled SE) must rank AFTER real p-values on
                   BOTH engines (Spark defaults NULLS FIRST ascending) */
@@ -2756,7 +2779,7 @@ _SQRT2 = 1.4142135623730951
         WHERE pval <= prank * {_BH_ALPHA} / mtests
     )
     SELECT b.event_type,
-           ROUND(b.m, 4) AS grp_mean, ROUND(b.rm, 4) AS rest_mean,
+           b.grp_mean_x AS grp_mean, b.rest_mean_x AS rest_mean,
            CASE WHEN ABS(b.zval) < 5e-5 THEN 0.0
                 ELSE ROUND(b.zval, 4) END AS z,
            ROUND(b.pval, 6) AS p,
@@ -2790,6 +2813,12 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("value").alias("m"),
         F.var_samp("value").alias("v"),
+        # exact cents-lattice sums for the PUBLISHED means: the rounded
+        # group/rest means are rationals that can sit exactly on a 1e-4
+        # half-way point (38.573750 = 925.77/24 — sparse-world catch, r8)
+        # where double rounding is engine-dependent
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s6"),
+        F.count("value").alias("cnt"),
     )
     tot = stats.agg(
         F.sum("n").alias("tn"),
@@ -2797,6 +2826,8 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("n") - 1) * F.col("v") + F.col("n") * F.col("m") * F.col("m")
         ).alias("tss"),
+        F.sum("s6").alias("t6"),
+        F.sum("cnt").alias("tcnt"),
     )
     rm = (F.col("tsum") - F.col("m") * F.col("n")) / (F.col("tn") - F.col("n"))
     rest = stats.crossJoin(F.broadcast(tot)).select(
@@ -2804,6 +2835,14 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "m",
         "v",
+        exact_round_ratio(
+            F.col("s6") * F.lit(10**6), F.col("cnt") * F.lit(10**6), 4
+        ).alias("grp_mean_x"),
+        exact_round_ratio(
+            (F.col("t6") - F.col("s6")) * F.lit(10**6),
+            (F.col("tcnt") - F.col("cnt")) * F.lit(10**6),
+            4,
+        ).alias("rest_mean_x"),
         (F.col("tn") - F.col("n")).alias("rn"),
         rm.alias("rm"),
         # rest variance via the totals identity: undefined for a 1-row rest
@@ -2833,6 +2872,8 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "m",
         "rm",
+        "grp_mean_x",
+        "rest_mean_x",
         F.when(se2 > 0, (F.col("m") - F.col("rm")) / F.sqrt(se2)).alias("zval"),
     )
     x = F.abs(F.col("zval")) / F.lit(_SQRT2)
@@ -2844,7 +2885,10 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0)
         - (F.lit(0.5) * (F.lit(1.0) + (F.lit(1.0) - poly * t * F.exp(-x * x))))
     )
-    p = zz.select("event_type", "n", "m", "rm", "zval", pval.alias("pval"))
+    p = zz.select(
+        "event_type", "n", "m", "rm", "grp_mean_x", "rest_mean_x",
+        "zval", pval.alias("pval"),
+    )
     from pyspark.sql import Window
 
     bh = p.select(
@@ -2873,8 +2917,8 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         bh.crossJoin(F.broadcast(kmax))
         .select(
             "event_type",
-            F.round("m", 4).alias("grp_mean"),
-            F.round("rm", 4).alias("rest_mean"),
+            F.col("grp_mean_x").alias("grp_mean"),
+            F.col("rest_mean_x").alias("rest_mean"),
             F.when(F.abs(F.col("zval")) < 5e-5, F.lit(0.0))
             .otherwise(F.round("zval", 4))
             .alias("z"),
