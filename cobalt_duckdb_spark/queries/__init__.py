@@ -434,6 +434,14 @@ _DRIVER_VERIFIED = frozenset(
         "stats_propensity_match_att",
         "q1_pricing_summary",
         "agg_corr_quantity_price",
+        # --- r08 greens (CORRECTNESS_r08.json; 50/50 green, 0 errors — ALL
+        # 50 slots were stale RE-certifications of names already folded
+        # above (the r7-verdict-ordered burn of the 54 src/oracle-stale
+        # set, plus the two r8-edited fixes text_textrank_keywords /
+        # dedup_cross_source_matrix jumping the queue). No new names enter
+        # this set; the certification ROUNDS advance via the
+        # CORRECTNESS_r08.json artifact, which tools/stale_certs.py reads
+        # directly when computing latest-green rounds.
     }
 )
 
@@ -443,7 +451,7 @@ _DRIVER_VERIFIED = frozenset(
 # (e.g. CORRECTNESS_r06.json at the next round boundary), the rotation test
 # reports it as a pending fold (warning + instruction) instead of going red
 # with no code change (ADVICE r4, tests/test_registry_contract.py:78).
-_DRIVER_ROUNDS_FOLDED = 7
+_DRIVER_ROUNDS_FOLDED = 8
 
 
 # Previously driver-RED names: fixed this round, so they jump the fresh
@@ -452,84 +460,78 @@ _DRIVER_ROUNDS_FOLDED = 7
 # pipeline_corpus_curation retried green and is folded above).
 _DRIVER_RETRY: tuple[str, ...] = ()
 
-# Round-8 window picks (per the r7 verdict, item 1): the never-certified
-# backlog is ZERO, so the full 50-slot window burns down the
-# modified-since-certification set — tools/stale_certs.py found 54 names
-# whose function source or oracle SQL changed after their certifying round's
-# tree (mostly r5's exact-decimal sweep invalidating r1–r4 certs). Ordered
-# certifying-round ascending then name (oldest certification first — the
-# rotation policy COVERAGE.md promises); the 4 youngest r5-certified stale
-# names (pipeline_loso_source_influence, stats_anova_dow_effect,
-# stats_bayes_ab_conversion, stats_key_skew_profiler) rotate in at r9.
-# The r8 helper-closure extension (tools/closure_hash.py) additionally
-# finds 139 helpers-only-stale names; src/oracle-stale outranks them
-# (the query's own semantic surface changed — round 7's live bug was that
-# class), so they queue behind these 54 for r9+ windows. This window
-# matches `python tools/next_window.py --suggest` exactly.
+# Round-9 window picks (per the r8 verdict, item 1): the full 50-slot
+# window continues the stale-certification burn-down under the r8
+# helper-closure lens (tools/closure_hash.py): first the 6 src/oracle-stale
+# r5-certified names the r8 verdict fronted by name (the query's own
+# semantic surface changed — round 7's live bug was that class), then the
+# one query edited THIS round (text_textrank_keywords — ADVICE r8 oracle
+# rounding fix re-staled its r8 cert; a fix must be re-certified before
+# older stale work), then 43 helpers-only-stale names
+# oldest-certifying-round-first (r1 block, then r2) — shared operators/ /
+# functions/ helpers drifted since their certifying trees; all are green in
+# the r8 sf0.01 + sf0.1 + sf1.0 full differentials, but the external gate
+# exists precisely to not take that on faith. ~95 helpers-only-stale names
+# remain for the r10/r11 windows. This window matches
+# `python tools/next_window.py --suggest` exactly.
 _DRIVER_PRIORITY = (
-    # --- edited THIS round (jump the queue — a fix must be externally
-    # re-certified before older stale work, the r7 propensity precedent):
-    # the first full sf1.0 differential caught both: textrank ranked on the
-    # raw double (last-ulp accumulation noise flipped equal-rounded
-    # neighbors; now ranks on the published 6-dp score), and
-    # cross_source_matrix's double AVG diverged in the 6th decimal (now
-    # the exact-decimal half-away-from-zero mean).
-    "text_textrank_keywords",
-    "dedup_cross_source_matrix",
-    # --- stale r1 certifications:
-    "agg_stats_orders",
-    "dedup_connected_groups",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "text_levenshtein_near_titles",
-    "text_top_bigrams",
-    "unpivot_event_totals_long",
-    "window_range_frame_value",
-    "window_trailing_hour_count",
-    # --- stale r2 certifications:
-    "agg_higher_moments",
-    "dedup_eval_contamination",
-    "embedding_dim_variance_topk",
-    "sql_api_q6_forecast_revenue",
-    "subq_scalar_vs_global_avg",
-    "text_bigram_lm_score",
-    "text_pmi_collocations",
-    # --- stale r3 certifications:
-    "events_ewma_user_value",
-    "events_latency_percentile_rollup",
-    "events_mad_robust_outliers",
-    "pivot_event_type_totals",
-    "q10_returned_revenue_by_customer",
-    "q11_important_part_values",
-    "q15_top_revenue_supplier",
-    "q19_or_of_ands_predicates",
-    "q7_cross_nation_trade",
-    "q9_product_profit_by_nation_year",
-    # --- stale r4 certifications:
-    "embedding_knn_hubness_audit",
-    "embedding_pca_power_iteration",
-    "events_cohort_ltv_curve",
-    "events_markov_stationary",
-    "sql_api_parameterized_query",
-    "sql_api_pipe_syntax",
-    "sql_api_try_error_safe_parsing",
-    "stats_benjamini_hochberg_fdr",
-    "stats_diff_in_diff",
-    "stats_hill_tail_index",
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-    "stats_poisson_bootstrap_ci",
-    "stats_spearman_rank_corr",
-    "udaf_arrow_source_stats",
-    # --- stale r5 certifications (first 7 by name; remaining 6 at r9 —
-    # two slots yielded to this round's sf1.0-caught fixes above):
-    "cluster_silhouette_audit",
-    "curriculum_quality_phases",
-    "embedding_centroid_drift",
-    "embedding_isotropy_audit",
-    "embedding_label_alignment_matrix",
-    "events_piecewise_trend_knots",
-    "events_rolling_median",
+    # --- src/oracle-stale (r5 certifications; verdict-fronted):
+    "graph_personalized_pagerank_error",  # oracle (r5)
+    "mix_doremi_proxy_reweight",  # src+oracle (r5)
+    "pipeline_loso_source_influence",  # src+oracle (r5)
+    "stats_anova_dow_effect",  # src (r5)
+    "stats_bayes_ab_conversion",  # src+oracle (r5)
+    "stats_key_skew_profiler",  # src+oracle (r5)
+    # --- edited THIS round (oracle re-stale; must be externally
+    # re-certified before older helpers-only work): the ADVICE r8 textrank
+    # fix routes the oracle's published/ordering ROUND through
+    # spark_round_sql so the rounding procedure matches Spark bit-for-bit.
+    "text_textrank_keywords",  # oracle (r8)
+    # --- helpers-only-stale, r1 certifications:
+    "agg_count_distinct",
+    "agg_cube_lineitem",
+    "agg_rollup_revenue",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "distinct_mktsegments",
+    "join_anti_no_urgent_orders",
+    "join_asof_last_click_before_error",
+    "join_band_acctbal",
+    "join_interval_error_click",
+    "join_left_outer_yoy_revenue",
+    "join_semi_urgent_buyers",
+    "json_props_as_map",
+    "json_props_extract",
+    "predicate_pack_part",
+    "scalar_string_date_math",
+    "setop_bag_semantics",
+    "setop_union_intersect_except",
+    "simsearch_batch_knn",
+    "stream_dedup_first_event",
+    "stream_session_windows",
+    "stream_sliding_window_avg",
+    "stream_static_enrichment",
+    "stream_tumbling_window_counts",
+    "text_bpe_ish_token_count",
+    "text_fingerprints",
+    "text_langid_confusion",
+    "text_quality_scores",
+    "text_token_stats",
+    "topk_orders_by_price",
+    "window_lag_lead_orders",
+    "window_moving_avg_rows_frame",
+    "window_rank_family",
+    # --- helpers-only-stale, r2 certifications:
+    "agg_approx_sketches",
+    "agg_collect_sorted_list",
+    "cluster_kmeans_lloyd",
+    "dedup_embedding_cosine_pairs",
+    "dedup_incremental_new_batch",
+    "dedup_keep_best_resolution",
+    "dedup_shared_span_report",
+    "dedup_simhash_pairs",
+    "embedding_int8_quantization_audit",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally

@@ -1788,17 +1788,25 @@ def _textrank_oracle() -> str:
     edges AS (
         SELECT src, dst, cnt / SUM(cnt) OVER (PARTITION BY src) AS p FROM sym
     )"""
+    from cobalt_duckdb_spark.functions.exact import spark_round_sql
+
     inner = pagerank_oracle_cte(edges_cte, iterations=10, damping=0.85)
     # Rank on the ROUNDED score (the published precision), node as the
     # tiebreak: ordering on the raw double let last-ulp accumulation
     # differences between engines flip positions among words whose
     # published 6-dp scores are IDENTICAL (caught by the first full sf1.0
     # differential, r8 — 10x vocabulary packs the rank spectrum densely
-    # enough that equal-rounded neighbors are routine).
+    # enough that equal-rounded neighbors are routine). The rounding itself
+    # goes through spark_round_sql, not DuckDB ROUND: the pagerank score is
+    # a continuous fold output, and plain ROUND on a raw double still
+    # diverges when the shortest decimal repr terminates in 5 at digit 7
+    # (Spark rounds the shortest repr, DuckDB the binary value — ADVICE
+    # r8; same treatment as every other continuous-double publish).
+    r6 = spark_round_sql("rank", 6)
     return f"""
-    SELECT CAST(row_number() OVER (ORDER BY ROUND(rank, 6) DESC, node)
+    SELECT CAST(row_number() OVER (ORDER BY {r6} DESC, node)
                AS BIGINT) AS pos,
-           node AS word, ROUND(rank, 6) AS textrank
+           node AS word, {r6} AS textrank
     FROM ({inner})
     ORDER BY pos LIMIT 10
     """

@@ -103,10 +103,18 @@ def _referenced_globals(fn: object) -> dict[str, object]:
     return out
 
 
-def closure_members(fn: object, max_depth: int = 5) -> dict[str, str]:
+def closure_members(fn: object, max_depth: int = 12) -> dict[str, str]:
     """{stable identifier: source token} for the transitive package-helper
     closure of ``fn`` (``fn`` itself excluded — its own source is already
-    the src_sha surface)."""
+    the src_sha surface).
+
+    ``max_depth`` bounds the helper-chain walk as a cycle/blowup backstop
+    only: the deepest real chain in the package is 4 hops (query →
+    operators wrapper → shared kernel → exact-decimal publish), so 12 is
+    unreachable in practice — it exists so a pathological future
+    self-referential structure terminates rather than to truncate real
+    chains (ADVICE r8: the old value of 5 was close enough to real depths
+    to silently drop members if one more wrapper layer appeared)."""
     members: dict[str, str] = {}
     seen: set[str] = set()
     stack: list[tuple[object, int]] = [(fn, 0)]
@@ -134,7 +142,21 @@ def closure_members(fn: object, max_depth: int = 5) -> dict[str, str]:
                         (inner if callable(inner) else obj, depth + 1)
                     )
             elif isinstance(obj, _SIMPLE_CONSTS):
-                members.setdefault(f"const:{ident}", repr(obj))
+                # Qualify bare identifiers (direct globals of ``cur``) by
+                # the REFERENCING function's module — the namespace the
+                # lookup resolves in: two helpers
+                # in different modules can reference same-named constants
+                # (e.g. two module-local BANDS tuples), and an unqualified
+                # 'const:BANDS' key would let the first one seen mask drift
+                # in the second — a false-fresh, the exact failure class
+                # this tool exists to prevent (ADVICE r8). Alias-expanded
+                # idents ('pkg.module.attr') are already qualified.
+                if "." in ident:
+                    key = f"const:{ident}"
+                else:
+                    mod = getattr(cur, "__module__", None) or "?"
+                    key = f"const:{mod}.{ident}"
+                members.setdefault(key, repr(obj))
     return members
 
 

@@ -205,10 +205,15 @@ def main() -> int:
          if n not in taken and n not in ROWS_ONLY_TERMINAL),
         key=lambda n: (green_round[n], n),
     )
-    suggested = [
+    # dict.fromkeys dedups while preserving order: a name that is BOTH
+    # latest-red and stale (green at round r, red in a later retry) would
+    # otherwise appear in two tiers and burn a second window slot — the
+    # 50-unique registry test catches it only after the window is pasted
+    # (ADVICE r8). Retries win (earliest tier keeps the slot).
+    suggested = list(dict.fromkeys([
         *retry_slots, *[n for n in names if n not in folded_hist],
         *stale_src, *stale_helpers, *oldest_greens,
-    ][:WINDOW]
+    ]))[:WINDOW]
     oldest_cert_round = min(green_round.values()) if green_round else None
 
     report = {

@@ -125,7 +125,9 @@ def _dump_at_commit(commit: str) -> dict[str, dict[str, str]]:
     os.makedirs(CACHE_DIR, exist_ok=True)
     # v2: dumps carry helpers_sha (transitive closure digests) — the v1
     # cache files lack it and must not satisfy a v2 lookup.
-    cache = os.path.join(CACHE_DIR, f"{commit}.v2.json")
+    # v3: closure_hash const keys are module-qualified and max_depth rose
+    # 5→12 (ADVICE r8) — v2 digests were computed with the colliding keys.
+    cache = os.path.join(CACHE_DIR, f"{commit}.v3.json")
     if os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)
