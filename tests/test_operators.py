@@ -1879,3 +1879,55 @@ def test_range_frame_window_bucketed_rejects_narrow_bucket(spark):
         range_frame_window_bucketed(
             df, ["k"], F.col("o"), 5, 10, {}, bucket_width=100
         )
+
+
+def test_asof_join_matches_pandas_on_spark_merge_asof(spark):
+    """API-parity pin for the COVERAGE.md freeze-rule candidate (r8 verdict
+    stretch 7): ``operators.joins.asof_join`` must agree row-for-row with
+    ``pyspark.pandas.merge_asof`` (direction='backward', by=key) on a
+    real-world slice. Pinned as a TEST, not a registry query: the pandas-
+    on-Spark implementation plans a BroadcastNestedLoopJoin candidate
+    expansion (distinct left timestamps x right rows, measured r9), which
+    is exactly the all-pairs shape the audited operator avoids — API
+    semantics are worth pinning, the plan is not worth benching. Both
+    sides run the events slice at sf0.001.
+    """
+    import pyspark.pandas as ps
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    ours = {
+        r["event_id"]: (r["asof_click_id"], r["asof_click_ts"])
+        for r in asof_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            right_values=["click_id", "click_ts"],
+        ).collect()
+    }
+    theirs_df = ps.merge_asof(
+        errors.pandas_api().sort_values("ts"),
+        clicks.pandas_api().sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        suffixes=("", "_r"),
+    ).to_spark()
+    theirs = {
+        r["event_id"]: (r["click_id"], r["click_ts"])
+        for r in theirs_df.collect()
+    }
+    assert set(ours) == set(theirs)
+    mismatches = {k: (ours[k], theirs[k]) for k in ours if ours[k] != theirs[k]}
+    assert not mismatches, f"{len(mismatches)} rows diverge: {list(mismatches.items())[:3]}"

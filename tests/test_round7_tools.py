@@ -282,3 +282,92 @@ def test_stale_certs_head_dump_carries_helpers_sha():
     assert head, "empty head dump"
     missing = [n for n, rec in head.items() if not rec.get("helpers_sha")]
     assert not missing, f"queries without a helpers digest: {missing[:10]}"
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: const-key qualification, heavy rotation ledger, only-seed
+# ---------------------------------------------------------------------------
+
+def test_closure_hash_qualifies_const_keys_by_module():
+    """ADVICE r8 (low): two helpers in different modules referencing
+    same-named module-level constants must NOT collide on one
+    'const:<ident>' key — drift in the later-visited one would be
+    invisible (false-fresh). Every const key must be module-qualified."""
+    sys.path.insert(0, REPO)
+    from closure_hash import closure_members
+    from cobalt_duckdb_spark.queries import queries
+
+    q = queries()
+    for name in ("text_textrank_keywords", "dedup_minhash_lsh_pairs"):
+        members = closure_members(q[name])
+        bare = [
+            k for k in members
+            if k.startswith("const:") and "." not in k[len("const:"):]
+        ]
+        assert bare == [], f"{name}: unqualified const keys {bare}"
+
+
+def test_battery_heavy_rotation_oldest_first_ledger():
+    """r8 verdict item 5: the per-close heavy plan is the K worlds with the
+    OLDEST last-green battery round (ledger from committed CLASSBATTERY
+    artifacts); the r8 all-heavy sweep stamped its 9 worlds at round 8, so
+    any heavy world the ledger has never seen must outrank all of them."""
+    from class_battery import _world_key, heavy_last_run, load_manifest
+
+    ledger = heavy_last_run()
+    assert ledger, "no committed CLASSBATTERY artifacts parsed"
+    assert max(ledger.values()) >= 8, "r8 all-heavy sweep not in the ledger"
+
+    worlds = load_manifest(current_round=9)
+    heavy = [w for w in worlds if w.get("heavy")]
+    ranked = sorted(
+        range(len(heavy)),
+        key=lambda i: (
+            ledger.get(_world_key(heavy[i]), heavy[i].get("last_run_round", 0)),
+            i,
+        ),
+    )
+    plan = [heavy[i] for i in ranked[:3]]
+    never_run = [
+        w for w in heavy
+        if ledger.get(_world_key(w), w.get("last_run_round", 0)) == 0
+    ]
+    for w in never_run[:3]:
+        assert w in plan, (
+            f"never-battery-run heavy world {w['seeds']} not scheduled "
+            "before already-stamped worlds"
+        )
+
+
+def test_battery_only_seed_no_match_errors():
+    """ADVICE r8 (low): a mistyped --only-seed must exit nonzero and write
+    NO JSON — a 0/0 run must not masquerade as a green gate artifact."""
+    out_json = os.path.join(REPO, ".pytest_only_seed_probe.json")
+    if os.path.exists(out_json):
+        os.remove(out_json)
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "class_battery.py"),
+            "--only-seed", "987654321", "--json", out_json,
+        ],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode != 0
+    assert not os.path.exists(out_json)
+    assert "matches no world" in proc.stderr
+
+
+def test_bench_record_smoke_carries_calib_triplet():
+    """r8 verdict item 4: every full bench record from r9 on carries the
+    start/mid/end calib legs and the spread; bench_compare prints them.
+    Structural pin only — the numeric run happens in round_close."""
+    with open(os.path.join(REPO, "bench.py")) as f:
+        src = f.read()
+    for field in (
+        "calib_start_sec", "calib_mid_sec", "calib_end_sec",
+        "calib_spread", "calib_spread_warning",
+    ):
+        assert field in src, f"bench.py lost the {field} field"
+    with open(os.path.join(REPO, "tools", "bench_compare.py")) as f:
+        cmp_src = f.read()
+    assert "calib_start_sec" in cmp_src and "calib_spread" in cmp_src

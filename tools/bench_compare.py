@@ -35,6 +35,23 @@ def main() -> int:
             f"calib: {oc:.3f}s -> {nc:.3f}s (host x{host:.2f}); "
             f"total raw x{raw:.2f}, host-normalized x{raw / host:.2f}"
         )
+    # Calib triplet (r8 verdict item 4): a single anchor cannot see drift
+    # that develops DURING a run. When a record carries start/mid/end legs,
+    # print them and call out spread >1.2x — that record's slow stretch is
+    # host noise, not code.
+    for tag, rec in (("old", old), ("new", new)):
+        legs = [
+            rec.get("calib_start_sec"), rec.get("calib_mid_sec"),
+            rec.get("calib_end_sec", rec.get("calib_sec")),
+        ]
+        spread = rec.get("calib_spread")
+        if any(v for v in legs[:2]) and spread:
+            steady = "steady" if spread <= 1.2 else "NOT STEADY"
+            print(
+                f"calib triplet ({tag}): start/mid/end = "
+                + "/".join("-" if v is None else f"{v:.3f}" for v in legs)
+                + f"s, spread x{spread:.2f} ({steady})"
+            )
     # Per-query ratio distribution (r7 verdict stretch 8): the honest
     # cross-host comparison — totals track the anchor, the median of
     # per-query ratios tracks the code. Printed for every comparison so no

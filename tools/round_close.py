@@ -54,8 +54,9 @@ spins a local[*] session and concurrent runs contaminate timings):
               axis-dose) worlds that caught the ~45 classes fixed in
               r5-r6) plus any committed REDRAW world from rounds 7..N-1,
               so an edit cannot silently resurrect a closed class. Light
-              (sf0.001/0.01) worlds all run; heavy (sf0.1) catchers
-              rotate one per close at true scale (r6 verdict item 5).
+              (sf0.001/0.01) worlds all run; heavy (sf0.1) catchers run
+              three per close, oldest last-green-round first, tracked in
+              the manifest's last_run_round ledger (r8 verdict item 5).
 11. bench   — python bench.py, then copy bench_full_latest.json to
               bench_r{N}_full.json
 12. pytest  — python -m pytest tests/ -q
@@ -148,6 +149,18 @@ def check_fold_pending() -> int:
     except ValueError:
         print("window: could not parse next_window.py --json output")
         return 1
+    summ = report.get("summary", {})
+    # Stale-cert dashboard line (r8 verdict stretch 8): one line per close
+    # so the burn-down trend is visible in PROGRESS.jsonl without running
+    # tools/stale_certs.py.
+    print(
+        f"stale-certs: {summ.get('stale_certs')} "
+        f"(src/oracle {summ.get('stale_src_oracle')}, "
+        f"helpers-only {summ.get('stale_helpers_only')}), "
+        f"in-window {summ.get('stale_in_window')}, "
+        f"oldest_cert_round {summ.get('oldest_cert_round')}",
+        flush=True,
+    )
     pending = report.get("summary", {}).get("pending_unfolded_rounds", [])
     if pending:
         print(
@@ -309,8 +322,9 @@ def stage_cmds(
         "composed": composed,
         # --battery-all-heavy (r7 verdict item 4): one full heavy sweep
         # per request establishes every pinned class is closed at its
-        # catching scale SIMULTANEOUSLY; the per-close default remains the
-        # one-heavy-per-round rotation.
+        # catching scale SIMULTANEOUSLY; the per-close default is the
+        # oldest-first rotation, 3 heavy worlds per close (r8 verdict
+        # item 5).
         "classbattery": [
             py, "tools/class_battery.py",
             *(
