@@ -465,14 +465,15 @@ _DRIVER_RETRY: tuple[str, ...] = ()
 # helper-closure lens (tools/closure_hash.py): first the 6 src/oracle-stale
 # r5-certified names the r8 verdict fronted by name (the query's own
 # semantic surface changed — round 7's live bug was that class), then the
-# one query edited THIS round (text_textrank_keywords — ADVICE r8 oracle
-# rounding fix re-staled its r8 cert; a fix must be re-certified before
-# older stale work), then 43 helpers-only-stale names
+# six queries edited THIS round (the ADVICE r8 textrank rounding fix plus
+# the r9 signed-zero sweep — two caught live by the fresh sparse
+# nullworld, three latent same-shape publishes hardened; a fix must be
+# re-certified before older stale work), then 38 helpers-only-stale names
 # oldest-certifying-round-first (r1 block, then r2) — shared operators/ /
 # functions/ helpers drifted since their certifying trees; all are green in
 # the r8 sf0.01 + sf0.1 + sf1.0 full differentials, but the external gate
-# exists precisely to not take that on faith. ~95 helpers-only-stale names
-# remain for the r10/r11 windows. This window matches
+# exists precisely to not take that on faith. ~100 helpers-only-stale
+# names remain for the r10/r11 windows. This window matches
 # `python tools/next_window.py --suggest` exactly.
 _DRIVER_PRIORITY = (
     # --- src/oracle-stale (r5 certifications; verdict-fronted):
@@ -483,9 +484,21 @@ _DRIVER_PRIORITY = (
     "stats_bayes_ab_conversion",  # src+oracle (r5)
     "stats_key_skew_profiler",  # src+oracle (r5)
     # --- edited THIS round (oracle re-stale; must be externally
-    # re-certified before older helpers-only work): the ADVICE r8 textrank
-    # fix routes the oracle's published/ordering ROUND through
-    # spark_round_sql so the rounding procedure matches Spark bit-for-bit.
+    # re-certified before older helpers-only work). Two fix families:
+    # (a) the ADVICE r8 textrank fix routes the oracle's published/
+    # ordering ROUND through spark_round_sql so the rounding procedure
+    # matches Spark bit-for-bit; (b) the r9 signed-zero sweep — the fresh
+    # sparse nullworld (seed 9178) caught DuckDB ROUND keeping IEEE -0.0
+    # (funnel states with h = -SUM(1·ln 1), single-doc Theil slices)
+    # where Spark's BigDecimal path normalizes to +0; the two caught
+    # oracles plus the three latent same-shape publishes (bigram nll,
+    # char entropy, backoff cross-entropy) now publish via
+    # spark_round_sql.
+    "text_backoff_bigram_perplexity",  # src+oracle (r5)
+    "events_markov_entropy_rate",  # src+oracle (r6)
+    "text_char_entropy_bound",  # src+oracle (r6)
+    "text_theil_length_inequality",  # src+oracle (r6)
+    "text_bigram_lm_score",  # src+oracle (r8)
     "text_textrank_keywords",  # oracle (r8)
     # --- helpers-only-stale, r1 certifications:
     "agg_count_distinct",
@@ -527,11 +540,6 @@ _DRIVER_PRIORITY = (
     "agg_collect_sorted_list",
     "cluster_kmeans_lloyd",
     "dedup_embedding_cosine_pairs",
-    "dedup_incremental_new_batch",
-    "dedup_keep_best_resolution",
-    "dedup_shared_span_report",
-    "dedup_simhash_pairs",
-    "embedding_int8_quantization_audit",
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally

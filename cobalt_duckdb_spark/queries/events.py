@@ -1964,11 +1964,16 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
         SELECT pi.i AS event_type, pi.pi, hrow.h
         FROM pi JOIN hrow ON pi.i = hrow.i
     )
+    /* spark_round_sql publishes: a funnel state with ONE outgoing
+       transition has h = -SUM(1·ln 1) = IEEE -0.0, and DuckDB ROUND
+       keeps the sign where Spark's BigDecimal path normalizes to +0
+       (caught live by the r9 sparse nullworld, seed 9178); contribution
+       and the chain rate inherit the signed zero through pi·h. */
     SELECT event_type,
            ROUND(pi, 6) AS stationary_p,
-           ROUND(h, 6) AS state_entropy_nats,
-           ROUND(pi * h, 6) AS contribution,
-           ROUND(SUM(pi * h) OVER (), 6) AS chain_entropy_rate
+           {spark_round_sql('h', 6)} AS state_entropy_nats,
+           {spark_round_sql('pi * h', 6)} AS contribution,
+           {spark_round_sql('SUM(pi * h) OVER ()', 6)} AS chain_entropy_rate
     FROM joined
     ORDER BY event_type
     """,

@@ -1222,9 +1222,14 @@ _AD_DISCOUNT = 0.75
         JOIN c1 ON g.w1 = c1.w1
         JOIN uni u ON g.w2 = u.w
     )
+    /* spark_round_sql on the cross-entropy: a source whose every scored
+       bigram has probability 1 averages -0.0 nll values to IEEE -0.0;
+       DuckDB ROUND keeps the sign, Spark normalizes (r9 signed-zero
+       sweep). Perplexity is EXP-wrapped (exp(-0.0) = +1.0 on both) and
+       needs no guard. */
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(nll), 6) AS cross_entropy_nats,
+           {spark_round_sql('AVG(nll)', 6)} AS cross_entropy_nats,
            ROUND(EXP(AVG(nll)), 4) AS perplexity
     FROM scored GROUP BY source ORDER BY source
     """,

@@ -15,6 +15,7 @@ from cobalt_duckdb_spark.functions.exact import (
     exact_round_avg_int,
     exact_round_avg_int_sql,
     exact_round_avg_sql,
+    spark_round_sql,
 )
 from cobalt_duckdb_spark.io import load_table
 from cobalt_duckdb_spark.queries import register
@@ -416,7 +417,7 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bigram_lm_score",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -431,7 +432,11 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni_c AS (SELECT w1, COUNT(*) * 1.0 AS c1 FROM bg2 GROUP BY w1)
     SELECT d.doc_id AS doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(-AVG(ln(bc.c12 / uc.c1)), 4) AS nll
+           /* spark_round_sql: a doc whose every bigram is deterministic
+              (c12 = c1 throughout — 2-token docs on sparse worlds) has
+              nll = -AVG(ln 1) = IEEE -0.0; DuckDB ROUND keeps the sign,
+              Spark normalizes (r9 signed-zero sweep) */
+           {spark_round_sql('-AVG(ln(bc.c12 / uc.c1))', 4)} AS nll
     FROM bg2 d
     JOIN big_c bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
     JOIN uni_c uc ON d.w1 = uc.w1
@@ -2054,7 +2059,7 @@ def text_ngram_novelty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_theil_length_inequality",
-    oracle="""
+    oracle=f"""
     WITH g AS (
         /* zero-length docs carry zero Theil weight (x·ln x → 0), but
            DuckDB ln(0) THROWS where Spark yields NULL — restrict to
@@ -2073,13 +2078,22 @@ def text_ngram_novelty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT SUM((g.ng * g.mg) / (t.n * t.mu) * ln(g.mg / t.mu)) AS t_between
         FROM g, tot t
     )
-    SELECT ROUND((SELECT t_within FROM w), 6) AS theil_within,
-           ROUND((SELECT t_between FROM b), 6) AS theil_between,
-           ROUND((SELECT t_within FROM w) + (SELECT t_between FROM b), 6)
-               AS theil_total,
-           ROUND((SELECT t_between FROM b)
-                 / ((SELECT t_within FROM w) + (SELECT t_between FROM b)), 4)
-               AS between_share
+    /* spark_round_sql publishes: a degenerate slice (every source a
+       single doc, or all sources equal-length) makes t_within/t_between
+       epsilon-negative or exactly -0.0, and DuckDB ROUND keeps the IEEE
+       sign where Spark's BigDecimal path normalizes to +0 (caught live
+       by the r9 sparse nullworld, seed 9178 — same class as the
+       spearman/burstiness fixes). */
+    SELECT {spark_round_sql('(SELECT t_within FROM w)', 6)} AS theil_within,
+           {spark_round_sql('(SELECT t_between FROM b)', 6)} AS theil_between,
+           {spark_round_sql(
+               '(SELECT t_within FROM w) + (SELECT t_between FROM b)', 6
+           )} AS theil_total,
+           {spark_round_sql(
+               '''(SELECT t_between FROM b)
+                 / ((SELECT t_within FROM w) + (SELECT t_between FROM b))''',
+               4,
+           )} AS between_share
     """,
 )
 def text_theil_length_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2626,7 +2640,7 @@ def text_sif_information_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_char_entropy_bound",
-    oracle="""
+    oracle=f"""
     WITH chars AS (
         SELECT source, substr(text, p, 1) AS ch
         FROM documents CROSS JOIN LATERAL
@@ -2637,11 +2651,16 @@ def text_sif_information_density(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
         FROM chars GROUP BY source, ch
     )
+    /* spark_round_sql publishes: a single-character alphabet makes the
+       entropy -SUM(1·log2 1) = IEEE -0.0; DuckDB ROUND keeps the sign,
+       Spark's BigDecimal path normalizes to +0 (r9 signed-zero sweep —
+       same class the sparse nullworld caught live in markov/theil) */
     SELECT source,
            CAST(MAX(tot) AS BIGINT) AS n_chars,
            CAST(COUNT(*) AS BIGINT) AS alphabet_size,
-           ROUND(-SUM((c / tot) * log2(c / tot)), 4) AS entropy_bits_per_char,
-           ROUND(-SUM((c / tot) * log2(c / tot)) / 8.0, 4)
+           {spark_round_sql('-SUM((c / tot) * log2(c / tot))', 4)}
+               AS entropy_bits_per_char,
+           {spark_round_sql('-SUM((c / tot) * log2(c / tot)) / 8.0', 4)}
                AS min_compress_ratio
     FROM dist GROUP BY source ORDER BY source
     """,
