@@ -125,19 +125,33 @@ def pagerank(
         e.join(out_norm, "src")
         .select("src", "dst", (F.col("w") / F.col("wtot")).alias("p"))
     )
+    # The edge-probability table is consumed by EVERY power step: materialize
+    # it once (localCheckpoint) so the iteration plans start from a leaf
+    # instead of re-nesting the extraction subtree 10×, and coalesce to a
+    # width matched to its size — for a |types|²-sized graph that's 1
+    # partition; a billion-edge graph would keep its natural partitioning
+    # (pass coalesce off via checkpoint_every pathway). The trailing
+    # .coalesce(1) re-narrows the checkpointed leaf (localCheckpoint
+    # publishes UnknownPartitioning). The loop's remaining per-step
+    # shuffles are ≤|nodes|-row AQE-coalesced exchanges; a broadcast-hint
+    # variant that removed them entirely planned zero Exchange nodes but
+    # measured SLOWER (each broadcast build is a blocking driver job, 2 per
+    # power step — r9 A/B: PPR 8.3 s broadcast vs 6.2 s plain on the same
+    # host), so tiny shuffles through AQE win over driver-side builds.
+    probs = probs.coalesce(1).localCheckpoint(eager=True).coalesce(1)
+    # Node set DERIVED FROM the checkpointed probs, not from e: every edge
+    # row survives the out-norm join (its src group always exists), so
+    # probs carries the identical (src, dst) universe — while deriving from
+    # e would materialize the caller's whole edge-extraction pipeline a
+    # second time (r9 profile: the tokenize/window subtree ran twice per
+    # pagerank build, half the build cost of textrank/PPR — guide §1.2
+    # "don't compute things you throw away").
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        probs.select(F.col("src").alias("node"))
+        .unionByName(probs.select(F.col("dst").alias("node")))
         .distinct()
+        .coalesce(1)
     )
-    # The edge-probability and node tables are consumed by EVERY power step:
-    # materialize them once (localCheckpoint) so the iteration plans start
-    # from a leaf instead of re-nesting the extraction subtree 10×, and
-    # coalesce to a width matched to their size — for a |types|²-sized graph
-    # that's 1 partition; a billion-edge graph would keep its natural
-    # partitioning (pass coalesce off via checkpoint_every pathway).
-    probs = probs.coalesce(1).localCheckpoint(eager=True)
-    nodes = nodes.coalesce(1).localCheckpoint(eager=True)
     # N as a 1-row frame cross-joined in (broadcast, no driver round-trip)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     if reset is not None:
@@ -168,14 +182,36 @@ def pagerank(
                 .otherwise(F.lit(1.0) / F.col("n_nodes"))
                 .alias("rw"),
             )
+            # teleport term folded in ONCE: every iteration used to rebuild
+            # (1−d)·rw from rw inline; precomputing it here is the same
+            # double product evaluated once (bit-identical), and it lets the
+            # loop drop a per-step projection input (guide §2.4).
+            .withColumn("tp", (1.0 - damping) * F.col("rw"))
             .coalesce(1)
             .localCheckpoint(eager=True)
+            .coalesce(1)
         )
+        base = reset_norm
         ranks = reset_norm.select("node", F.col("rw").alias("rank"))
     else:
-        ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-            "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        # per-node teleport (1−d)/N and start mass 1/N materialized ONCE:
+        # the old loop cross-joined the 1-row n_df aggregate into every
+        # power step, which planned a BroadcastNestedLoopJoin PLUS the full
+        # n_df aggregate subtree per iteration (10× in the r9 before-plans;
+        # guide §2.4 — operations keyed the same way share one build). Both
+        # expressions are the identical doubles the loop used to compute.
+        base = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (F.lit(1.0) / F.col("n_nodes")).alias("rank0"),
+                ((1.0 - damping) / F.col("n_nodes")).alias("tp"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+            .coalesce(1)
         )
+        ranks = base.select("node", F.col("rank0").alias("rank"))
     # Plain shuffled joins each step, NOT broadcast hints: a broadcast build
     # is a separate driver-collect job, and paying two of those per power
     # step measures ~70% slower than letting the ≤|nodes|-row shuffles flow
@@ -188,29 +224,15 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
-        if reset is not None:
-            ranks = (
-                reset_norm.join(contrib, reset_norm.node == contrib.dst, "left")
-                .select(
-                    "node",
-                    (
-                        (1.0 - damping) * F.col("rw")
-                        + damping * F.coalesce("mass", F.lit(0.0))
-                    ).alias("rank"),
-                )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.col("tp") + damping * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
             )
-        else:
-            ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
-                .crossJoin(F.broadcast(n_df))
-                .select(
-                    "node",
-                    (
-                        (1.0 - damping) / F.col("n_nodes")
-                        + damping * F.coalesce("mass", F.lit(0.0))
-                    ).alias("rank"),
-                )
-            )
+        )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
