@@ -110,7 +110,35 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Dat
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _path_bytes(path: str) -> int:
+    """Total bytes of a parquet file OR a Spark-written part-file directory."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return os.path.getsize(path)
+
+
+# A scan smaller than this many bytes PER CORE cannot feed every core from
+# its parquet row groups (the driver testdata ships one row group per file,
+# so Spark's byte-range splitting yields exactly ONE scan task no matter the
+# conf — maxPartitionBytes/openCostInBytes can't split inside a row group).
+# Below the threshold, heavy map-side work (md5 lattices, HOF vector folds,
+# pandas_udf batches, self-join fan-out) runs single-threaded before the
+# first shuffle. ``spread=True`` inserts one round-robin repartition right
+# after such a scan (guide §2.5 "input skew: one huge unsplittable file —
+# repartition immediately after the read"). Scale-adaptive by construction:
+# at production sizes (≥ ~16 MiB/core the condition is false) the input has
+# row groups to split and the repartition disappears — no conf tuned to
+# local[32] is involved, only "is this input too small to split".
+_SPREAD_BYTES_PER_CORE = 16 * 1024 * 1024
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Load one testdata table. Column pruning / predicate pushdown is left to
     Catalyst — callers express plain ``select``/``filter`` and the Parquet scan
     receives PushedFilters + ReadSchema automatically.
@@ -129,7 +157,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     per_session = _TABLE_CACHE.setdefault(spark, {})
-    key = (sf_dir, name)
+    key = (sf_dir, name, spread)
     cached = per_session.get(key)
     if cached is not None:
         return cached
@@ -150,6 +178,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
+    if spread:
+        from cobalt_duckdb_spark.session import default_parallelism
+
+        cores = default_parallelism()
+        if _path_bytes(table_path(sf_dir, name)) < cores * _SPREAD_BYTES_PER_CORE:
+            # Round-robin keeps partitions even (no key to skew); results
+            # are partition-layout independent (STABILITY probes pin all
+            # registry queries hash-identical under hostile partitioning).
+            # Filters/pruning still push through Repartition to the scan.
+            df = df.repartition(cores)
     per_session[key] = df
     return df
 

@@ -184,9 +184,16 @@ def bm25_prf_topk(
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    toksall = base.select(
-        id_col, "dl", F.explode("toks").alias("tok")
-    ).select(id_col, "dl", F.lower("tok").alias("term"))
+    # the token table feeds FOUR consumers (seed scoring, feedback-term
+    # harvest, candidate df lookup, expanded retrieval): checkpoint it so
+    # the corpus tokenize+explode runs once, not 4× (guide §1.2). At scale
+    # this materializes a token-count-bounded table — the same shape a
+    # persisted inverted index takes; recomputing 4× is strictly worse.
+    toksall = (
+        base.select(id_col, "dl", F.explode("toks").alias("tok"))
+        .select(id_col, "dl", F.lower("tok").alias("term"))
+        .localCheckpoint(eager=False)
+    )
 
     def scored_topk(term_filter, kk):
         tf = (

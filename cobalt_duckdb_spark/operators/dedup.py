@@ -74,6 +74,19 @@ def fan_out(
     return df.repartition(n, F.col(by)) if by else df.repartition(n)
 
 
+def spread_if_narrow(df: DataFrame) -> DataFrame:
+    """``fan_out`` only when the frame's physical parallelism is below the
+    session's core count — the scale-adaptive form: testdata parquet ships
+    one row group per file (ONE scan task however the splits are conf'd),
+    while production inputs arrive in thousands of splits and take the
+    no-op branch. The partition probe is driver-side plan inspection; no
+    job runs."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup via normalized-text fingerprint: every row mapped to its
     group keeper (min id) + group size. One hash-partitioned shuffle."""
@@ -277,9 +290,15 @@ def minhash_lsh_pairs(
             for band in range(LSH_BANDS)
         ]
     )
-    buckets = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    # buckets feeds BOTH sides of the banding self-join: checkpoint so the
+    # 32-permutation min-aggregate + band hashing run once, not twice
+    # (guide §1.2; the ~8·|docs|-row band table is what a persisted LSH
+    # index materializes anyway)
+    buckets = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+        .localCheckpoint(eager=False)
+    )
 
     cand = (
         buckets.alias("a")
@@ -769,7 +788,10 @@ def srp_lsh_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    bands = srp_bands(e, dims)
+    # bands is consumed on BOTH sides of the candidate self-join: without a
+    # checkpoint the pandas_udf signature matmul runs twice (the plan held
+    # 4 ArrowEvalPython nodes); with it, once (guide §4.1/§1.2).
+    bands = srp_bands(e, dims).localCheckpoint(eager=False)
     cand_ids = (
         bands.alias("a")
         .join(
@@ -1451,7 +1473,11 @@ def minhash_estimator_audit(
         )
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    sig = ex.groupBy(id_col).agg(*aggs)
+    # sig feeds THREE consumers (banding buckets + both signature sides of
+    # the estimate join) and cand TWO (exact-Jaccard join + the pair base):
+    # checkpoint both so the 32-permutation min-aggregate and the banding
+    # self-join run once, not 3×/2× (guide §1.2)
+    sig = ex.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -1483,6 +1509,7 @@ def minhash_estimator_audit(
         .filter(F.col(id_col) < F.col("b_id"))
         .select(F.col(id_col).alias("a_id"), "b_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sig_a = sig.select(
         F.col(id_col).alias("a_id"),

@@ -2197,7 +2197,9 @@ def stats_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     group sizes), same mergeable shape."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").filter(
+    # spread=True: single-row-group scan; the ×20 permutation fan-out and
+    # its per-(p, event_id) md5 sort keys otherwise compute on one core
+    e = load_table(spark, sf_dir, "events", spread=True).filter(
         F.col("event_type").isin("click", "view")
     )
     base = e.select(
@@ -2625,7 +2627,12 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile. The classic n-out-of-n bootstrap cannot run on 100 TB
     (every replicate is a full shuffle of the data); this form costs one
     pass regardless of B."""
-    e = load_table(spark, sf_dir, "events")
+    # spread=True: the events parquet is one row group → one scan task, and
+    # the ×64 explode + per-(row, replicate) md5 lattice below it would run
+    # single-threaded (6.4M md5+conv chains on one core at sf0.1 — the
+    # query's whole cost). One tiny repartition buys full-core parallelism;
+    # no-op at production input sizes (guide §2.5).
+    e = load_table(spark, sf_dir, "events", spread=True)
     b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
     draws = e.select("event_type", "value", "event_id", b).withColumn(
         "u",

@@ -1131,16 +1131,26 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
     tot = Window.partitionBy("i")
-    p = pairs.select(
-        "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
-    ).localCheckpoint(eager=True)
+    # |types|²-row frames: coalesce(1) around each checkpoint so every
+    # squaring runs as a narrow single-partition join+agg instead of 32-way
+    # shuffles of ≤64 rows (same discipline as operators/graph.pagerank)
+    p = (
+        pairs.select(
+            "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+        .coalesce(1)
+    )
     for _ in range(_MKV_SQUARINGS):
         x, y = p.alias("x"), p.alias("y")
         p = (
             x.join(y, F.col("x.j") == F.col("y.i"))
             .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
             .agg(F.round(F.sum(F.col("x.p") * F.col("y.p")), 9).alias("p"))
+            .coalesce(1)
             .localCheckpoint(eager=True)
+            .coalesce(1)
         )
     pi_raw = p.groupBy(F.col("j").alias("event_type")).agg(
         F.avg("p").alias("pi")
@@ -1477,13 +1487,17 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
         )
         .filter((F.col("i") != "purchase") & (F.col("j") != "purchase"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
+        .coalesce(1)
     )
+    # identity seed: a distinct over the checkpointed |transient|²-row q
+    # leaf — cheap enough to leave lazy (no second eager checkpoint job)
     s = (
         q.select("i")
         .distinct()
         .select("i", F.col("i").alias("j"), F.lit(1.0).alias("p"))
-        .localCheckpoint(eager=True)
+        .coalesce(1)
     )
 
     def matmul(a, b):
@@ -1500,9 +1514,11 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(matmul(s, q))
             .groupBy("i", "j")
             .agg(F.round(F.sum("p"), 9).alias("p"))
+            .coalesce(1)
             .localCheckpoint(eager=True)
+            .coalesce(1)
         )
-        q = matmul(q, q).localCheckpoint(eager=True)
+        q = matmul(q, q).coalesce(1).localCheckpoint(eager=True).coalesce(1)
         s = s_next
     return s.select(
         F.col("i").alias("from_state"),
@@ -1795,7 +1811,21 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
     pfull = (
         pairs.join(F.broadcast(counts), "i")
         .select("i", "j", F.round(F.col("c") / F.col("n"), 9).alias("p"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
+        .coalesce(1)
+    )
+    # distinct non-purchase states, materialized ONCE: every counterfactual
+    # solve used to rebuild its identity seed with `e.select(...).distinct()`
+    # — six full event scans + six distinct shuffles per query run for a
+    # ≤|types|-row frame (guide §1.2). All six solves now filter this leaf.
+    chan = (
+        e.select(F.col("event_type").alias("i"))
+        .filter(F.col("i") != "purchase")
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+        .coalesce(1)
     )
     rn = F.row_number().over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1812,7 +1842,9 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
         .crossJoin(F.broadcast(n_users))
         .select("i", F.round(F.col("c") / F.col("nu"), 9).alias("w"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
+        .coalesce(1)
     )
 
     def matmul(a, b):
@@ -1831,21 +1863,19 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
                 (F.col("i") != "purchase") & (F.col("j") != "purchase")
                 & keep & keep_j
             )
-            .localCheckpoint(eager=True)
+            # plain filter over the checkpointed pfull leaf — tiny, no
+            # per-solve eager checkpoint job needed
         )
         r = pfull.filter(
             (F.col("j") == "purchase") & (F.col("i") != "purchase") & keep
         ).select("i", "p")
         # identity over ALL channels minus the removed one (NOT just states
         # appearing in q): a state whose only edges lead to purchase or the
-        # removed channel still carries its direct-conversion term via s1·r
-        s = (
-            e.select(F.col("event_type").alias("i"))
-            .filter(F.col("i") != "purchase")
-            .filter(keep)
-            .distinct()
-            .select("i", F.col("i").alias("j"), F.lit(1.0).alias("p"))
-            .localCheckpoint(eager=True)
+        # removed channel still carries its direct-conversion term via s1·r.
+        # Filters the checkpointed `chan` leaf — no event rescan, no eager
+        # job per solve.
+        s = chan.filter(keep).select(
+            "i", F.col("i").alias("j"), F.lit(1.0).alias("p")
         )
         for d in range(_RE_DOUBLINGS):
             s_next = (
@@ -1853,9 +1883,11 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
                 .unionAll(matmul(s, q))
                 .groupBy("i", "j")
                 .agg(F.round(F.sum("p"), 9).alias("p"))
+                .coalesce(1)
                 .localCheckpoint(eager=True)
+                .coalesce(1)
             )
-            q = matmul(q, q).localCheckpoint(eager=True)
+            q = matmul(q, q).coalesce(1).localCheckpoint(eager=True).coalesce(1)
             s = s_next
         b = (
             s.alias("s")
@@ -2007,9 +2039,16 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
     tot = Window.partitionBy("i")
-    p0 = pairs.select(
-        "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
-    ).localCheckpoint(eager=True)
+    # same narrow single-partition squaring discipline as
+    # events_markov_stationary (|types|²-row frames)
+    p0 = (
+        pairs.select(
+            "i", "j", F.round(F.col("n") / F.sum("n").over(tot), 9).alias("p")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+        .coalesce(1)
+    )
     p = p0
     for _ in range(_MKV_SQUARINGS):
         x, y = p.alias("x"), p.alias("y")
@@ -2017,7 +2056,9 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.join(y, F.col("x.j") == F.col("y.i"))
             .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
             .agg(F.round(F.sum(F.col("x.p") * F.col("y.p")), 9).alias("p"))
+            .coalesce(1)
             .localCheckpoint(eager=True)
+            .coalesce(1)
         )
     pi_raw = p.groupBy(F.col("j").alias("i")).agg(F.avg("p").alias("pi_r"))
     z = pi_raw.agg(F.sum("pi_r").alias("z"))

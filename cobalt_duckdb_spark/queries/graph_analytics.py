@@ -252,7 +252,11 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     that runs unchanged on billion-edge graphs with periodic checkpoints."""
     from cobalt_duckdb_spark.operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread=True: one-row-group scan; the orderkey self-join's map side
+    # (600k-row build of basket pairs) otherwise runs on one core
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
     a, b = li.alias("x"), li.alias("y")
     pairs = a.join(
         b,
@@ -328,7 +332,11 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     fan-out is the skew to watch at scale — cap or sample super-node
     neighborhoods (the √(2|E|) orientation bound from the triangle query
     applies the same way)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread=True: one-row-group scan; the orderkey self-join's map side
+    # (600k-row build of basket pairs) otherwise runs on one core
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
     x, y = li.alias("x"), li.alias("y")
     pairs = x.join(
         y,
@@ -435,7 +443,11 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every round is a degree aggregate + two semi-join-shaped edge
     filters, all keyed on node id; edges materialize per round
     (localCheckpoint) exactly like the other Pregel-family loops."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread=True: one-row-group scan; the orderkey self-join's map side
+    # (600k-row build of basket pairs) otherwise runs on one core
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
     x, y = li.alias("x"), li.alias("y")
     edges = (
         x.join(

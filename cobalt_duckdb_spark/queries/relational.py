@@ -1026,15 +1026,16 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
 
     def avg_rank(col: str) -> F.Column:
+        # tie count = COUNT over a RANGE(0,0) frame on the SAME
+        # (partitionBy flag, orderBy col) window the rank uses — identical
+        # value to COUNT over partitionBy(flag, col), but it shares the
+        # rank's exchange AND sort instead of adding a second window
+        # partitioning per column (guide §2.4: operations keyed the same
+        # way share one exchange; plan: 6 windows / 4 sort keys → 3)
+        w = Window.partitionBy("l_returnflag").orderBy(col)
         return (
-            F.rank().over(Window.partitionBy("l_returnflag").orderBy(col))
-            + (
-                F.count(F.lit(1)).over(
-                    Window.partitionBy("l_returnflag", col)
-                )
-                - 1
-            )
-            / 2.0
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(w.rangeBetween(0, 0)) - 1) / 2.0
         )
 
     ranked = l.select(

@@ -562,15 +562,24 @@ def pipeline_token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFra
     rows). Output: per-source admitted docs/tokens and budget share."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ")).cast("bigint").alias("tc"),
-        F.round(
-            F.size(F.array_distinct(F.split("text", " ")))
-            / F.size(F.split("text", " ")),
-            4,
-        ).alias("score"),
+    # checkpoint: the tokenize
+    # projection (three split()s + array_distinct per row) is consumed by
+    # FOUR downstream frames (budget, buckets, above, boundary fill) and
+    # re-ran per consumer; materialized once it is a 4-column id frame
+    # (guide §1.2)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("tc"),
+            F.round(
+                F.size(F.array_distinct(F.split("text", " ")))
+                / F.size(F.split("text", " ")),
+                4,
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=False)
     )
     budget = d.agg(
         F.floor(F.sum("tc") * F.lit(_BUDGET_FRAC)).cast("double").alias("b")

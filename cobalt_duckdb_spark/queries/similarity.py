@@ -289,7 +289,9 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes a codebook of exactly this shape)."""
     from cobalt_duckdb_spark.operators.clustering import kmeans_lloyd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: one-row-group scan; heavy per-row vector work below
+    # would otherwise run on one core (no-op at production sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -958,7 +960,9 @@ def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_clusters,
         update_centroids,
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # spread=True: one-row-group scan; heavy per-row vector work below
+    # would otherwise run on one core (no-op at production sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = emb.filter(F.col("vec_id") < 8).select(
@@ -1237,7 +1241,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
        rounding is the cross-engine fixed point (k-means discipline), with
        the final direction rounded at 6 dp."""
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: one-row-group scan; heavy per-row vector work below
+    # would otherwise run on one core (no-op at production sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     long = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -1401,7 +1407,9 @@ def simsearch_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
     from cobalt_duckdb_spark.functions.vector import cosine_distance
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # spread=True: one-row-group scan; assignment + exact ground-truth
+    # cross joins below are per-row HOF folds (no-op at production sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = (
@@ -1768,7 +1776,9 @@ def embedding_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which at 500 x N pairs measured 23.8 s at sf0.1; normalize-then-dot at
     # the 200-query sample is 3.4 s (and the oracle mirrors the same
     # normalize-then-inner-product formula for fold-order parity)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: one-row-group scan; heavy per-row vector work below
+    # would otherwise run on one core (no-op at production sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     nrm = emb.select("vec_id", l2_normalize("embedding").alias("e"))
     q = nrm.filter(F.col("vec_id") < _HUB_NQ).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
@@ -1864,7 +1874,9 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: normalize map-side, per-dimension component sums (d=64 groups,
     mergeable), then scalar arithmetic — corpus touched once, no pair
     enumeration at ANY scale."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: one-row-group scan; heavy per-row vector work below
+    # would otherwise run on one core (no-op at production sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     from cobalt_duckdb_spark.functions.vector import l2_normalize
 
     nrm = emb.select(l2_normalize("embedding").alias("e"))
@@ -2018,7 +2030,11 @@ def cluster_purity_nmi_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobalt_duckdb_spark.operators.clustering import kmeans_lloyd
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: the embeddings file is one parquet row group (one scan
+    # task), and everything until the first shuffle — the k×n HOF distance
+    # folds of BOTH Lloyd assignments — would run on a single core (guide
+    # §2.5 unsplittable input; no-op at production input sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -2027,8 +2043,18 @@ def cluster_purity_nmi_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
         .join(emb.select("vec_id", "label"), "vec_id")
     )
-    joint = assigned.groupBy("cid", "label").agg(
-        F.count(F.lit(1)).cast("double").alias("nij")
+    joint = (
+        assigned.groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+        # consumed FIVE times below (n_tot, hl, hc, hj, purity): without a
+        # checkpoint each consumer re-plans — and re-runs — the entire
+        # k-means assignment subtree (the r9 before-plan carried 114
+        # Exchange and 52 BroadcastNestedLoopJoin nodes for one k×labels
+        # contingency table). Materialize the ≤ k·|labels|-row frame once;
+        # everything downstream is arithmetic on ≤100 rows (guide §1.2
+        # "don't compute things you throw away" / §5 localCheckpoint).
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     n_tot = joint.agg(F.sum("nij").alias("n"))
     jt = joint.crossJoin(F.broadcast(n_tot))
@@ -2134,7 +2160,9 @@ def train_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     two conditional MAX aggregates per anchor, label-sized rollup."""
     from cobalt_duckdb_spark.functions.vector import dot_product, l2_normalize
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: one-row-group scan; heavy per-row vector work below
+    # would otherwise run on one core (no-op at production sizes)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     nrm = emb.select("vec_id", "label", l2_normalize("embedding").alias("e"))
     anchors = nrm.filter(F.col("vec_id") < _TRIP_NQ).select(
         F.col("vec_id").alias("aid"),

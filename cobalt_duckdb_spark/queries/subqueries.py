@@ -189,16 +189,53 @@ FROM reach GROUP BY dst ORDER BY event_type
 def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4) BFS over the event-type transition graph:
     which event types are reachable from 'signup', at what minimum hop
-    count, and how many distinct ≤4-hop paths reach them. The SAME SQL text
-    runs on both engines — recursion is UNION ALL with an explicit hop
-    guard, so the path multiset (not just the reachable set) is
-    deterministic and cross-engine identical.
+    count, and how many distinct ≤4-hop paths reach them. Recursion is
+    UNION ALL with an explicit hop guard, so the path multiset (not just
+    the reachable set) is deterministic and cross-engine identical.
 
-    Scale shape: each recursion step is one hash join of the frontier
-    against the |types|² edge list (tiny, broadcast); the guard bounds the
-    iteration count the way ``operators/graph.py`` bounds PageRank."""
+    Spark-side shape (r9 optimization): the |types|²-row edge list is
+    materialized ONCE into a checkpointed temp view and the recursion
+    joins the view — Spark's recursive CTE execution re-evaluates the
+    recursive-step subtree each iteration, so inlining the edge derivation
+    (events window + distinct) re-ran the corpus scan per hop (4×;
+    guide §1.2). DuckDB materializes CTE scans, so the oracle keeps the
+    inline form; both walk the identical edge set. Each recursion step is
+    one hash join of the frontier against the tiny edge view; the guard
+    bounds the iteration count the way ``operators/graph.py`` bounds
+    PageRank."""
     register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_REACH_SQL)
+    edges = (
+        spark.sql(
+            """
+            SELECT DISTINCT event_type AS src, next_type AS dst
+            FROM (
+                SELECT event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            ) seq
+            WHERE next_type IS NOT NULL AND next_type <> event_type
+            """
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("reach_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach (dst, hop) AS (
+            SELECT 'signup' AS dst, 0 AS hop
+            UNION ALL
+            SELECT e.dst, r.hop + 1
+            FROM reach r JOIN reach_edges e ON e.src = r.dst
+            WHERE r.hop < 4
+        )
+        SELECT dst AS event_type, CAST(MIN(hop) AS BIGINT) AS min_hops,
+               CAST(COUNT(*) AS BIGINT) AS n_paths_le4
+        FROM reach GROUP BY dst ORDER BY event_type
+        """
+    )
 
 
 _LATERAL_TOPK_SQL = """

@@ -396,3 +396,41 @@ def test_load_table_events_directory_layout(spark, sf_dir, tmp_path):
     assert len(rows) == 100
     # unit adaptation still correct: no 1970 collapse
     assert min(r["ts"] for r in rows).year > 1990
+
+
+def test_load_table_spread_same_rows_more_partitions(spark, sf_dir):
+    """r9 optimization: spread=True round-robins a one-row-group scan
+    across the session's cores (guide §2.5 unsplittable-input fix) without
+    changing a single row, and the un-spread load stays single-task."""
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.session import default_parallelism
+
+    plain = load_table(spark, sf_dir, "events")
+    spread = load_table(spark, sf_dir, "events", spread=True)
+    assert spread.rdd.getNumPartitions() == default_parallelism()
+    assert plain.rdd.getNumPartitions() < spread.rdd.getNumPartitions()
+    # identical multiset of rows (sorted collect on the small test SF)
+    cols = plain.columns
+    a = sorted(map(tuple, plain.select(cols).collect()))
+    b = sorted(map(tuple, spread.select(cols).collect()))
+    assert a == b
+    # cache keys are spread-aware: the two frames are distinct objects
+    assert plain is not spread
+    assert load_table(spark, sf_dir, "events", spread=True) is spread
+
+
+def test_spread_if_narrow_widens_and_noops(spark, sf_dir):
+    """spread_if_narrow repartitions only frames whose physical
+    parallelism is below the session cores — the scale-adaptive guard."""
+    from cobalt_duckdb_spark.io import load_table
+    from cobalt_duckdb_spark.operators.dedup import spread_if_narrow
+
+    narrow = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wide = spread_if_narrow(narrow)
+    assert (
+        wide.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # already-wide input passes through untouched (no extra repartition)
+    again = spread_if_narrow(wide)
+    assert again is wide
