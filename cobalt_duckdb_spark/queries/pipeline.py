@@ -1131,12 +1131,23 @@ def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFram
     corpus_fp = corpus.select(
         exact_fp.alias("c_exact"), bag_fp.alias("c_bag")
     ).localCheckpoint(eager=False)
-    rawb = d.filter(F.col("source") != "src0").select(
-        "doc_id",
-        "text",
-        F.size(F.split("text", " ")).cast("bigint").alias("tc"),
-        exact_fp.alias("exact_fp"),
-        bag_fp.alias("bag_fp"),
+    # rawb feeds SIX consumers (audits 0-3 re-derive it, plus the s4 chain
+    # and its token sums): without a checkpoint every stage audit re-ran
+    # the batch tokenize + exact/bag md5 fingerprints from the scan (8
+    # documents scans in the r9 before-plan). Materialized once, the
+    # funnel's audits are filters/anti-joins over a fingerprint leaf —
+    # exactly the per-batch fingerprint table a real ingest pipeline
+    # persists before screening (guide §1.2).
+    rawb = (
+        d.filter(F.col("source") != "src0")
+        .select(
+            "doc_id",
+            "text",
+            F.size(F.split("text", " ")).cast("bigint").alias("tc"),
+            exact_fp.alias("exact_fp"),
+            bag_fp.alias("bag_fp"),
+        )
+        .localCheckpoint(eager=False)
     )
     q = rawb.filter(F.col("tc") >= 30)
     s2 = q.join(

@@ -299,20 +299,25 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hub = nodes.select("node", F.lit(1.0).alias("h"))
     auth = None
+    # L2 norm as a GLOBAL WINDOW over the (single-partition, |types|-row)
+    # joined frame instead of an agg + crossJoin(broadcast(...)): the
+    # broadcast variant paid a separate driver job to build the 1-row norm
+    # relation per half-step (10 per run), and these tiny rounds are
+    # driver-job-latency-bound (same finding as the PCA squarings). SUM
+    # skips the left-join NULLs, so the window sums exactly the araw/hraw
+    # terms — identical values.
+    w_all = Window.partitionBy()
     for _ in range(_HITS_ITERS):
         araw = (
             edges.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
         )
-        anorm = araw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+        anrm = F.sqrt(F.sum(F.col("a") * F.col("a")).over(w_all))
         auth = (
             nodes.join(araw, "node", "left")
-            .crossJoin(F.broadcast(anorm))
-            .select(
-                "node", (F.coalesce("a", F.lit(0.0)) / F.col("nrm")).alias("a")
-            )
             .coalesce(1)
+            .select("node", (F.coalesce("a", F.lit(0.0)) / anrm).alias("a"))
             .localCheckpoint(eager=False)
         )
         hraw = (
@@ -320,14 +325,11 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum(F.col("w") * F.col("a")).alias("h"))
         )
-        hnorm = hraw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+        hnrm = F.sqrt(F.sum(F.col("h") * F.col("h")).over(w_all))
         hub = (
             nodes.join(hraw, "node", "left")
-            .crossJoin(F.broadcast(hnorm))
-            .select(
-                "node", (F.coalesce("h", F.lit(0.0)) / F.col("nrm")).alias("h")
-            )
             .coalesce(1)
+            .select("node", (F.coalesce("h", F.lit(0.0)) / hnrm).alias("h"))
             .localCheckpoint(eager=False)
         )
     return (

@@ -1262,18 +1262,29 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=False)
     )
 
+    from pyspark.sql import Window
+
     def _normalized(mat: DataFrame) -> DataFrame:
-        mx = mat.agg(F.max(F.abs(F.col("val"))).alias("mx"))
-        return mat.crossJoin(F.broadcast(mx)).select(
-            "i", "j", F.round(F.col("val") / F.col("mx"), 9).alias("val")
+        # max-abs normalizer as a GLOBAL WINDOW over the (single-partition,
+        # d²-row) matrix, not an agg + crossJoin(broadcast(...)): the
+        # broadcast variant costs a separate driver job to build the 1-row
+        # relation EVERY squaring, and these d²-row iterations are
+        # driver-job-latency-bound, not compute-bound (r9 probe: 2.2 s per
+        # squaring → ~1 s; identical value — max is order-insensitive).
+        mx = F.max(F.abs(F.col("val"))).over(Window.partitionBy())
+        return mat.coalesce(1).select(
+            "i", "j", F.round(F.col("val") / mx, 9).alias("val")
         )
 
     # Each squaring references m THREE times (both join sides + its max-abs
     # normalizer); without lineage truncation the unrolled plan re-derives
     # the base exponentially (3^6 ×). The matrix is d²=4096 rows, so an
     # eager localCheckpoint per squaring is microscopic and keeps both the
-    # plan and the analysis time linear in the squaring count.
-    m = _normalized(cov).localCheckpoint(eager=True)
+    # plan and the analysis time linear in the squaring count; coalesce(1)
+    # around each checkpoint keeps the squarings narrow single-partition
+    # joins (the events_markov_* discipline) instead of 32-way shuffles of
+    # 4096 rows.
+    m = _normalized(cov).localCheckpoint(eager=True).coalesce(1)
     for _ in range(_PCA_SQUARINGS):
         x, y = m.alias("x"), m.alias("y")
         sq = (
@@ -1281,7 +1292,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
             .agg(F.sum(F.col("x.val") * F.col("y.val")).alias("val"))
         )
-        m = _normalized(sq).localCheckpoint(eager=True)
+        m = _normalized(sq).localCheckpoint(eager=True).coalesce(1)
     vraw = m.groupBy("i").agg(F.sum("val").alias("y"))
     vnrm = vraw.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
     v = vraw.crossJoin(F.broadcast(vnrm)).select(
