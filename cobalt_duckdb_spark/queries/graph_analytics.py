@@ -483,15 +483,19 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds.append(nxt)
     audits = []
     for r, e in enumerate(rounds):
-        nodes = (
-            e.select(F.col("pa").alias("n"))
-            .union(e.select(F.col("pb").alias("n")))
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-        )
-        cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        # n_nodes and n_edges in ONE aggregate over the endpoint union:
+        # COUNT(*) of the union is exactly 2·|edges| (each edge contributes
+        # both endpoints), so the separate edge-count agg — and its 1-row
+        # crossJoin(broadcast(...)) build job per round — is redundant
+        # (same job-latency finding as the PCA/HITS normalizers).
         audits.append(
-            nodes.crossJoin(F.broadcast(cnt)).select(
+            e.select(F.col("pa").alias("n"))
+            .unionAll(e.select(F.col("pb").alias("n")))
+            .agg(
+                F.count_distinct(F.col("n")).cast("bigint").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            )
+            .select(
                 F.lit(r).cast("bigint").alias("round"), "n_nodes", "n_edges"
             )
         )
