@@ -63,6 +63,43 @@ def _calibrate(spark) -> float:
     return round(min(run() for _ in range(3)), 4)
 
 
+def _wait_for_quiet_host(spark, max_wait_s: float = 300.0) -> None:
+    """Pre-flight gate (r9 verdict item 1): delay the TIMED sweep until the
+    host is steady, so the record lands with calib_spread ≤ 1.2 instead of
+    the 4-6× bursts this sandbox's noisy neighbors produce. r9's
+    driver-visible record carried a 4.12× spread warning and was unusable
+    as perf evidence; the fix belongs in the runner's start-up, NOT in the
+    timing path — the timed region, query set and two-pass-min policy are
+    untouched, we only choose WHEN to start. Rule: two consecutive calib
+    legs within 15% of each other (self-relative, so it works at any core
+    count — the driver also benches at 8 cores where the committed 32-core
+    anchor does not apply). Bounded: gives up after ``max_wait_s`` and runs
+    anyway (stderr says so; the in-run calib triplet still self-diagnoses).
+    """
+    t0 = time.perf_counter()
+    prev = _calibrate(spark)
+    while True:
+        cur = _calibrate(spark)
+        if max(cur, prev) / min(cur, prev) <= 1.15:
+            return
+        waited = time.perf_counter() - t0
+        if waited > max_wait_s:
+            print(
+                f"WARNING: host never went quiet in {max_wait_s:.0f}s "
+                f"(last calib legs {prev}/{cur}) — proceeding; expect a "
+                "calib_spread warning on this record",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"pre-flight: host unsteady (calib {prev} -> {cur}), "
+            f"waiting ({waited:.0f}s elapsed)",
+            file=sys.stderr,
+        )
+        prev = cur
+        time.sleep(15.0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", nargs="+", default=None)
@@ -96,6 +133,10 @@ def main() -> None:
     # every full run so a record is self-diagnosing: spread >1.2x means
     # the host was not steady and per-query numbers from the slow stretch
     # are suspect. Subset (--names) runs stay lean (no calib at all).
+    # Full runs first WAIT for a quiet host (bounded) so the record is
+    # usable evidence, not just self-diagnosed as noise (r9 verdict item 1).
+    if not args.names:
+        _wait_for_quiet_host(spark)
     calib_start = None if args.names else _calibrate(spark)
 
     # two passes per query, report the min: strips GC/JIT/compilation spikes

@@ -179,9 +179,12 @@ def load_table(
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     if spread:
-        from cobalt_duckdb_spark.session import default_parallelism
-
-        cores = default_parallelism()
+        # The ACTUAL session's core count, not the $SPARK_GRAFT_CPUS env
+        # default — consistent for callers whose session was not built by
+        # get_spark (ADVICE r9: session.default_parallelism() reads the env
+        # var and would mis-size both the threshold and the repartition on
+        # an externally created session).
+        cores = spark.sparkContext.defaultParallelism
         if _path_bytes(table_path(sf_dir, name)) < cores * _SPREAD_BYTES_PER_CORE:
             # Round-robin keeps partitions even (no key to skew); results
             # are partition-layout independent (STABILITY probes pin all

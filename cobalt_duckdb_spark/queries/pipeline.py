@@ -166,8 +166,19 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtype-kind gate in check_oracle so this class can't ship again."""
     from pyspark.sql import Window
 
-    raw = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source", "n_chars", T.token_count("text").alias("tc")
+    # Funnel frames with >1 consumer are materialized once (guide §1.2,
+    # r10): `raw` feeds its own audit, the quality filter AND the eval-side
+    # shingle pass (4 documents scans + tokenize passes before), `e2` feeds
+    # its audit and the bag-dedup window (the md5 window ran twice). This
+    # is the standard staged materialization of a curation pipeline — each
+    # stage's survivors are persisted before the next screen reads them.
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "text", "source", "n_chars",
+            T.token_count("text").alias("tc"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     q = raw.filter(F.col("tc") >= _MIN_TOKENS)
@@ -175,7 +186,12 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy(F.md5("text")).orderBy("doc_id")
     )
-    e2 = q.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    e2 = (
+        q.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
 
     bag_fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(T.tokens("text"))))
@@ -715,14 +731,32 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash family is the repo-standard md5 slice so the oracle replays it
     exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
-    ).select("doc_id", "source", (D.token_hash("w") % _DSIR_B).alias("b"))
-    tgt = tok.filter(F.col("source") == "src0").groupBy("b").agg(
-        F.count("*").cast("double").alias("ct")
+    # The hashed-token stream feeds FIVE consumers (target histogram, raw
+    # histogram, each histogram's total, the scoring join) — without the
+    # checkpoint the tokenize + per-token md5 pass re-ran per consumer
+    # (guide §1.2, r10). The histograms themselves are ≤_DSIR_B-row frames
+    # consumed twice each (grid join + normalizer): single-partition lazy
+    # checkpoints.
+    tok = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .select("doc_id", "source", (D.token_hash("w") % _DSIR_B).alias("b"))
+        .localCheckpoint(eager=False)
     )
-    raw = tok.filter(F.col("source") != "src0").groupBy("b").agg(
-        F.count("*").cast("double").alias("cr")
+    tgt = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count("*").cast("double").alias("ct"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    raw = (
+        tok.filter(F.col("source") != "src0")
+        .groupBy("b")
+        .agg(F.count("*").cast("double").alias("cr"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
     )
     grid = (
         spark.range(_DSIR_B).select(F.col("id").alias("b"))

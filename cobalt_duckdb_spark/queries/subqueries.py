@@ -9,6 +9,8 @@ the tests assert results, the judge can read the plans.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -161,13 +163,12 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECURSIVE_REACH_SQL = """
-WITH RECURSIVE reach (dst, hop) AS (
-    SELECT 'signup' AS dst, 0 AS hop
-    UNION ALL
-    SELECT e.dst, r.hop + 1
-    FROM reach r JOIN (
-        SELECT DISTINCT event_type AS src, next_type AS dst
+# ONE edge-derivation text shared by the oracle (inlined below — DuckDB
+# materializes CTE scans, so the inline form is fine there) and the Spark
+# side (materialized once into a temp view; Spark's recursive-CTE execution
+# re-evaluates the recursive-step subtree per hop). A single constant keeps
+# the two from silently drifting (ADVICE r9).
+_REACH_EDGES_SQL = """SELECT DISTINCT event_type AS src, next_type AS dst
         FROM (
             SELECT event_type,
                    LEAD(event_type) OVER (
@@ -175,7 +176,15 @@ WITH RECURSIVE reach (dst, hop) AS (
                    ) AS next_type
             FROM events
         ) seq
-        WHERE next_type IS NOT NULL AND next_type <> event_type
+        WHERE next_type IS NOT NULL AND next_type <> event_type"""
+
+_RECURSIVE_REACH_SQL = f"""
+WITH RECURSIVE reach (dst, hop) AS (
+    SELECT 'signup' AS dst, 0 AS hop
+    UNION ALL
+    SELECT e.dst, r.hop + 1
+    FROM reach r JOIN (
+        {_REACH_EDGES_SQL}
     ) e ON e.src = r.dst
     WHERE r.hop < 4
 )
@@ -205,30 +214,21 @@ def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFram
     PageRank."""
     register_views(spark, sf_dir)
     edges = (
-        spark.sql(
-            """
-            SELECT DISTINCT event_type AS src, next_type AS dst
-            FROM (
-                SELECT event_type,
-                       LEAD(event_type) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS next_type
-                FROM events
-            ) seq
-            WHERE next_type IS NOT NULL AND next_type <> event_type
-            """
-        )
+        spark.sql(_REACH_EDGES_SQL)  # the SAME text the oracle inlines
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    edges.createOrReplaceTempView("reach_edges")
+    # Per-call unique view name: a session-global "reach_edges" could alias
+    # a concurrent caller's edge set on a shared session (ADVICE r9).
+    view = f"reach_edges_{uuid.uuid4().hex[:12]}"
+    edges.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE reach (dst, hop) AS (
             SELECT 'signup' AS dst, 0 AS hop
             UNION ALL
             SELECT e.dst, r.hop + 1
-            FROM reach r JOIN reach_edges e ON e.src = r.dst
+            FROM reach r JOIN {view} e ON e.src = r.dst
             WHERE r.hop < 4
         )
         SELECT dst AS event_type, CAST(MIN(hop) AS BIGINT) AS min_hops,

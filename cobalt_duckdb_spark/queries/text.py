@@ -2341,17 +2341,28 @@ def text_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFra
     Plan: bigram explode (map-only), per-doc hit counting (one doc-key
     aggregate), per-source z rollup — the detector is two shuffles at any
     corpus size."""
+    from pyspark.sql import Window
+    from cobalt_duckdb_spark.operators.dedup import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    tok = docs.select(
-        "doc_id", "source", t.alias("t"),
-        F.posexplode(F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)")).alias("i", "w"),
-    ).select(
+    # Bigram stream via posexplode + lag over ONE doc-keyed exchange — the
+    # proven shingle_rows shape (r10; guide §2.4/§2.5). The old form
+    # carried the FULL token array through the Generate (copied into every
+    # exploded row: O(tokens²) bytes per doc) and ran every per-bigram md5
+    # map-side on the single-task parquet scan; here the fan_out
+    # repartition is the only payload exchange, the window's partitioning
+    # satisfies it with no further shuffle, and the md5 detector runs on
+    # all cores. Identical (doc, prev, w) multiset: slice-from-2 +
+    # element_at(i+1) ≡ lag(w) with the NULL first row dropped.
+    toks = fan_out(docs.select("doc_id", "source", "text"), by="doc_id").select(
         "doc_id",
         "source",
-        "w",
-        F.element_at("t", F.col("i") + 1).alias("prev"),
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
     )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    tok = toks.select(
+        "doc_id", "source", "w", F.lag("w").over(wd).alias("prev")
+    ).filter(F.col("prev").isNotNull())
     green = (
         F.conv(
             F.substring(
@@ -2363,7 +2374,11 @@ def text_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFra
         % 2
         == 0
     )
-    scored = tok.groupBy("doc_id", "source").agg(
+    # groupBy on doc_id ALONE (source rides along via first(): constant per
+    # doc) so the aggregate reuses the window's hash(doc_id) partitioning —
+    # no second exchange of the bigram stream (guide §2.4)
+    scored = tok.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.when(green, 1).otherwise(0)).cast("double").alias("hits"),
     )
@@ -2467,23 +2482,31 @@ def text_umass_keyword_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
-    df = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    n_docs = tok.agg(
-        F.countDistinct("doc_id").cast("double").alias("nd")
-    )
+    # ONE tokenize pass for the whole query (r10; guide §1.2 — the before-
+    # plan held 30 `Scan parquet` nodes / 78 Exchanges because the distinct
+    # token set, its df aggregate and the per-doc counts each re-tokenized
+    # the corpus per consumer). percount's key set IS the distinct (doc, w)
+    # relation, so tok derives from it instead of re-exploding, df_cnt
+    # (docs containing w) is exactly burst's per-w row count, and the one
+    # checkpointed per-doc count table seeds everything downstream. Counts
+    # are exact integers, so every derived value is bit-identical to the
+    # multi-pass form (oracle-checked at both SFs).
     percount = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tok = percount.select("doc_id", "w")
+    n_docs = tok.agg(
+        F.countDistinct("doc_id").cast("double").alias("nd")
     )
     burst = percount.groupBy("w").agg(
         F.count(F.lit(1)).alias("df_cnt"),
         F.sum(F.col("c") * F.col("c")).alias("ss"),
         F.sum("c").alias("tot"),
-    )
+    ).localCheckpoint(eager=False)
+    df = burst.select("w", F.col("df_cnt").cast("double").alias("d"))
     set_a = (
         df.select(
             F.lit("top_df").alias("ks"),
@@ -2504,10 +2527,15 @@ def text_umass_keyword_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("r") <= 10)
     )
-    sel = set_a.unionByName(set_b)
+    # sel (≤20 rows) feeds three consumers (the token semi-join and both
+    # sides of the rank-pair self-join); a lazy single-partition checkpoint
+    # stops each consumer re-running the two ranking windows
+    sel = set_a.unionByName(set_b).coalesce(1).localCheckpoint(eager=False)
+    # tok rows are already distinct (percount's group keys), so the
+    # broadcast-semi-join output needs no re-distinct
     toksel = tok.join(
         F.broadcast(sel.select("w").distinct()), "w"
-    ).distinct()
+    ).localCheckpoint(eager=False)
     a, b = toksel.alias("a"), toksel.alias("b")
     cod = (
         a.join(

@@ -1708,6 +1708,29 @@ def test_pagerank_degenerate_reset_inputs(spark):
     assert max(ranks_zero.values()) - min(ranks_zero.values()) < 1e-9
 
 
+def test_pagerank_narrow_gate(spark):
+    """r10 (r9 verdict item 5): the single-partition narrowing of the loop
+    frames is GATED, not assumed — narrow=False keeps the operator's
+    documented distributed shape, and both modes return identical ranks
+    (the recurrence is partition-layout independent under the rounding
+    discipline)."""
+    from cobalt_duckdb_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    auto = {
+        r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()
+    }
+    wide = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=5, narrow=False).collect()
+    }
+    assert set(auto) == set(wide)
+    for n in auto:
+        assert abs(auto[n] - wide[n]) < 1e-12, (n, auto[n], wide[n])
+
+
 def test_selection_pack_semantic_invariants(spark, sf_dir):
     """Engine-independent mathematical invariants of the round-4 selection
     pack, cross-checking semantics beyond the DuckDB hash oracles."""

@@ -419,18 +419,3 @@ def test_load_table_spread_same_rows_more_partitions(spark, sf_dir):
     assert load_table(spark, sf_dir, "events", spread=True) is spread
 
 
-def test_spread_if_narrow_widens_and_noops(spark, sf_dir):
-    """spread_if_narrow repartitions only frames whose physical
-    parallelism is below the session cores — the scale-adaptive guard."""
-    from cobalt_duckdb_spark.io import load_table
-    from cobalt_duckdb_spark.operators.dedup import spread_if_narrow
-
-    narrow = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wide = spread_if_narrow(narrow)
-    assert (
-        wide.rdd.getNumPartitions()
-        == spark.sparkContext.defaultParallelism
-    )
-    # already-wide input passes through untouched (no extra repartition)
-    again = spread_if_narrow(wide)
-    assert again is wide

@@ -2,6 +2,12 @@
 
     python tools/bench_compare.py OLD.json NEW.json [threshold]
 
+Either side may be a comma-separated list of records (e.g.
+``before1.json,before2.json``): per-query times are then the MIN across
+that side's records (calib likewise). Use the SAME number of records on
+both sides — r9's min-of-3-vs-1 composite overstated improvement by
+construction (r9 verdict item 4); min-of-k vs min-of-k is unbiased.
+
 Prints queries whose time changed by more than ``threshold``× (default 1.5)
 in either direction, plus totals — the guard that keeps a perf regression
 from hiding inside a 140-query total. Single-node local timings are noisy
@@ -15,11 +21,39 @@ import json
 import sys
 
 
+def _load_side(path_arg: str) -> dict:
+    """One record, or a min-of-k composite of comma-separated records."""
+    paths = [p for p in path_arg.split(",") if p]
+    recs = [json.load(open(p)) for p in paths]
+    if len(recs) == 1:
+        return recs[0]
+    qnames = set().union(*(r["queries"] for r in recs))
+    queries = {
+        n: min(r["queries"][n] for r in recs if n in r["queries"])
+        for n in qnames
+    }
+    calibs = [r["calib_sec"] for r in recs if r.get("calib_sec")]
+    comp = {
+        "queries": queries,
+        "value": round(sum(queries.values()), 4),
+        "calib_sec": min(calibs) if calibs else None,
+    }
+    print(f"[composite: per-query min of {len(recs)} records: {path_arg}]")
+    return comp
+
+
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
+    old = _load_side(old_path)
+    new = _load_side(new_path)
+    if ("," in old_path) != ("," in new_path) or (
+        "," in old_path and old_path.count(",") != new_path.count(",")
+    ):
+        print(
+            "WARNING: unequal record counts per side — min-of-k vs min-of-j "
+            "(k != j) biases toward the side with more records"
+        )
     oq, nq = old["queries"], new["queries"]
 
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s")

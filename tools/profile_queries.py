@@ -92,13 +92,17 @@ def main() -> None:
         feats = {k: len(re.findall(rx, plan)) for k, rx in FEATURES.items()}
 
         best = float("inf")
-        for _ in range(args.reps):
+        for rep in range(args.reps):
             t0 = time.perf_counter()
             # rebuild each rep so eager build-side work is re-paid exactly as
-            # bench.py pays it; first rep reuses df to include its build
+            # bench.py pays it; first rep reuses df to include its build.
+            # No rebuild after the FINAL collect — it would pay one unused
+            # build (incl. any eager localCheckpoint jobs) per query
+            # (ADVICE r9).
             df.collect()
             best = min(best, time.perf_counter() - t0)
-            df = fn(spark, args.sf)
+            if rep + 1 < args.reps:
+                df = fn(spark, args.sf)
         results[name] = {
             "build_s": round(build_s, 4),
             "exec_s": round(best, 4),
@@ -117,9 +121,14 @@ def main() -> None:
 
     calib1 = _bench._calibrate(spark)
     print(f"calib_end {calib1}", flush=True)
-    results["_calib"] = {"start": calib0, "end": calib1}
+    # calibration under its own top-level key, not mixed into the per-query
+    # results keyspace (ADVICE r9)
+    out_doc = {
+        "calib": {"start": calib0, "end": calib1},
+        "queries": results,
+    }
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        json.dump(out_doc, f, indent=1, sort_keys=True)
     print(f"wrote {args.out}")
 
 
