@@ -442,6 +442,11 @@ _DRIVER_VERIFIED = frozenset(
         # this set; the certification ROUNDS advance via the
         # CORRECTNESS_r08.json artifact, which tools/stale_certs.py reads
         # directly when computing latest-green rounds.
+        # --- r09 greens (CORRECTNESS_r09.json; 49/50 hash-green plus the
+        # rows-only-by-design agg_approx_sketches). Like r08, all 50 slots
+        # were stale RE-certifications of already-folded names (the r8
+        # verdict's src/oracle-stale front + r1/r2 helpers-only block);
+        # rounds advance via the artifact.
     }
 )
 
@@ -451,7 +456,7 @@ _DRIVER_VERIFIED = frozenset(
 # (e.g. CORRECTNESS_r06.json at the next round boundary), the rotation test
 # reports it as a pending fold (warning + instruction) instead of going red
 # with no code change (ADVICE r4, tests/test_registry_contract.py:78).
-_DRIVER_ROUNDS_FOLDED = 8
+_DRIVER_ROUNDS_FOLDED = 9
 
 
 # Previously driver-RED names: fixed this round, so they jump the fresh
@@ -460,86 +465,70 @@ _DRIVER_ROUNDS_FOLDED = 8
 # pipeline_corpus_curation retried green and is folded above).
 _DRIVER_RETRY: tuple[str, ...] = ()
 
-# Round-9 window picks (per the r8 verdict, item 1): the full 50-slot
-# window continues the stale-certification burn-down under the r8
-# helper-closure lens (tools/closure_hash.py): first the 6 src/oracle-stale
-# r5-certified names the r8 verdict fronted by name (the query's own
-# semantic surface changed — round 7's live bug was that class), then the
-# six queries edited THIS round (the ADVICE r8 textrank rounding fix plus
-# the r9 signed-zero sweep — two caught live by the fresh sparse
-# nullworld, three latent same-shape publishes hardened; a fix must be
-# re-certified before older stale work), then 38 helpers-only-stale names
-# oldest-certifying-round-first (r1 block, then r2) — shared operators/ /
-# functions/ helpers drifted since their certifying trees; all are green in
-# the r8 sf0.01 + sf0.1 + sf1.0 full differentials, but the external gate
-# exists precisely to not take that on faith. ~100 helpers-only-stale
-# names remain for the r10/r11 windows. This window matches
-# `python tools/next_window.py --suggest` exactly.
+# Round-10 window picks (r9 verdict item 9 / policy in tools/next_window.py):
+# r9's 50 green re-certifications are folded (rounds advance via
+# CORRECTNESS_r09.json; _DRIVER_ROUNDS_FOLDED = 9). This round's window
+# fronts the src/oracle-stale class oldest-certifying-round-first — which
+# is exactly the set of queries the r10 optimization pass EDITED (markov
+# shapes, curation/admission funnels, recursive-CTE view, winnowing/umass/
+# watermark/dsir/item-CF restructures, the graph/PQ operator users): an
+# edited query must be externally re-certified before older helpers-only
+# work. The remaining slots burn the helpers-only-stale backlog
+# oldest-first (r2 block — shared operators/ and functions/ helpers
+# drifted since those trees; all are green in this round's full sf0.01
+# differential, but the external gate exists to not take that on faith).
+# Matches `python tools/next_window.py --suggest` exactly.
 _DRIVER_PRIORITY = (
-    # --- src/oracle-stale (r5 certifications; verdict-fronted):
-    "graph_personalized_pagerank_error",  # oracle (r5)
-    "mix_doremi_proxy_reweight",  # src+oracle (r5)
-    "pipeline_loso_source_influence",  # src+oracle (r5)
-    "stats_anova_dow_effect",  # src (r5)
-    "stats_bayes_ab_conversion",  # src+oracle (r5)
-    "stats_key_skew_profiler",  # src+oracle (r5)
-    # --- edited THIS round (oracle re-stale; must be externally
-    # re-certified before older helpers-only work). Two fix families:
-    # (a) the ADVICE r8 textrank fix routes the oracle's published/
-    # ordering ROUND through spark_round_sql so the rounding procedure
-    # matches Spark bit-for-bit; (b) the r9 signed-zero sweep — the fresh
-    # sparse nullworld (seed 9178) caught DuckDB ROUND keeping IEEE -0.0
-    # (funnel states with h = -SUM(1·ln 1), single-doc Theil slices)
-    # where Spark's BigDecimal path normalizes to +0; the two caught
-    # oracles plus the three latent same-shape publishes (bigram nll,
-    # char entropy, backoff cross-entropy) now publish via
-    # spark_round_sql.
-    "text_backoff_bigram_perplexity",  # src+oracle (r5)
-    "events_markov_entropy_rate",  # src+oracle (r6)
-    "text_char_entropy_bound",  # src+oracle (r6)
-    "text_theil_length_inequality",  # src+oracle (r6)
-    "text_bigram_lm_score",  # src+oracle (r8)
-    "text_textrank_keywords",  # oracle (r8)
-    # --- helpers-only-stale, r1 certifications:
-    "agg_count_distinct",
-    "agg_cube_lineitem",
-    "agg_rollup_revenue",
-    "dedup_exact_fingerprint",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "distinct_mktsegments",
-    "join_anti_no_urgent_orders",
-    "join_asof_last_click_before_error",
-    "join_band_acctbal",
-    "join_interval_error_click",
-    "join_left_outer_yoy_revenue",
-    "join_semi_urgent_buyers",
-    "json_props_as_map",
-    "json_props_extract",
-    "predicate_pack_part",
-    "scalar_string_date_math",
-    "setop_bag_semantics",
-    "setop_union_intersect_except",
-    "simsearch_batch_knn",
-    "stream_dedup_first_event",
-    "stream_session_windows",
-    "stream_sliding_window_avg",
-    "stream_static_enrichment",
-    "stream_tumbling_window_counts",
-    "text_bpe_ish_token_count",
-    "text_fingerprints",
-    "text_langid_confusion",
-    "text_quality_scores",
-    "text_token_stats",
-    "topk_orders_by_price",
-    "window_lag_lead_orders",
-    "window_moving_avg_rows_frame",
-    "window_rank_family",
-    # --- helpers-only-stale, r2 certifications:
-    "agg_approx_sketches",
-    "agg_collect_sorted_list",
-    "cluster_kmeans_lloyd",
-    "dedup_embedding_cosine_pairs",
+    "events_markov_absorption",  # src+helpers (r4)
+    "events_markov_removal_attribution",  # src+helpers (r4)
+    "graph_kcore_peeling",  # src+helpers (r4)
+    "graph_lpa_communities",  # src+helpers (r4)
+    "pipeline_corpus_curation",  # src+helpers (r4)
+    "pipeline_incremental_admission",  # src+helpers (r4)
+    "sql_api_recursive_reachability",  # src+helpers (r4)
+    "stats_permutation_test_hashed",  # src+helpers (r4)
+    "graph_hits_hubs_authorities",  # src+helpers (r5)
+    "pipeline_token_budget_allocator",  # src+helpers (r5)
+    "sample_dsir_importance",  # src+helpers (r5)
+    "simsearch_recall_nprobe_curve",  # src+helpers (r5)
+    "text_winnowing_fingerprints",  # src+helpers (r5)
+    "text_umass_keyword_coherence",  # src+helpers (r6)
+    "text_watermark_greenlist_detect",  # src+helpers (r6)
+    "cluster_purity_nmi_vs_labels",  # src+helpers (r7)
+    "graph_link_prediction_jaccard",  # src+helpers (r7)
+    "orders_item_cf_similarity",  # src+helpers (r7)
+    "train_triplet_margin_audit",  # src+helpers (r7)
+    "cluster_silhouette_audit",  # src+helpers (r8)
+    "embedding_isotropy_audit",  # src+helpers (r8)
+    "embedding_knn_hubness_audit",  # src+helpers (r8)
+    "embedding_pca_power_iteration",  # src+helpers (r8)
+    "events_markov_stationary",  # src+helpers (r8)
+    "stats_poisson_bootstrap_ci",  # src+helpers (r8)
+    "stats_spearman_rank_corr",  # src+helpers (r8)
+    "dedup_incremental_new_batch",  # helpers (r2)
+    "dedup_keep_best_resolution",  # helpers (r2)
+    "dedup_shared_span_report",  # helpers (r2)
+    "dedup_simhash_pairs",  # helpers (r2)
+    "embedding_int8_quantization_audit",  # helpers (r2)
+    "events_assoc_rules_types",  # helpers (r2)
+    "events_latest_user_state",  # helpers (r2)
+    "events_scd2_user_state",  # helpers (r2)
+    "events_transition_matrix",  # helpers (r2)
+    "events_user_journey_prefix",  # helpers (r2)
+    "events_value_zscore_outliers",  # helpers (r2)
+    "events_windowed_topk_types",  # helpers (r2)
+    "hybrid_rrf_topk",  # helpers (r2)
+    "infer_embed_index_search_e2e",  # helpers (r2)
+    "infer_tokenize_stats",  # helpers (r2)
+    "join_asof_nearest_click_to_error",  # helpers (r2)
+    "join_asof_next_click_after_error",  # helpers (r2)
+    "join_interval_error_click_left",  # helpers (r2)
+    "multimodal_binary_stats",  # helpers (r2)
+    "scalar_null_handling",  # helpers (r2)
+    "simsearch_hard_negatives",  # helpers (r2)
+    "simsearch_ivf_topk",  # helpers (r2)
+    "simsearch_ivfpq_adc_topk",  # helpers (r2)
+    "simsearch_pq_adc_topk",  # helpers (r2)
 )
 
 # Fresh-but-deferred: queries REGISTERED in round 3 (every one locally

@@ -450,10 +450,15 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").over(wdoc.rowsBetween(0, _WIN_W - 1)).alias("fp"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("ng"),
     )
+    # the winnowed fingerprint set feeds THREE consumers (per-doc counts +
+    # both sides of the pair join) — materialize once so the gram hashing +
+    # window-min pipeline doesn't re-run per consumer (guide §1.2, r10);
+    # this is the fingerprint index MOSS persists
     fps = (
         winmin.filter(F.col("pos") <= F.col("ng") - _WIN_W + 1)
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     per_doc = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fingerprints")

@@ -1423,10 +1423,17 @@ def simsearch_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # multi-consumer frames materialized once (guide §1.2, r10): cent is
+    # read by assignment AND probe ranking (each re-ran the TakeOrdered
+    # pass), q by probes AND the exact ground truth, cand by the IVF top-k
+    # AND the scanned-count rollup (re-running the whole candidate cosine
+    # scoring).
     cent = (
         emb.orderBy("vec_id")
         .limit(_RC_CELLS)
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
     )
     e, c = emb.alias("e"), cent.alias("c")
     arn = F.row_number().over(
@@ -1444,8 +1451,11 @@ def simsearch_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("centroid_id").alias("cell"))
     )
-    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    q = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
     )
     prn = F.row_number().over(
         Window.partitionBy("query_id").orderBy("cd", "centroid_id")
@@ -1473,6 +1483,7 @@ def simsearch_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             "vec_id",
             F.round(cosine_distance("v", "qv"), 6).alias("d"),
         )
+        .localCheckpoint(eager=False)
     )
     ivf_top = (
         cand.withColumn(
